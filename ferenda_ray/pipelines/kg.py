@@ -1,0 +1,87 @@
+"""The flagship four-stage KG-construction pipeline.
+
+``read_parquet(sources) → extract (stateless map_batches) → link
+(actor pool) → canonicalize (sameAs rewrite + exact dedup shuffle) →
+materialize (sorted bucketed shards + manifests)`` — the Ray-native
+restatement of ferenda's download→parse→relate→generate lifecycle
+(SURVEY.md §3.4).
+
+Skew handling: mega-repos are pre-split by row-count ``repartition``
+before extraction so one repo cannot dominate a block (the analogue of
+the reference's longest-job-first ordering,
+``ferenda/documentstore.py:542-562``; SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ferenda_ray import ns
+from ferenda_ray.schema import TRIPLES
+from ferenda_ray.stages.extract import extract
+from ferenda_ray.stages.link import link
+from ferenda_ray.stages.canonicalize import (
+    dedup_exact, mapping_from_sameas, rewrite)
+from ferenda_ray.stages.materialize import materialize
+from ferenda_ray.uri import DEFAULT_BASE
+from ferenda_ray.corpus import GRAPH
+
+
+def vocab_as_triples(vocab: pa.Table, graph: str = GRAPH) -> pa.Table:
+    """Side vocabulary triples (6-col) → full 9-col triple rows."""
+    n = vocab.num_rows
+    return pa.table({
+        "subj": vocab.column("subj"),
+        "pred": vocab.column("pred"),
+        "obj_type": vocab.column("obj_type"),
+        "obj_value": vocab.column("obj_value").cast(pa.large_string()),
+        "obj_lang": vocab.column("obj_lang")
+        if "obj_lang" in vocab.column_names else pa.nulls(n, pa.string()),
+        "obj_datatype": vocab.column("obj_datatype")
+        if "obj_datatype" in vocab.column_names else pa.nulls(n, pa.string()),
+        "graph": pa.array([graph] * n, pa.string()),
+        "src_repo": pa.nulls(n, pa.string()),
+        "src_path": pa.nulls(n, pa.string()),
+    }, schema=TRIPLES)
+
+
+def build_kg(sources, aliases=None, sameas: pa.Table | None = None,
+             vocab: pa.Table | None = None, base: str = DEFAULT_BASE,
+             graph: str = GRAPH, link_concurrency=(1, 8),
+             repartition_blocks: int | None = None):
+    """sources Dataset → canonical triples Dataset (lazy; nothing runs
+    until consumed).  ``aliases`` / ``sameas`` / ``vocab`` are small
+    side tables (broadcast, never shuffled)."""
+    import ray.data as rd
+    if repartition_blocks:
+        sources = sources.repartition(repartition_blocks)
+    triples = extract(sources, base=base, graph=graph)
+    if vocab is not None and vocab.num_rows:
+        triples = triples.union(rd.from_arrow(vocab_as_triples(vocab, graph)))
+    if aliases is not None:
+        triples = link(triples, aliases, base=base,
+                       concurrency=link_concurrency)
+    else:
+        # no dictionary: mention rows cannot resolve; drop them
+        import pyarrow.compute as pc
+        triples = triples.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b.column("obj_type"),
+                                                  "mention"))),
+            batch_format="pyarrow")
+    mapping = mapping_from_sameas(sameas) if sameas is not None else {}
+    triples = rewrite(triples, mapping)
+    return dedup_exact(triples)
+
+
+def run_kg(sources_path: str, out_dir: str, aliases=None, sameas=None,
+           vocab=None, base: str = DEFAULT_BASE, num_buckets: int = 32,
+           resume: bool = True, fmt: str = "parquet",
+           link_concurrency=(1, 8)) -> pa.Table:
+    """End-to-end: read corpus parquet → … → materialized shards.
+    Returns the manifest table."""
+    import ray.data as rd
+    sources = rd.read_parquet(sources_path)
+    canon = build_kg(sources, aliases=aliases, sameas=sameas, vocab=vocab,
+                     base=base, link_concurrency=link_concurrency)
+    return materialize(canon, out_dir, num_buckets=num_buckets,
+                       resume=resume, fmt=fmt)

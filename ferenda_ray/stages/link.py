@@ -1,0 +1,135 @@
+"""Stage 2 — entity linking as an actor pool.
+
+The Ray-native restatement of the reference's expensive-state linker:
+``LegalRef`` compiles an EBNF grammar whose alternation is *rebuilt*
+from the known-law/abbreviation dictionaries
+(``ferenda/sources/legal/se/legalref.py:94-186``, ``:258-284``), and
+``DocumentRepository.lookup_resource`` resolves labels against a small
+``commondata`` graph with a difflib fuzzy fallback at cutoff 0.8
+(``documentrepository.py:500-548``).
+
+Here the alias/label dictionary is broadcast once (``ray.put`` on the
+driver), each actor fetches it in ``__init__`` and compiles one
+longest-first regex alternation over all aliases (the analogue of the
+``LawAbbreviation ::=`` grammar rebuild) — setup cost paid once per
+actor, not per batch.  ``__call__`` processes Arrow batches: rows with
+``obj_type == "mention"`` are scanned and replaced by
+``dcterms:subject`` triples (doc → entity); all other rows pass through
+untouched, keeping the pipeline single-pass and streaming.
+
+Ambiguous aliases resolve to the lexicographically smallest candidate
+entity URI — a deterministic rule (the reference raises on ambiguity;
+we must stay row-parallel and deterministic instead).
+"""
+
+from __future__ import annotations
+
+import difflib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ferenda_ray import ns
+from ferenda_ray.schema import TRIPLES
+from ferenda_ray.uri import DEFAULT_BASE
+
+
+class EntityLinker:
+    """Callable class for ``map_batches(..., concurrency=N)``.
+
+    ``aliases`` may be a list of ``{alias, label, entity_uri}`` dicts, a
+    ``pyarrow.Table`` of the same, or a ``ray.ObjectRef`` to either
+    (the broadcast pattern: ``ray.put`` once, ``ray.get`` per actor).
+    """
+
+    def __init__(self, aliases, base: str = DEFAULT_BASE,
+                 fuzzy_cutoff: float = 0.8):
+        import ray
+        if isinstance(aliases, ray.ObjectRef):
+            aliases = ray.get(aliases)
+        if isinstance(aliases, pa.Table):
+            aliases = aliases.to_pylist()
+        self.base = base
+        self.fuzzy_cutoff = fuzzy_cutoff
+        # alias (lowercased) -> sorted candidate entity URIs
+        amap: dict[str, list] = {}
+        for row in aliases:
+            amap.setdefault(row["alias"].lower(), []).append(row["entity_uri"])
+        self.alias_map = {a: sorted(set(us)) for a, us in amap.items()}
+        # longest-first alternation so multi-word aliases win over prefixes
+        pats = sorted(self.alias_map, key=len, reverse=True)
+        self.matcher = re.compile(
+            r"\b(" + "|".join(re.escape(a) for a in pats) + r")\b",
+            re.IGNORECASE,
+        ) if pats else None
+        self._fuzzy_cache: dict = {}
+
+    # --- lookup_resource analogue (documentrepository.py:500-548) ---------
+
+    def lookup_resource(self, label: str) -> str | None:
+        """Exact alias hit, else difflib fuzzy at ``fuzzy_cutoff``."""
+        key = label.lower().strip()
+        if key in self.alias_map:
+            return self.alias_map[key][0]
+        if key in self._fuzzy_cache:
+            return self._fuzzy_cache[key]
+        close = difflib.get_close_matches(
+            key, self.alias_map.keys(), n=1, cutoff=self.fuzzy_cutoff)
+        hit = self.alias_map[close[0]][0] if close else None
+        self._fuzzy_cache[key] = hit
+        return hit
+
+    def entities_in(self, text: str) -> list:
+        if self.matcher is None:
+            return []
+        found = {m.group(1).lower() for m in self.matcher.finditer(text)}
+        return sorted({self.alias_map[a][0] for a in found})
+
+    # --- batch processing --------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        is_mention = pc.equal(batch.column("obj_type"), "mention")
+        if not pc.any(is_mention).as_py():
+            return batch
+        passthrough = batch.filter(pc.invert(is_mention))
+        mentions = batch.filter(is_mention)
+        cols = {name: [] for name in TRIPLES.names}
+        subjs = mentions.column("subj").to_pylist()
+        texts = mentions.column("obj_value").to_pylist()
+        graphs = mentions.column("graph").to_pylist()
+        repos = mentions.column("src_repo").to_pylist()
+        paths = mentions.column("src_path").to_pylist()
+        for subj, text, graph, repo, path in zip(subjs, texts, graphs,
+                                                 repos, paths):
+            for ent in self.entities_in(text):
+                cols["subj"].append(subj)
+                cols["pred"].append(ns.DCTERMS_SUBJECT)
+                cols["obj_type"].append("uri")
+                cols["obj_value"].append(ent)
+                cols["obj_lang"].append(None)
+                cols["obj_datatype"].append(None)
+                cols["graph"].append(graph)
+                cols["src_repo"].append(repo)
+                cols["src_path"].append(path)
+        linked = pa.table(cols, schema=TRIPLES)
+        return pa.concat_tables([passthrough.cast(TRIPLES), linked])
+
+
+def link(triples, aliases, base: str = DEFAULT_BASE, concurrency=(1, 8),
+         batch_size: int = 8192, num_cpus: float = 1.0):
+    """Attach the linker actor pool to a triples/mentions Dataset.
+
+    ``aliases`` (small side input) is broadcast via ``ray.put`` so it
+    ships to each actor once — never per batch (SURVEY.md §2.4).
+    """
+    import ray
+    alias_ref = ray.put(aliases)
+    return triples.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"aliases": alias_ref, "base": base},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

@@ -1,0 +1,56 @@
+"""Union-find with deterministic lexicographically-smallest representatives.
+
+Used by canonicalization (SURVEY.md §7.1 step 7) to merge
+``owl:sameAs`` clusters — the replacement for the reference's
+clear-context + insert + dump ``relate`` pass
+(``ferenda/documentrepository.py:1731-1883``).  Determinism matters:
+the representative of a cluster must not depend on edge order, so
+after all unions the representative is recomputed as the minimum
+member URI.
+"""
+
+from __future__ import annotations
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p == x:
+            return x
+        root = self.find(p)
+        self.parent[x] = root  # path compression
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # smaller string as parent keeps trees deterministic-ish,
+            # but the final mapping re-minimizes anyway
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+    def canonical_map(self) -> dict:
+        """member -> min(member URIs of its cluster); identity entries
+        are omitted (lookups fall back to the key itself)."""
+        clusters: dict = {}
+        for x in list(self.parent):
+            clusters.setdefault(self.find(x), []).append(x)
+        out = {}
+        for members in clusters.values():
+            canon = min(members)
+            for m in members:
+                if m != canon:
+                    out[m] = canon
+        return out
+
+
+def canonical_map_from_edges(edges) -> dict:
+    """edges: iterable of (a, b) pairs → {variant: canonical}."""
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    return uf.canonical_map()
