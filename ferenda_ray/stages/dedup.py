@@ -1,0 +1,415 @@
+"""Deduplication family over a document table.
+
+Beyond-the-reference operators required for a training-data pipeline at
+100 TB (the reference has no near-dedup — SURVEY.md §2.8 "near-dedup:
+not present"; its closest analogue is exact ``(basefile, link)`` dedup
+``documentrepository.py:913,932-933`` and fuzzy ``lookup_resource``):
+
+* :func:`exact_dedup` — content-hash groupby, keep min id.  Two-phase:
+  hash in ``map_batches``, per-batch pre-dedup, one vectorized
+  ``groupby(hash)`` aggregate.
+* :func:`minhash_lsh_pairs` / :func:`minhash_clusters` — shingle →
+  128-perm MinHash → banded LSH buckets → ``groupby(band, key)`` →
+  candidate pairs → signature-estimated Jaccard filter → union-find
+  clusters.  The scale path: only band buckets shuffle; signatures are
+  numpy-vectorized per batch.
+* :func:`simhash_pairs` — 64-bit SimHash, 4×16-bit band blocking, exact
+  Hamming verify.
+* :func:`jaccard_pairs` — exact all-pairs word-set Jaccard with the
+  small side broadcast (oracle-checkable baseline; the LSH path is the
+  100 TB route).
+* :func:`embedding_neardup_pairs` — exact cosine near-dup over an
+  embedding column via broadcast matrix + per-batch matmul.
+
+Determinism: all hash seeds fixed; MinHash permutations derive from a
+seeded ``numpy.random.Generator`` built in ``__init__`` (actor) or at
+module import — never from wall clock (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import polars as pl
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "content_sha256") -> pa.Table:
+    h = [hashlib.sha256(t.encode("utf-8")).hexdigest()
+         for t in batch.column(text_col).to_pylist()]
+    return batch.append_column(out_col, pa.array(h, pa.string()))
+
+
+def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """One representative (min id) per distinct content + dup count.
+    Returns Dataset ``(content_sha256, doc_id, n_dups)``."""
+    from ray.data.aggregate import Count, Min
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b, text_col)
+        return b.select([id_col, "content_sha256"])
+
+    hashed = docs.map_batches(prep, batch_format="pyarrow",
+                              batch_size=16384)
+    return (hashed.groupby("content_sha256")
+            .aggregate(Min(id_col, alias_name=id_col),
+                       Count(alias_name="n_dups")))
+
+
+def distinct_docs(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Anti-join form: keep only the representative rows (the
+    ``groupby(key).first`` pattern of SURVEY.md §2.8)."""
+    import ray
+    keep = exact_dedup(docs, text_col, id_col)
+    keep_ids = {r[id_col] for r in keep.take_all()}
+    ref = ray.put(keep_ids)
+
+    class Filter:
+        def __init__(self, ref):
+            self.ids = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = pa.array([i in self.ids
+                             for i in b.column(id_col).to_pylist()])
+            return b.filter(mask)
+
+    return docs.map_batches(Filter, fn_constructor_kwargs={"ref": ref},
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+class MinHasher:
+    """Vectorized 128-perm MinHash over word n-gram shingles.
+
+    Stateful setup (permutation coefficients) happens once per actor —
+    the load-once pattern of SURVEY.md §2.4."""
+
+    def __init__(self, num_perm: int = 128, shingle_n: int = 5,
+                 seed: int = 42, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        toks = text.split()
+        n = self.shingle_n
+        if len(toks) < n:
+            grams = [" ".join(toks)] if toks else [""]
+        else:
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+        return np.unique(np.fromiter(
+            (zlib.crc32(g.encode()) for g in grams),
+            dtype=np.int64, count=len(grams)))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingle_hashes(text)
+        # (perm, shingle) permuted hashes → min per perm
+        ph = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return ph.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        sigs = [self.signature(t)
+                for t in batch.column(self.text_col).to_pylist()]
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "minhash": pa.array([s.tolist() for s in sigs],
+                                pa.list_(pa.int64())),
+        })
+
+
+def minhash_signatures(docs, num_perm=128, shingle_n=5, seed=42,
+                       text_col="text", id_col="doc_id",
+                       concurrency=(1, 8)):
+    return docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n,
+                                   seed=seed, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+
+
+def _bands(sig: list, bands: int, rows: int) -> list:
+    out = []
+    for b in range(bands):
+        chunk = tuple(sig[b * rows:(b + 1) * rows])
+        out.append(zlib.crc32(repr(chunk).encode()))
+    return out
+
+
+def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
+                      bands: int = 16, shingle_n: int = 5, seed: int = 42,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Candidate generation via banded LSH + signature-estimated Jaccard
+    ≥ ``threshold``.  Returns Dataset ``(id_a, id_b, est_jaccard)``
+    with ``id_a < id_b``.
+
+    Shuffle key = (band_id, band_hash): only bucket collisions
+    co-locate; no all-pairs anywhere (the map_batches → explode →
+    groupby shape of the MinHash-LSH recipe)."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_n, seed,
+                              text_col, id_col)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, bnd, bh, sig_out = [], [], [], []
+        for i, sig in zip(b.column(id_col).to_pylist(),
+                          b.column("minhash").to_pylist()):
+            for bi, h in enumerate(_bands(sig, bands, rows)):
+                ids.append(i)
+                bnd.append(bi)
+                bh.append(h)
+                sig_out.append(sig)
+        return pa.table({
+            id_col: pa.array(ids),
+            "band": pa.array(bnd, pa.int32()),
+            "bhash": pa.array(bh, pa.int64()),
+            "minhash": pa.array(sig_out, pa.list_(pa.int64())),
+        })
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sigs_ = np.array(group.column("minhash").to_pylist())
+        a_out, b_out, j_out = [], [], []
+        order = np.argsort(ids)
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                ia, ib = order[x], order[y]
+                if ids[ia] == ids[ib]:
+                    continue
+                est = float((sigs_[ia] == sigs_[ib]).mean())
+                if est >= threshold:
+                    a_out.append(ids[ia])
+                    b_out.append(ids[ib])
+                    j_out.append(est)
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "est_jaccard": pa.array(j_out, pa.float64())})
+
+    pairs = (exploded.groupby(["band", "bhash"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # a pair can surface from several bands → dedup
+    return (pairs.groupby(["id_a", "id_b"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
+
+def minhash_clusters(docs, threshold: float = 0.8, **kw) -> dict:
+    """Near-dup clusters: union-find over the LSH pair set (pair set is
+    ≪ corpus size; for larger, feed pairs to
+    :func:`~ferenda_ray.stages.canonicalize.label_propagation`).
+    Returns {doc_id: representative_id} (non-identity entries)."""
+    from ferenda_ray.state.unionfind import UnionFind
+    pairs = minhash_lsh_pairs(docs, threshold, **kw).take_all()
+    uf = UnionFind()
+    for p in pairs:
+        uf.union(p["id_a"], p["id_b"])
+    return uf.canonical_map()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+class SimHasher:
+    """64-bit SimHash over word hashes (vectorized bit counting)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            ((zlib.crc32(t.encode()) << 32) | zlib.crc32(t[::-1].encode())
+             for t in toks), dtype=np.uint64, count=len(toks))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        vote = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in np.nonzero(vote > 0)[0]:
+            out |= np.uint64(1) << np.uint64(i)
+        return int(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        sh = [self.simhash64(t)
+              for t in batch.column(self.text_col).to_pylist()]
+        return pa.table({self.id_col: ids,
+                         "simhash": pa.array(sh, pa.uint64())})
+
+
+def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` via
+    4×16-bit band blocking (a pair within distance ≤3 shares at least
+    one exact 16-bit band — pigeonhole), then exact verify."""
+    sh = docs.map_batches(
+        SimHasher, fn_constructor_kwargs=dict(text_col=text_col,
+                                              id_col=id_col),
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, band, key, full = [], [], [], []
+        for i, h in zip(b.column(id_col).to_pylist(),
+                        b.column("simhash").to_pylist()):
+            for bi in range(4):
+                ids.append(i)
+                band.append(bi)
+                key.append((h >> (16 * bi)) & 0xFFFF)
+                full.append(h)
+        return pa.table({id_col: pa.array(ids),
+                         "band": pa.array(band, pa.int32()),
+                         "key": pa.array(key, pa.int64()),
+                         "simhash": pa.array(full, pa.uint64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        hs = group.column("simhash").to_pylist()
+        a_out, b_out, d_out = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                if ids[x] == ids[y]:
+                    continue
+                d = bin(hs[x] ^ hs[y]).count("1")
+                if d <= max_hamming:
+                    lo, hi = sorted((ids[x], ids[y]))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    d_out.append(d)
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "hamming": pa.array(d_out, pa.int64())})
+
+    pairs = (sh.map_batches(explode, batch_format="pyarrow")
+             .groupby(["band", "key"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    return (pairs.groupby(["id_a", "id_b"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# exact word-set Jaccard (broadcast baseline — the oracle-checkable path)
+
+def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Exact pairwise word-set Jaccard ≥ threshold, id_a < id_b.
+
+    The *right* side (full word-set table) is broadcast once via
+    ``ray.put`` and each batch computes its pairs against it — valid
+    while the corpus's word-set table fits in worker memory; beyond
+    that use :func:`minhash_lsh_pairs`."""
+    import ray
+
+    def to_sets(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            "words": pa.array([sorted(set(t.split()))
+                               for t in b.column(text_col).to_pylist()],
+                              pa.list_(pa.string())),
+        })
+
+    sets_ds = docs.map_batches(to_sets, batch_format="pyarrow")
+    all_sets = sets_ds.take_all()  # small side, collected once
+    side = {r[id_col]: frozenset(r["words"]) for r in all_sets}
+    ref = ray.put(side)
+
+    class PairFinder:
+        def __init__(self, ref):
+            self.side = ray.get(ref)
+            self.order = sorted(self.side)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            a_out, b_out, j_out = [], [], []
+            for i, words in zip(b.column(id_col).to_pylist(),
+                                b.column("words").to_pylist()):
+                ws = frozenset(words)
+                for j in self.order:
+                    if j <= i:
+                        continue
+                    other = self.side[j]
+                    inter = len(ws & other)
+                    if not inter:
+                        continue
+                    jac = inter / len(ws | other)
+                    if jac >= threshold:
+                        a_out.append(i)
+                        b_out.append(j)
+                        j_out.append(jac)
+            return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                             "id_b": pa.array(b_out, pa.int64()),
+                             "jaccard": pa.array(j_out, pa.float64())})
+
+    return sets_ds.map_batches(
+        PairFinder, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+def embedding_neardup_pairs(embeddings, threshold: float = 0.95,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id"):
+    """Pairs with cosine similarity ≥ threshold (id_a < id_b): the full
+    (normalized) matrix is broadcast; each batch does one matmul
+    against it.  O(N·B) flops per batch, zero shuffle — right for the
+    'embedding table fits in memory' regime; bucket by coarse LSH
+    before this at larger N (see similarity.py)."""
+    import ray
+
+    mat_rows = embeddings.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in mat_rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.array([mat_rows[i][vec_col] for i in order], dtype=np.float32)
+    M /= (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+    ref = ray.put((ids, M))
+
+    class Finder:
+        def __init__(self, ref):
+            self.ids, self.M = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bids = np.array(b.column(id_col).to_pylist())
+            V = np.array(b.column(vec_col).to_pylist(), dtype=np.float32)
+            V /= (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+            S = V @ self.M.T
+            a_out, b_out, c_out = [], [], []
+            for r in range(S.shape[0]):
+                hits = np.nonzero(S[r] >= threshold)[0]
+                for h in hits:
+                    if self.ids[h] > bids[r]:
+                        a_out.append(int(bids[r]))
+                        b_out.append(int(self.ids[h]))
+                        c_out.append(float(S[r, h]))
+            return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                             "id_b": pa.array(b_out, pa.int64()),
+                             "cosine": pa.array(c_out, pa.float64())})
+
+    return embeddings.map_batches(
+        Finder, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))

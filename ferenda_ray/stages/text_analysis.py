@@ -1,0 +1,167 @@
+"""Text-analysis operators over a document table.
+
+Training-data-pipeline operators (beyond the reference's own surface):
+language ID (n-gram/stopword heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), document fingerprinting
+(winnowing rolling hash).  All vectorized with polars string kernels
+where the semantics allow; per-row Python only where a set/rolling
+structure is inherent (fingerprint).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import polars as pl
+
+# tiny per-language stopword profiles for the heuristic language ID
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que"},
+    "sv": {"och", "det", "att", "i", "en", "är", "som", "på", "av"},
+}
+
+_EN_STOP = _LANG_PROFILES["en"]
+
+# BPE-ish token regex: words, numbers, or single non-space symbols —
+# the common pre-tokenizer shape (GPT-2-style contractions omitted:
+# the corpus is plain ASCII prose/code)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def language_id(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Best-matching language by stopword-hit ratio; ``und`` when no
+    profile scores > 0.  Returns ``(id, lang_pred, lang_score)``."""
+    def score(b: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for t in b.column(text_col).to_pylist():
+            toks = t.lower().split()
+            n = max(1, len(toks))
+            best_lang, best = "und", 0.0
+            for lang, prof in _LANG_PROFILES.items():
+                s = sum(1 for w in toks if w in prof) / n
+                if s > best:
+                    best_lang, best = lang, s
+            preds.append(best_lang)
+            scores.append(round(best, 6))
+        return pa.table({id_col: b.column(id_col),
+                         "lang_pred": pa.array(preds, pa.string()),
+                         "lang_score": pa.array(scores, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+def token_count(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Whitespace token count + BPE-ish regex token count + char count.
+    Fully vectorized (polars ``str.count_matches``)."""
+    def count(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        out = df.select(
+            pl.col(id_col),
+            pl.col(text_col).str.count_matches(r"\S+")
+              .cast(pl.Int64).alias("ws_tokens"),
+            pl.col(text_col).str.count_matches(_BPE_RE)
+              .cast(pl.Int64).alias("bpe_tokens"),
+            pl.col(text_col).str.len_chars()
+              .cast(pl.Int64).alias("n_chars"),
+        )
+        return out.to_arrow()
+
+    return docs.map_batches(count, batch_format="pyarrow", batch_size=16384)
+
+
+def quality_score(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Length / punctuation / stopword / word-length heuristics —
+    the standard pre-training quality filters.  Vectorized.
+    Returns ``(id, n_tokens, mean_token_len, stopword_ratio,
+    punct_ratio, alpha_ratio, quality)``; every ratio rounded to 6
+    decimals so results are float-stable across engines."""
+    stop_pat = r"(?i)\b(?:" + "|".join(sorted(_EN_STOP)) + r")\b"
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        n_tok = pl.col(text_col).str.count_matches(r"\S+").cast(pl.Int64)
+        n_char = pl.col(text_col).str.len_chars().cast(pl.Int64)
+        n_alpha = (pl.col(text_col).str.count_matches(r"[A-Za-z]")
+                   .cast(pl.Int64))
+        n_punct = (pl.col(text_col)
+                   .str.count_matches(r"[!-/:-@\[-`{-~]").cast(pl.Int64))
+        n_stop = pl.col(text_col).str.count_matches(stop_pat).cast(pl.Int64)
+        n_ws = pl.col(text_col).str.count_matches(r"\s").cast(pl.Int64)
+        out = df.select(
+            pl.col(id_col),
+            n_tok.alias("n_tokens"),
+            ((n_char - n_ws) / pl.max_horizontal(n_tok, 1))
+            .round(6).alias("mean_token_len"),
+            (n_stop / pl.max_horizontal(n_tok, 1))
+            .round(6).alias("stopword_ratio"),
+            (n_punct / pl.max_horizontal(n_char, 1))
+            .round(6).alias("punct_ratio"),
+            (n_alpha / pl.max_horizontal(n_char, 1))
+            .round(6).alias("alpha_ratio"),
+        )
+        out = out.with_columns(
+            # composite score in [0,1]: prose-like docs score high
+            (0.4 * (pl.col("stopword_ratio").clip(0, 0.5) / 0.5)
+             + 0.4 * pl.col("alpha_ratio")
+             + 0.2 * (1 - pl.col("punct_ratio").clip(0, 0.2) / 0.2))
+            .round(6).alias("quality"))
+        return out.to_arrow()
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=16384)
+
+
+class Fingerprinter:
+    """Winnowing document fingerprint (Schleimer et al. 2003): k-gram
+    rolling hashes, minimum per sliding window → a sparse, position-
+    robust fingerprint set.  Returns one fingerprint (sorted int list)
+    + a 64-bit digest per doc."""
+
+    def __init__(self, k: int = 5, window: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.k = k
+        self.window = window
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def fingerprint(self, text: str) -> list:
+        s = " ".join(text.split()).lower()
+        k = self.k
+        if len(s) < k:
+            return [zlib.crc32(s.encode())] if s else []
+        hs = np.fromiter((zlib.crc32(s[i:i + k].encode())
+                          for i in range(len(s) - k + 1)),
+                         dtype=np.int64)
+        w = self.window
+        if len(hs) <= w:
+            return [int(hs.min())]
+        # rolling-window minima (vectorized via stride trick)
+        from numpy.lib.stride_tricks import sliding_window_view
+        mins = sliding_window_view(hs, w).min(axis=1)
+        return sorted(set(int(x) for x in mins))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column(self.id_col)
+        fps = [self.fingerprint(t)
+               for t in b.column(self.text_col).to_pylist()]
+        digests = [zlib.crc32(repr(fp).encode()) for fp in fps]
+        return pa.table({
+            self.id_col: ids,
+            "fingerprint": pa.array(fps, pa.list_(pa.int64())),
+            "fp_digest": pa.array(digests, pa.int64()),
+            "fp_size": pa.array([len(f) for f in fps], pa.int64()),
+        })
+
+
+def fingerprints(docs, k: int = 5, window: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 concurrency=(1, 8)):
+    return docs.map_batches(
+        Fingerprinter,
+        fn_constructor_kwargs=dict(k=k, window=window, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)

@@ -1,0 +1,128 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, exact Jaccard, embedding
+cosine — on synthetic docs with planted duplicates, cross-checked
+against brute-force recomputation."""
+
+import itertools
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ferenda_ray.stages import dedup
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _mk_docs(n=40, seed=3):
+    rng = random.Random(seed)
+    texts = []
+    for i in range(n):
+        toks = [rng.choice(WORDS) for _ in range(60)]
+        texts.append(" ".join(toks))
+    # plant exact dups and near dups
+    texts[10] = texts[0]
+    texts[11] = texts[0]
+    near = texts[1].split()
+    near[5] = "zzz"
+    texts[12] = " ".join(near)          # near-dup of 1
+    return pa.table({"doc_id": list(range(n)), "text": texts})
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(_mk_docs()).materialize()
+
+
+def test_exact_dedup(docs_ds):
+    out = {r["doc_id"]: r["n_dups"]
+           for r in dedup.exact_dedup(docs_ds).take_all()}
+    assert out[0] == 3          # 0, 10, 11 identical; min id kept
+    assert 10 not in out and 11 not in out
+    assert sum(out.values()) == 40
+
+
+def test_distinct_docs(docs_ds):
+    kept = dedup.distinct_docs(docs_ds).take_all()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert 0 in ids and 10 not in ids and 11 not in ids
+    assert len(ids) == 38
+
+
+def _true_jaccard(a: str, b: str, n: int):
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_minhash_pairs_find_planted(docs_ds):
+    pairs = dedup.minhash_lsh_pairs(docs_ds, threshold=0.6).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 10) in found and (0, 11) in found and (10, 11) in found
+    assert (1, 12) in found  # the near-dup
+    # estimates are close to true jaccard for the planted near-dup
+    docs = _mk_docs()
+    texts = docs.column("text").to_pylist()
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    true = _true_jaccard(texts[1], texts[12], 5)
+    assert abs(est[(1, 12)] - true) < 0.2
+
+
+def test_minhash_clusters(docs_ds):
+    m = dedup.minhash_clusters(docs_ds, threshold=0.6)
+    assert m[10] == 0 and m[11] == 0 and m[12] == 1
+
+
+def test_simhash_pairs(docs_ds):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs_ds, max_hamming=6).take_all()}
+    assert pairs.get((0, 10)) == 0 and pairs.get((0, 11)) == 0
+    assert (1, 12) in pairs  # one word changed → few bits differ
+
+
+def test_simhash64_deterministic():
+    h1 = dedup.SimHasher.simhash64("one two three four")
+    h2 = dedup.SimHasher.simhash64("one two three four")
+    h3 = dedup.SimHasher.simhash64("one two three five")
+    assert h1 == h2 != h3
+    assert bin(h1 ^ h3).count("1") <= 32
+
+
+def test_jaccard_pairs_exact(docs_ds):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(docs_ds, threshold=0.8).take_all()}
+    # brute-force check over word SETS
+    texts = _mk_docs().column("text").to_pylist()
+    exp = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        A, B = set(texts[a].split()), set(texts[b].split())
+        j = len(A & B) / len(A | B)
+        if j >= 0.8:
+            exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-9
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((30, 16)).astype(np.float32)
+    V[20] = V[3] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    V[21] = V[3]
+    t = pa.table({"vec_id": list(range(30)),
+                  "embedding": [v.tolist() for v in V]})
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dedup.embedding_neardup_pairs(
+                 rd.from_arrow(t), threshold=0.99).take_all()}
+    assert (3, 20) in pairs and (3, 21) in pairs and (20, 21) in pairs
+    # brute check: no other pair reaches 0.99
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    exp = {(a, b) for a in range(30) for b in range(a + 1, 30)
+           if S[a, b] >= 0.99}
+    assert set(pairs) == exp

@@ -1,0 +1,74 @@
+"""Similarity search: brute-force top-k exactness, LSH top-k recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ferenda_ray.stages import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((200, 32)).astype(np.float32)
+    t = pa.table({"vec_id": list(range(200)),
+                  "embedding": [v.tolist() for v in V]})
+    return rd.from_arrow(t).materialize(), V
+
+
+def _brute_numpy(V, Q, k):
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Vn.T
+    out = {}
+    for qi in range(len(Q)):
+        order = sorted(range(V.shape[0]), key=lambda j: (-S[qi, j], j))
+        out[qi] = [(j, S[qi, j]) for j in order[:k]]
+    return out
+
+
+def test_brute_topk_exact(emb):
+    ds, V = emb
+    Q = V[[5, 17]] + 0.001
+    got = {}
+    for r in sim.brute_topk(ds, Q, k=7).take_all():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    exp = _brute_numpy(V, Q, 7)
+    for qi in (0, 1):
+        ranked = [v for _, v, _ in sorted(got[qi])]
+        assert ranked == [j for j, _ in exp[qi]]
+        # the query's own vector is its top hit
+        assert ranked[0] == (5 if qi == 0 else 17)
+        for (rank, vid, cos), (j, s) in zip(sorted(got[qi]), exp[qi]):
+            assert abs(cos - s) < 1e-5
+
+
+def test_lsh_topk_recall(emb):
+    ds, V = emb
+    Q = V[[3, 50, 99]]
+    exact = _brute_numpy(V, Q, 10)
+    got = {}
+    for r in sim.lsh_topk(ds, Q, k=10, n_planes=6,
+                          probe_hamming=2).take_all():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for qi in exact:
+        exp_ids = {j for j, _ in exact[qi]}
+        recalls.append(len(got.get(qi, set()) & exp_ids) / 10)
+    # probing 2 bits of 6 planes: decent recall, and always finds self
+    assert sum(recalls) / len(recalls) >= 0.5
+    for qi, own in zip(range(3), (3, 50, 99)):
+        assert own in got[qi]
+
+
+def test_bucket_codes_deterministic(emb):
+    ds, V = emb
+    ds1, planes1 = sim.bucket_codes(ds, n_planes=5, seed=9)
+    ds2, planes2 = sim.bucket_codes(ds, n_planes=5, seed=9)
+    assert np.allclose(planes1, planes2)
+    c1 = {r["vec_id"]: r["bucket"] for r in ds1.take_all()}
+    c2 = {r["vec_id"]: r["bucket"] for r in ds2.take_all()}
+    assert c1 == c2
+    assert set(c1.values()) <= set(range(32))

@@ -1,0 +1,73 @@
+"""Text-analysis operators: language ID, token counts, quality score,
+winnowing fingerprints."""
+
+import pyarrow as pa
+import pytest
+
+from ferenda_ray.stages import text_analysis as ta
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the cat and the dog went to the house in a day",
+            "der Hund und die Katze ist nicht ein Tier mit Namen",
+            "xy zq wp",                       # no stopwords -> und
+            "Hello, world! It is a test; punctuation: 50%?",
+        ],
+    })
+    return rd.from_arrow(t).materialize()
+
+
+def test_language_id(docs_ds):
+    out = {r["doc_id"]: r for r in ta.language_id(docs_ds).take_all()}
+    assert out[0]["lang_pred"] == "en"
+    assert out[1]["lang_pred"] == "de"
+    assert out[2]["lang_pred"] == "und"
+    assert out[0]["lang_score"] > 0.3
+
+
+def test_token_count(docs_ds):
+    out = {r["doc_id"]: r for r in ta.token_count(docs_ds).take_all()}
+    assert out[0]["ws_tokens"] == 12
+    assert out[2]["ws_tokens"] == 3
+    # BPE-ish: "Hello" "," "world" "!" ... punctuation tokens counted
+    assert out[3]["bpe_tokens"] > out[3]["ws_tokens"]
+    assert out[0]["n_chars"] == len(
+        "the cat and the dog went to the house in a day")
+
+
+def test_quality_score(docs_ds):
+    out = {r["doc_id"]: r for r in ta.quality_score(docs_ds).take_all()}
+    # prose with stopwords scores higher than symbol soup
+    assert out[0]["quality"] > out[2]["quality"]
+    assert 0 <= out[3]["punct_ratio"] <= 1
+    assert out[0]["stopword_ratio"] == round(7 / 12, 6)  # the×3,and,to,in,a
+    r = out[3]
+    assert 0 <= r["alpha_ratio"] <= 1 and 0 <= r["quality"] <= 1
+
+
+def test_fingerprint_properties(docs_ds):
+    out = {r["doc_id"]: r for r in ta.fingerprints(docs_ds).take_all()}
+    assert all(r["fp_size"] >= 1 for r in out.values())
+    # deterministic
+    fp = ta.Fingerprinter()
+    a = fp.fingerprint("the quick brown fox jumps over the lazy dog")
+    b = fp.fingerprint("the quick brown fox jumps over the lazy dog")
+    assert a == b
+    # whitespace-insensitive (normalized)
+    c = fp.fingerprint("the  quick   brown fox jumps over the lazy dog")
+    assert a == c
+    # small local edit preserves most fingerprint entries
+    d = fp.fingerprint("the quick brown fox jumps over the lazy cat")
+    inter = len(set(a) & set(d)) / len(set(a) | set(d))
+    assert inter > 0.5
+
+
+def test_fingerprint_short_inputs():
+    fp = ta.Fingerprinter()
+    assert fp.fingerprint("") == []
+    assert len(fp.fingerprint("ab")) == 1
