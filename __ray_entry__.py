@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Naming discipline: every computed column is named identically in the
+Ray pipeline and the SQL; doubles are rounded identically on both
+sides (money 2, ratios 6, cosines 4) so parallel-summation ulp noise
+never flips the hash.
 """
 
 from __future__ import annotations
@@ -18,27 +16,352 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+BASE = "https://example.org/"
+_NS = {
+    "type": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    "ident": "http://purl.org/dc/terms/identifier",
+    "lang": "http://purl.org/dc/terms/language",
+    "extent": "http://purl.org/dc/terms/extent",
+    "sha": "https://ferenda-ray.dev/ns#contentSha256",
+    "bibo_doc": "http://purl.org/ontology/bibo/Document",
+}
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: doc-level triple extraction + alias-mention
+    linking over ``documents``, canonicalized (exact dedup) — a compact
+    end-to-end pass of the KG constructor on driver data."""
+    import pyarrow as pa
+    from ferenda_ray.pipelines.docs import (
+        DOC_ALIASES, doc_mentions, doc_triples, doc_uri_for)
+    from ferenda_ray.stages.canonicalize import dedup_exact
+    from ferenda_ray.uri import entity_uri
+
+    sf_dir = "/root/testdata/sf0.001"
+    triples = doc_triples(sf_dir)
+
+    def widen(b: pa.Table) -> pa.Table:
+        from ferenda_ray.schema import TRIPLES
+        n = b.num_rows
+        return pa.table({
+            "subj": b.column("subj"), "pred": b.column("pred"),
+            "obj_type": b.column("obj_type"),
+            "obj_value": b.column("obj_value").cast(pa.large_string()),
+            "obj_lang": pa.nulls(n, pa.string()),
+            "obj_datatype": pa.nulls(n, pa.string()),
+            "graph": pa.array([BASE + "dataset/documents"] * n, pa.string()),
+            "src_repo": pa.nulls(n, pa.string()),
+            "src_path": pa.nulls(n, pa.string()),
+        }, schema=TRIPLES)
+
+    def mentions_as_triples(b: pa.Table) -> pa.Table:
+        from ferenda_ray.schema import TRIPLES
+        n = b.num_rows
+        return pa.table({
+            "subj": pa.array([f"{BASE}res/doc/{d}" for d in
+                              b.column("doc_id").to_pylist()], pa.string()),
+            "pred": pa.array(
+                ["http://purl.org/dc/terms/subject"] * n, pa.string()),
+            "obj_type": pa.array(["uri"] * n, pa.string()),
+            "obj_value": pa.array(
+                [entity_uri(a) for a in b.column("alias").to_pylist()],
+                pa.large_string()),
+            "obj_lang": pa.nulls(n, pa.string()),
+            "obj_datatype": pa.nulls(n, pa.string()),
+            "graph": pa.array([BASE + "dataset/documents"] * n, pa.string()),
+            "src_repo": pa.nulls(n, pa.string()),
+            "src_path": pa.nulls(n, pa.string()),
+        }, schema=TRIPLES)
+
+    wide = triples.map_batches(widen, batch_format="pyarrow")
+    ment = doc_mentions(sf_dir).map_batches(mentions_as_triples,
+                                            batch_format="pyarrow")
+    return dedup_exact(wide.union(ment))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ferenda_ray.pipelines import docs, events, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_pipeline_synthetic(sf_dir: str):
+        """Full 4-stage KG pipeline on the deterministic synthetic code
+        corpus (size keyed to sf via a /tmp cache).  Rows-only check —
+        exactness vs golden triples is asserted in pytest."""
+        import os
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ferenda_ray.corpus import CorpusSpec, write_corpus
+        from ferenda_ray.pipelines.kg import build_kg
+        n = 200 if "0.001" in sf_dir else (400 if "0.01" in sf_dir else 1200)
+        cache = f"/tmp/ferenda_ray_corpus_{n}"
+        if not os.path.exists(os.path.join(cache, "sources.parquet")):
+            write_corpus(CorpusSpec(n_files=n), cache)
+        return build_kg(
+            rd.read_parquet(os.path.join(cache, "sources.parquet")),
+            aliases=pq.read_table(os.path.join(cache, "aliases.parquet")),
+            sameas=pq.read_table(os.path.join(cache, "sameas.parquet")),
+            vocab=pq.read_table(os.path.join(cache, "vocab_triples.parquet")))
+
+    return {
+        # --- relational operator inventory (TPC-H-ish) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "nation_revenue": relational.nation_revenue,
+        "top_parts_by_revenue": relational.top_parts_by_revenue,
+        "distinct_segments": relational.distinct_segments,
+        "order_priority_count": relational.order_priority_count,
+        "customer_order_stats": relational.customer_order_stats,
+        "supplier_acctbal_by_nation": relational.supplier_acctbal_by_nation,
+        # --- stream-shaped (events) ---
+        "events_tumbling_hour": events.tumbling_hour,
+        "events_sessionize": events.sessionize,
+        "events_top_users": events.top_users_by_value,
+        "event_type_share": events.event_type_share,
+        # --- KG over documents ---
+        "doc_triples": docs.doc_triples,
+        "doc_mentions": docs.doc_mentions,
+        "doc_facets": docs.doc_facets,
+        "language_stats": docs.language_stats,
+        # --- dedup / text analysis ---
+        "docs_exact_dedup": docs.docs_exact_dedup,
+        "docs_token_count": docs.docs_token_count,
+        "docs_quality": docs.docs_quality,
+        "docs_jaccard_pairs": docs.docs_jaccard_pairs,
+        "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
+        "docs_simhash_pairs": docs.docs_simhash_pairs,      # rows-only
+        "docs_fingerprints": docs.docs_fingerprints,        # rows-only
+        "docs_language_id": docs.docs_language_id,          # rows-only
+        # --- similarity (embeddings) ---
+        "ann_topk": docs.ann_topk,
+        "embeddings_neardup":
+            lambda sf: __import__("ferenda_ray.pipelines.docs",
+                                  fromlist=["docs"]).embeddings_neardup(sf),
+        "embeddings_label_count": docs.embeddings_label_count,
+        "lsh_ann_topk": docs.lsh_ann_topk,                  # rows-only
+        # --- flagship KG pipeline (synthetic corpus) ---
+        "kg_pipeline_synthetic": kg_pipeline_synthetic,     # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    uri = "'https://example.org/res/' || source || '/' || doc_id"
+    mention_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{a}' AS alias, "
+        f"CAST(len(regexp_extract_all(text, '\\b{a}\\b')) AS BIGINT) AS n "
+        f"FROM documents "
+        f"WHERE len(regexp_extract_all(text, '\\b{a}\\b')) > 0"
+        for a in ["batch", "shuffle", "spark", "stream", "vector", "window"])
+    stop_re = r"(?i)\b(?:a|and|for|in|is|it|of|that|the|to)\b"
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                     l_orderkey
+            LIMIT 10""",
+        "nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "top_parts_by_revenue": """
+            SELECT l_partkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   any_value(p_name) AS p_name
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY l_partkey
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_partkey
+            LIMIT 10""",
+        "distinct_segments":
+            "SELECT DISTINCT c_mktsegment FROM customer",
+        "order_priority_count": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders GROUP BY o_orderpriority""",
+        "customer_order_stats": """
+            SELECT c_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_name""",
+        "supplier_acctbal_by_nation": """
+            SELECT n_name, round(avg(s_acctbal), 2) AS avg_acctbal,
+                   count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "events_tumbling_hour": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, 2""",
+        "events_sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ), per AS (
+                SELECT user_id, sid, count(*) AS c
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(max(sid) AS BIGINT) AS n_sessions,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(max(c) AS BIGINT) AS max_session_events
+            FROM per GROUP BY user_id""",
+        "events_top_users": """
+            SELECT user_id, round(sum(value), 2) AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY sum(value) DESC, user_id LIMIT 20""",
+        "event_type_share": """
+            SELECT event_type, count(*) AS n,
+                   round(CAST(count(*) AS DOUBLE)
+                         / (SELECT count(*) FROM events), 6) AS share
+            FROM events GROUP BY event_type""",
+        "doc_triples": f"""
+            SELECT {uri} AS subj, '{_NS["type"]}' AS pred,
+                   'uri' AS obj_type, '{_NS["bibo_doc"]}' AS obj_value
+            FROM documents
+            UNION ALL
+            SELECT {uri}, '{_NS["ident"]}', 'literal',
+                   CAST(doc_id AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT {uri}, '{_NS["lang"]}', 'literal', lang FROM documents
+            UNION ALL
+            SELECT {uri}, '{_NS["extent"]}', 'literal',
+                   CAST(n_chars AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT {uri}, '{_NS["sha"]}', 'literal', sha256(text)
+            FROM documents""",
+        "doc_mentions": mention_union,
+        "doc_facets": f"""
+            SELECT {uri} AS uri,
+                   CAST(doc_id AS VARCHAR) AS dcterms_identifier,
+                   lang AS dcterms_language,
+                   CAST(n_chars AS VARCHAR) AS dcterms_extent
+            FROM documents""",
+        "language_stats": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang""",
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text""",
+        "docs_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS ws_tokens,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS bpe_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents""",
+        "docs_quality": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                        AS n_tok,
+                    CAST(length(text) AS BIGINT) AS n_char,
+                    CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                        AS BIGINT) AS n_alpha,
+                    CAST(len(regexp_extract_all(
+                        text, '[!-/:-@\\[-`{{-~]')) AS BIGINT) AS n_punct,
+                    CAST(len(regexp_extract_all(text, '{stop_re}'))
+                        AS BIGINT) AS n_stop,
+                    CAST(len(regexp_extract_all(text, '\\s')) AS BIGINT)
+                        AS n_ws
+                FROM documents
+            ), ratios AS (
+                SELECT doc_id, n_tok AS n_tokens,
+                    round((n_char - n_ws)
+                          / CAST(greatest(n_tok, 1) AS DOUBLE), 6)
+                        AS mean_token_len,
+                    round(n_stop / CAST(greatest(n_tok, 1) AS DOUBLE), 6)
+                        AS stopword_ratio,
+                    round(n_punct / CAST(greatest(n_char, 1) AS DOUBLE), 6)
+                        AS punct_ratio,
+                    round(n_alpha / CAST(greatest(n_char, 1) AS DOUBLE), 6)
+                        AS alpha_ratio
+                FROM raw
+            )
+            SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+                   punct_ratio, alpha_ratio,
+                   round(0.4 * (least(stopword_ratio, 0.5) / 0.5)
+                         + 0.4 * alpha_ratio
+                         + 0.2 * (1 - least(punct_ratio, 0.2) / 0.2), 6)
+                       AS quality
+            FROM ratios""",
+        "docs_jaccard_pairs": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(text, '\S+'))
+                           AS words
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.words, b.words))
+                              AS DOUBLE)
+                         / len(list_distinct(a.words || b.words)), 6)
+                       AS jaccard
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                  / len(list_distinct(a.words || b.words)) >= 0.4""",
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS cos
+                FROM embeddings e CROSS JOIN q
+            ), r AS (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id)
+                           AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10""",
+        "embeddings_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding),
+                         4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                  >= 0.4""",
+        "embeddings_label_count": """
+            SELECT label, count(*) AS n FROM embeddings GROUP BY label""",
+        # docs_minhash_pairs / docs_simhash_pairs / docs_fingerprints /
+        # docs_language_id / lsh_ann_topk / kg_pipeline_synthetic:
+        # intentionally no SQL equivalent (sketch/heuristic/approximate
+        # or non-SQL pipeline) → driver records rows-only checks.
+    }

@@ -1,0 +1,235 @@
+"""KG + text pipelines over the driver's ``documents`` table.
+
+Maps the KG constructor onto the neutral ``documents(doc_id, text,
+lang, source, n_chars)`` table so every stage has a DuckDB-checkable
+oracle: triple extraction (doc-level metadata + sha256 lineage
+invariant), alias mention detection (the linker grammar on a fixed
+dictionary), faceted pivot and count-distinct stats — plus
+driver-comparable wrappers for the dedup / text-analysis operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ferenda_ray import ns
+from ferenda_ray.uri import DEFAULT_BASE
+
+# the fixed alias dictionary for mention detection over the documents
+# corpus (data-engineering vocabulary present in the synthetic text)
+DOC_ALIASES = ["batch", "shuffle", "spark", "stream", "vector", "window"]
+
+DOC_GRAPH = DEFAULT_BASE + "dataset/documents"
+
+
+def doc_uri_for(source: str, doc_id: int, base: str = DEFAULT_BASE) -> str:
+    return f"{base}res/{source}/{doc_id}"
+
+
+def _read_docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_triples(sf_dir: str, base: str = DEFAULT_BASE):
+    """Document-level triples: type, identifier, language, extent,
+    content sha256 (the per-row lineage invariant).  5 triples per doc,
+    flat-map inside one ``map_batches``."""
+    def emit(b: pa.Table) -> pa.Table:
+        subj, pred, ot, ov = [], [], [], []
+
+        def row(s, p, t, v):
+            subj.append(s)
+            pred.append(p)
+            ot.append(t)
+            ov.append(v)
+
+        for did, text, lang, source, n_chars in zip(
+                b.column("doc_id").to_pylist(),
+                b.column("text").to_pylist(),
+                b.column("lang").to_pylist(),
+                b.column("source").to_pylist(),
+                b.column("n_chars").to_pylist()):
+            du = doc_uri_for(source, did, base)
+            row(du, ns.RDF_TYPE, "uri", ns.BIBO_DOCUMENT)
+            row(du, ns.DCTERMS_IDENTIFIER, "literal", str(did))
+            row(du, ns.DCTERMS_LANGUAGE, "literal", lang)
+            row(du, ns.DCTERMS_EXTENT, "literal", str(n_chars))
+            row(du, ns.FR_CONTENT_SHA256, "literal",
+                hashlib.sha256(text.encode("utf-8")).hexdigest())
+        return pa.table({"subj": pa.array(subj, pa.string()),
+                         "pred": pa.array(pred, pa.string()),
+                         "obj_type": pa.array(ot, pa.string()),
+                         "obj_value": pa.array(ov, pa.string())})
+
+    return _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow",
+                                          batch_size=8192)
+
+
+def doc_mentions(sf_dir: str, aliases: list | None = None):
+    """Alias mention counts per document — the linker's exact-scan
+    grammar (longest-first alternation) on a fixed dictionary; one
+    ``(doc_id, alias, n)`` row per (doc, alias) with n > 0.  Counts
+    are whole-word regex matches, vectorized via polars."""
+    import polars as pl
+    aliases = aliases or DOC_ALIASES
+
+    def scan(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "text"]))
+        outs = []
+        for alias in aliases:
+            cnt = df.select(
+                pl.col("doc_id"),
+                pl.lit(alias).alias("alias"),
+                pl.col("text").str.count_matches(rf"\b{alias}\b")
+                .cast(pl.Int64).alias("n"))
+            outs.append(cnt.filter(pl.col("n") > 0))
+        return pl.concat(outs).to_arrow()
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow", batch_size=8192)
+
+
+def doc_facets(sf_dir: str, base: str = DEFAULT_BASE):
+    """Faceted pivot of the doc triples: wide row per doc —
+    (uri, dcterms_identifier, dcterms_language, dcterms_extent).
+    Exercises the groupby-subject pivot on oracle-checkable data."""
+    from ferenda_ray.functions.facets import Facet
+    from ferenda_ray.pipelines.derived import faceted_data
+    triples = doc_triples(sf_dir, base)
+
+    def widen(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "subj": b.column("subj"), "pred": b.column("pred"),
+            "obj_type": b.column("obj_type"),
+            "obj_value": b.column("obj_value").cast(pa.large_string()),
+            "obj_lang": pa.nulls(n, pa.string()),
+            "obj_datatype": pa.nulls(n, pa.string()),
+            "graph": pa.array([DOC_GRAPH] * n, pa.string()),
+            "src_repo": pa.nulls(n, pa.string()),
+            "src_path": pa.nulls(n, pa.string()),
+        })
+
+    facets = [
+        Facet(ns.DCTERMS_IDENTIFIER, "dcterms_identifier"),
+        Facet(ns.DCTERMS_LANGUAGE, "dcterms_language"),
+        Facet(ns.DCTERMS_EXTENT, "dcterms_extent"),
+    ]
+    return faceted_data(triples.map_batches(widen, batch_format="pyarrow"),
+                        facets)
+
+
+def language_stats(sf_dir: str):
+    """Count-distinct docs per language (the ``wsgiapp.stats`` shape
+    on documents)."""
+    from ray.data.aggregate import Count
+    return (_read_docs(sf_dir, ["doc_id", "lang"])
+            .groupby("lang").aggregate(Count(alias_name="n_docs")))
+
+
+# --- driver-comparable wrappers over the dedup / text-analysis stages ------
+
+def docs_exact_dedup(sf_dir: str):
+    from ferenda_ray.stages.dedup import exact_dedup
+    out = exact_dedup(_read_docs(sf_dir, ["doc_id", "text"]))
+    return out.map_batches(lambda b: b.select(["doc_id", "n_dups"]),
+                           batch_format="pyarrow")
+
+
+def docs_token_count(sf_dir: str):
+    from ferenda_ray.stages.text_analysis import token_count
+    return token_count(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+def docs_quality(sf_dir: str):
+    from ferenda_ray.stages.text_analysis import quality_score
+    return quality_score(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.4):
+    from ferenda_ray.stages.dedup import jaccard_pairs
+    out = jaccard_pairs(_read_docs(sf_dir, ["doc_id", "text"]),
+                        threshold=threshold)
+    from ferenda_ray.pipelines.relational import _round_cols
+    return out.map_batches(lambda b: _round_cols(b, {"jaccard": 6}),
+                           batch_format="pyarrow")
+
+
+def docs_minhash_pairs(sf_dir: str, threshold: float = 0.5):
+    from ferenda_ray.stages.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_read_docs(sf_dir, ["doc_id", "text"]),
+                             threshold=threshold)
+
+
+def docs_simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    from ferenda_ray.stages.dedup import simhash_pairs
+    return simhash_pairs(_read_docs(sf_dir, ["doc_id", "text"]),
+                         max_hamming=max_hamming)
+
+
+def docs_fingerprints(sf_dir: str):
+    from ferenda_ray.stages.text_analysis import fingerprints
+    out = fingerprints(_read_docs(sf_dir, ["doc_id", "text"]))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "fp_digest", "fp_size"]),
+        batch_format="pyarrow")
+
+
+def docs_language_id(sf_dir: str):
+    from ferenda_ray.stages.text_analysis import language_id
+    return language_id(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+# --- embeddings ------------------------------------------------------------
+
+def _read_emb(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
+    """Brute-force cosine top-k for the vectors with the given ids
+    (float64 math so the oracle's arithmetic matches)."""
+    import numpy as np
+    from ferenda_ray.stages.similarity import brute_topk
+    emb = _read_emb(sf_dir).materialize()
+    rows = {r["vec_id"]: r["embedding"]
+            for r in emb.take_all() if r["vec_id"] in set(query_ids)}
+    Q = np.array([rows[q] for q in query_ids], dtype=np.float64)
+    from ferenda_ray.pipelines.relational import _round_cols
+    out = brute_topk(emb, Q, k=k, query_ids=list(query_ids))
+    return out.map_batches(lambda b: _round_cols(b, {"cosine": 4}),
+                           batch_format="pyarrow")
+
+
+def embeddings_neardup(sf_dir: str, threshold: float = 0.4):
+    from ferenda_ray.stages.dedup import embedding_neardup_pairs
+    from ferenda_ray.pipelines.relational import _round_cols
+    out = embedding_neardup_pairs(_read_emb(sf_dir), threshold=threshold)
+    return out.map_batches(lambda b: _round_cols(b, {"cosine": 4}),
+                           batch_format="pyarrow")
+
+
+def embeddings_label_count(sf_dir: str):
+    from ray.data.aggregate import Count
+    return (_read_emb(sf_dir).select_columns(["label"])
+            .groupby("label").count()
+            .map_batches(lambda b: b.rename_columns(["label", "n"]),
+                         batch_format="pyarrow"))
+
+
+def lsh_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
+    """Approximate (LSH-bucketed) variant — rows-only check (recall<1
+    by design; measured against brute force in tests)."""
+    import numpy as np
+    from ferenda_ray.stages.similarity import lsh_topk
+    emb = _read_emb(sf_dir).materialize()
+    rows = {r["vec_id"]: r["embedding"]
+            for r in emb.take_all() if r["vec_id"] in set(query_ids)}
+    Q = np.array([rows[q] for q in query_ids], dtype=np.float64)
+    return lsh_topk(emb, Q, k=k, n_planes=6, probe_hamming=2,
+                    query_ids=list(query_ids))

@@ -1,0 +1,99 @@
+"""Stream-shaped workloads over the ``events`` table.
+
+Ray Data has no event-time windows (SURVEY.md §2.9: neither does the
+reference); windows are expressed as grouped computation over an
+ordered, partitioned log — ``groupby(key)`` + in-group pandas over
+ts-sorted rows.  Ordering assumption: windowing is per-key; each
+group is sorted by ``ts`` inside the group UDF, so input block order
+never matters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def _read_events(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def tumbling_hour(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + value sum.
+    Window id = floor(epoch_seconds / 3600) — the ``GROUP BY
+    floor(ts/size)`` shape."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        hour = pc.divide(b.column("ts").cast(pa.int64()),
+                         _US_PER_HOUR).cast(pa.int64())
+        return pa.table({"event_type": b.column("event_type"),
+                         "hour": hour,
+                         "value": b.column("value")})
+
+    from ferenda_ray.pipelines.relational import _round_cols
+    agg = (_read_events(sf_dir, ["ts", "event_type", "value"])
+           .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+           .groupby(["event_type", "hour"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    return agg.map_batches(lambda b: _round_cols(b, {"sum_value": 2}),
+                           batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap-based): a new session starts when
+    the inter-event gap exceeds ``gap_minutes``.  Per user: number of
+    sessions, events, and the longest session length in events —
+    ``groupby(user).map_groups`` over ts-sorted rows."""
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        # Timedelta comparison is resolution-safe (pandas may hold ns
+        # while parquet is us)
+        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))
+        sid = new_session.cumsum()
+        sizes = sid.value_counts()
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(sid.max())],
+            "n_events": [len(g)],
+            "max_session_events": [int(sizes.max())],
+        })
+
+    return (_read_events(sf_dir, ["ts", "user_id"])
+            .groupby("user_id")
+            .map_groups(sessions, batch_format="pandas"))
+
+
+def top_users_by_value(sf_dir: str, k: int = 20):
+    """Grouped sum + global top-k (ties broken by user_id asc)."""
+    from ray.data.aggregate import Count, Sum
+    agg = (_read_events(sf_dir, ["user_id", "value"])
+           .groupby("user_id")
+           .aggregate(Sum("value", alias_name="total_value"),
+                      Count(alias_name="n_events")))
+    from ferenda_ray.pipelines.relational import _round_cols
+    rows = agg.sort(["total_value", "user_id"],
+                    descending=[True, False]).limit(k)
+    return rows.map_batches(lambda b: _round_cols(b, {"total_value": 2}),
+                            batch_format="pyarrow")
+
+
+def event_type_share(sf_dir: str):
+    """Count per event_type + share of total (two-pass small agg)."""
+    from ray.data.aggregate import Count
+    agg = (_read_events(sf_dir, ["event_type"])
+           .groupby("event_type").count())
+    t = pa.Table.from_pylist(agg.take_all())
+    total = pc.sum(t.column("count()")).as_py()
+    from ferenda_ray.pipelines.relational import round_half_away
+    share = round_half_away(pc.divide(
+        pc.cast(t.column("count()"), pa.float64()), total), 6)
+    return pa.table({"event_type": t.column("event_type"),
+                     "n": t.column("count()"),
+                     "share": share})

@@ -1,0 +1,280 @@
+"""Relational query surface over the driver's TPC-H-ish testdata.
+
+These pipelines prove the engine's general operator inventory
+(SURVEY.md §2.5–2.7) on neutral relational data, mirrored 1:1 by
+DuckDB oracle SQL in ``__ray_entry__.oracle_sql``:
+
+* grouped aggregation with per-batch partial pre-aggregation
+  (the combiner pattern — ferenda's ``wsgiapp.stats`` per-repo
+  partial + merge, ``wsgiapp.py:289-296``),
+* broadcast hash joins for small dimensions (``lookup_resource``
+  broadcast pattern, SURVEY.md §2.5) and ``Dataset.join`` for
+  fact-fact joins,
+* sort / top-k / distinct (TOC & feed patterns, SURVEY.md §2.7).
+
+Column-naming discipline: every computed column is named identically
+in the Ray pipeline and the oracle SQL (driver compares by name).
+Doubles are rounded at the END of each pipeline (2 decimals for money
+sums, 6 for ratios) so parallel-summation ulp noise cannot flip the
+driver's value hash.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import polars as pl
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def round_half_away(arr: pa.ChunkedArray | pa.Array, digits: int) -> pa.Array:
+    """DuckDB-compatible rounding: ``std::round(x * 10^d) / 10^d``
+    (half away from zero).  ``pc.round`` is half-to-even AND can land a
+    ulp off the nearest double; this formula rounds the scaled value to
+    an exactly-representable integer first, so the result bit-matches
+    the oracle even when parallel summation left the input a ulp away."""
+    import numpy as np
+    x = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+         else arr).to_numpy(zero_copy_only=False).astype(np.float64)
+    s = 10.0 ** digits
+    scaled = x * s
+    r = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled)
+    return pa.array(r / s, pa.float64())
+
+
+def _round_cols(batch: pa.Table, cols: dict) -> pa.Table:
+    for name, digits in cols.items():
+        i = batch.column_names.index(name)
+        batch = batch.set_column(
+            i, name, round_half_away(batch.column(name), digits))
+    return batch
+
+
+def _small_table(ds) -> pa.Table:
+    """Materialize a small dimension table driver-side (broadcast side)."""
+    return pa.Table.from_pylist(ds.take_all())
+
+
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: wide grouped aggregate with pre-aggregation.
+    Read is column-pruned; revenue computed vectorized per batch."""
+    from ray.data.aggregate import Count, Mean, Sum
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(
+            b.column("l_shipdate"),
+            pa.scalar(pa.compute.strptime("1998-09-02", "%Y-%m-%d", "us"))))
+        disc = pc.multiply(b.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "l_quantity": b.column("l_quantity"),
+            "l_extendedprice": b.column("l_extendedprice"),
+            "disc_price": disc,
+        })
+
+    agg = (li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Count(alias_name="count_order")))
+    return agg.map_batches(
+        lambda b: _round_cols(b, {"sum_qty": 2, "sum_base_price": 2,
+                                  "sum_disc_price": 2, "avg_qty": 4}),
+        batch_format="pyarrow")
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Join (broadcast customer ∩ segment → semi-filter orders) ⋈
+    lineitem via ``Dataset.join``; revenue per order; global top-k."""
+    import ray
+    from ray.data.aggregate import Sum
+    cust = _small_table(_read(sf_dir, "customer",
+                              columns=["c_custkey", "c_mktsegment"]))
+    keys = set(cust.filter(
+        pc.equal(cust.column("c_mktsegment"), segment))
+        .column("c_custkey").to_pylist())
+    ref = ray.put(keys)
+
+    class OrderFilter:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = pa.array([c in self.keys
+                             for c in b.column("o_custkey").to_pylist()])
+            return b.filter(mask).select(["o_orderkey"])
+
+    orders = (_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+              .map_batches(OrderFilter, fn_constructor_kwargs={"ref": ref},
+                           batch_format="pyarrow", concurrency=(1, 4))
+              .repartition(2))
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"])
+          .map_batches(lambda b: pa.table({
+              "l_orderkey": b.column("l_orderkey"),
+              "rev": pc.multiply(b.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0),
+                                             b.column("l_discount")))}),
+              batch_format="pyarrow")
+          .repartition(4))
+    joined = li.join(orders, join_type="inner", num_partitions=4,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    rev = (joined.groupby("l_orderkey")
+           .aggregate(Sum("rev", alias_name="revenue")))
+    # deterministic top-k: tie-break on the key (matches the oracle's
+    # ORDER BY <unrounded expr> DESC, l_orderkey)
+    top = rev.sort(["revenue", "l_orderkey"],
+                   descending=[True, False]).limit(k)
+    return top.map_batches(lambda b: _round_cols(b, {"revenue": 2}),
+                           batch_format="pyarrow")
+
+
+def nation_revenue(sf_dir: str):
+    """Multi-dimension broadcast join: lineitem→orders→customer→nation,
+    revenue per nation name.  Dims (customer, nation) broadcast; the
+    orders→custkey map is also broadcast (small at test scale; at 100 TB
+    orders joins via Dataset.join instead — same shape as q3)."""
+    import ray
+    from ray.data.aggregate import Sum
+    orders = _small_table(_read(sf_dir, "orders",
+                                columns=["o_orderkey", "o_custkey"]))
+    cust = _small_table(_read(sf_dir, "customer",
+                              columns=["c_custkey", "c_nationkey"]))
+    nation = _small_table(_read(sf_dir, "nation",
+                                columns=["n_nationkey", "n_name"]))
+    o2c = dict(zip(orders.column("o_orderkey").to_pylist(),
+                   orders.column("o_custkey").to_pylist()))
+    c2n = dict(zip(cust.column("c_custkey").to_pylist(),
+                   cust.column("c_nationkey").to_pylist()))
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    ref = ray.put((o2c, c2n, n2name))
+
+    class Mapper:
+        def __init__(self, ref):
+            self.o2c, self.c2n, self.n2name = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            rev = pc.multiply(b.column("l_extendedprice"),
+                              pc.subtract(pa.scalar(1.0),
+                                          b.column("l_discount")))
+            names = [self.n2name[self.c2n[self.o2c[o]]]
+                     for o in b.column("l_orderkey").to_pylist()]
+            return pa.table({"n_name": pa.array(names, pa.string()),
+                             "rev": rev})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    agg = (li.map_batches(Mapper, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", batch_size=65536,
+                          concurrency=(1, 8))
+           .groupby("n_name").aggregate(Sum("rev", alias_name="revenue")))
+    return agg.map_batches(lambda b: _round_cols(b, {"revenue": 2}),
+                           batch_format="pyarrow")
+
+
+def top_parts_by_revenue(sf_dir: str, k: int = 10):
+    """Grouped revenue per part, top-k, broadcast-join part names."""
+    import ray
+    from ray.data.aggregate import Sum
+    part = _small_table(_read(sf_dir, "part",
+                              columns=["p_partkey", "p_name"]))
+    names = dict(zip(part.column("p_partkey").to_pylist(),
+                     part.column("p_name").to_pylist()))
+    ref = ray.put(names)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+    rev = (li.map_batches(lambda b: pa.table({
+        "l_partkey": b.column("l_partkey"),
+        "rev": pc.multiply(b.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0),
+                                       b.column("l_discount")))}),
+        batch_format="pyarrow")
+        .groupby("l_partkey").aggregate(Sum("rev", alias_name="revenue"))
+        .sort(["revenue", "l_partkey"], descending=[True, False]).limit(k))
+
+    def attach(b: pa.Table) -> pa.Table:
+        nm = ray.get(ref)
+        b = b.append_column(
+            "p_name", pa.array([nm[p] for p in
+                                b.column("l_partkey").to_pylist()],
+                               pa.string()))
+        return _round_cols(b, {"revenue": 2})
+
+    return rev.map_batches(attach, batch_format="pyarrow")
+
+
+def distinct_segments(sf_dir: str):
+    """Distinct values of one column (``ds.unique`` shape)."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+def order_priority_count(sf_dir: str):
+    return (_read(sf_dir, "orders", columns=["o_orderpriority"])
+            .groupby("o_orderpriority").count()
+            .map_batches(lambda b: b.rename_columns(
+                ["o_orderpriority", "n"]), batch_format="pyarrow"))
+
+
+def customer_order_stats(sf_dir: str):
+    """Per-customer order count + spend: Dataset.join orders⋈customer
+    then groupby — both sides as datasets (fact-dim join without
+    broadcast, for parity with the SQL join plan)."""
+    from ray.data.aggregate import Count, Sum
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"]).repartition(4)
+    per_cust = (orders.groupby("o_custkey")
+                .aggregate(Count(alias_name="n_orders"),
+                           Sum("o_totalprice", alias_name="total_spent")))
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name"]).repartition(2)
+    joined = per_cust.join(cust, join_type="inner", num_partitions=4,
+                           on=("o_custkey",), right_on=("c_custkey",))
+    return joined.map_batches(
+        lambda b: _round_cols(
+            b.select(["c_name", "n_orders", "total_spent"]),
+            {"total_spent": 2}),
+        batch_format="pyarrow")
+
+
+def supplier_acctbal_by_nation(sf_dir: str):
+    """Small-small broadcast join + mean aggregate."""
+    import ray
+    from ray.data.aggregate import Count, Mean
+    nation = _small_table(_read(sf_dir, "nation",
+                                columns=["n_nationkey", "n_name"]))
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    ref = ray.put(n2name)
+
+    def attach(b: pa.Table) -> pa.Table:
+        nm = ray.get(ref)
+        return pa.table({
+            "n_name": pa.array([nm[x] for x in
+                                b.column("s_nationkey").to_pylist()],
+                               pa.string()),
+            "s_acctbal": b.column("s_acctbal"),
+        })
+
+    agg = (_read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+           .map_batches(attach, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Mean("s_acctbal", alias_name="avg_acctbal"),
+                      Count(alias_name="n_suppliers")))
+    return agg.map_batches(lambda b: _round_cols(b, {"avg_acctbal": 2}),
+                           batch_format="pyarrow")

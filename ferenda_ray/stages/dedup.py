@@ -373,7 +373,7 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
 
 def embedding_neardup_pairs(embeddings, threshold: float = 0.95,
                             vec_col: str = "embedding",
-                            id_col: str = "vec_id"):
+                            id_col: str = "vec_id", dtype=np.float32):
     """Pairs with cosine similarity ≥ threshold (id_a < id_b): the full
     (normalized) matrix is broadcast; each batch does one matmul
     against it.  O(N·B) flops per batch, zero shuffle — right for the
@@ -385,17 +385,17 @@ def embedding_neardup_pairs(embeddings, threshold: float = 0.95,
     ids = np.array([r[id_col] for r in mat_rows])
     order = np.argsort(ids)
     ids = ids[order]
-    M = np.array([mat_rows[i][vec_col] for i in order], dtype=np.float32)
+    M = np.array([mat_rows[i][vec_col] for i in order], dtype=dtype)
     M /= (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
-    ref = ray.put((ids, M))
+    ref = ray.put((ids, M, dtype))
 
     class Finder:
         def __init__(self, ref):
-            self.ids, self.M = ray.get(ref)
+            self.ids, self.M, self.dtype = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             bids = np.array(b.column(id_col).to_pylist())
-            V = np.array(b.column(vec_col).to_pylist(), dtype=np.float32)
+            V = np.array(b.column(vec_col).to_pylist(), dtype=self.dtype)
             V /= (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
             S = V @ self.M.T
             a_out, b_out, c_out = [], [], []

@@ -47,7 +47,7 @@ def language_id(docs, text_col: str = "text", id_col: str = "doc_id"):
                 if s > best:
                     best_lang, best = lang, s
             preds.append(best_lang)
-            scores.append(round(best, 6))
+            scores.append(int(best * 1e6 + 0.5) / 1e6)
         return pa.table({id_col: b.column(id_col),
                          "lang_pred": pa.array(preds, pa.string()),
                          "lang_score": pa.array(scores, pa.float64())})
@@ -74,6 +74,13 @@ def token_count(docs, text_col: str = "text", id_col: str = "doc_id"):
     return docs.map_batches(count, batch_format="pyarrow", batch_size=16384)
 
 
+def _rha(expr, digits: int):
+    """polars expr: round half away from zero (DuckDB ROUND semantics;
+    polars .round() is half-to-even) — inputs here are non-negative."""
+    s = 10.0 ** digits
+    return ((expr * s + 0.5).floor()) / s
+
+
 def quality_score(docs, text_col: str = "text", id_col: str = "doc_id"):
     """Length / punctuation / stopword / word-length heuristics —
     the standard pre-training quality filters.  Vectorized.
@@ -95,21 +102,21 @@ def quality_score(docs, text_col: str = "text", id_col: str = "doc_id"):
         out = df.select(
             pl.col(id_col),
             n_tok.alias("n_tokens"),
-            ((n_char - n_ws) / pl.max_horizontal(n_tok, 1))
-            .round(6).alias("mean_token_len"),
-            (n_stop / pl.max_horizontal(n_tok, 1))
-            .round(6).alias("stopword_ratio"),
-            (n_punct / pl.max_horizontal(n_char, 1))
-            .round(6).alias("punct_ratio"),
-            (n_alpha / pl.max_horizontal(n_char, 1))
-            .round(6).alias("alpha_ratio"),
+            _rha((n_char - n_ws) / pl.max_horizontal(n_tok, 1), 6)
+            .alias("mean_token_len"),
+            _rha(n_stop / pl.max_horizontal(n_tok, 1), 6)
+            .alias("stopword_ratio"),
+            _rha(n_punct / pl.max_horizontal(n_char, 1), 6)
+            .alias("punct_ratio"),
+            _rha(n_alpha / pl.max_horizontal(n_char, 1), 6)
+            .alias("alpha_ratio"),
         )
         out = out.with_columns(
             # composite score in [0,1]: prose-like docs score high
-            (0.4 * (pl.col("stopword_ratio").clip(0, 0.5) / 0.5)
-             + 0.4 * pl.col("alpha_ratio")
-             + 0.2 * (1 - pl.col("punct_ratio").clip(0, 0.2) / 0.2))
-            .round(6).alias("quality"))
+            _rha(0.4 * (pl.col("stopword_ratio").clip(0, 0.5) / 0.5)
+                 + 0.4 * pl.col("alpha_ratio")
+                 + 0.2 * (1 - pl.col("punct_ratio").clip(0, 0.2) / 0.2), 6)
+            .alias("quality"))
         return out.to_arrow()
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=16384)
