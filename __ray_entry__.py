@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mentions": docs.doc_mentions,
         "doc_facets": docs.doc_facets,
         "language_stats": docs.language_stats,
+        # --- derived (generate/toc/news/stats surface) ---
+        "doc_toc_pages": docs.doc_toc_pages,
+        "doc_stats": docs.doc_stats,
+        "doc_annotations": docs.doc_annotations,
         # --- dedup / text analysis ---
         "docs_exact_dedup": docs.docs_exact_dedup,
         "docs_token_count": docs.docs_token_count,
@@ -271,6 +275,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "language_stats": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang""",
+        "doc_toc_pages": """
+            SELECT substr(CAST(doc_id AS VARCHAR), 1, 1) AS value,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1""",
+        "doc_stats": """
+            SELECT 'dcterms_language' AS dimension, lang AS value,
+                   count(DISTINCT source || '/' || doc_id) AS n_docs
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 'dcterms_identifier',
+                   substr(CAST(doc_id AS VARCHAR), 1, 1),
+                   count(DISTINCT source || '/' || doc_id)
+            FROM documents GROUP BY 2""",
+        "doc_annotations": f"""
+            SELECT 'https://example.org/entity/' || alias AS target_uri,
+                   count(*) AS n_inbound
+            FROM ({mention_union}) GROUP BY alias""",
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",

@@ -1,0 +1,167 @@
+"""Benchmark harness.
+
+Headline: the four-stage KG pipeline (extract → link → canonicalize →
+materialize) end-to-end on a deterministic synthetic code corpus
+(generated once, cached under /tmp), plus the query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "triples": T,
+   "triples_per_sec": ...}
+
+``--scaling`` runs the headline in two fresh processes
+(RAY_GRAFT_CPUS=8 and 32) on the same input and reports throughput at
+both plus efficiency = (T8/T32)/(32/8).
+
+Run from the repo root (Ray workers import ``ferenda_ray`` via cwd).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "100000"))
+CORPUS_DIR = f"/tmp/ferenda_ray_bench/sources_{BENCH_FILES}"
+
+METRIC = ("triples/sec end-to-end KG construction (extract+link+"
+          "canonicalize+materialize) on synthetic code corpus; "
+          "query suite seconds on GRAFT_SF_DIR")
+
+
+def ensure_corpus():
+    from ferenda_ray.corpus import CorpusSpec, write_sources_ray
+    marker = os.path.join(CORPUS_DIR, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        write_sources_ray(CorpusSpec(n_files=BENCH_FILES), CORPUS_DIR)
+        open(marker, "w").write("ok")
+    return CORPUS_DIR
+
+
+def run_headline() -> dict:
+    import pyarrow as pa
+    from ferenda_ray.corpus import (
+        alias_rows, sameas_rows, vocab_triple_rows)
+    from ferenda_ray.pipelines.kg import run_kg
+
+    corpus = ensure_corpus()
+    aliases = pa.Table.from_pylist(alias_rows())
+    sameas = pa.Table.from_pylist(sameas_rows())
+    vocab = pa.Table.from_pylist(vocab_triple_rows())
+
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    import ray.data as rd
+    rd.read_parquet(corpus).count()
+
+    out_dir = f"/tmp/ferenda_ray_bench/out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = run_kg(corpus, out_dir, aliases=aliases, sameas=sameas,
+                      vocab=vocab, num_buckets=128, fmt="parquet",
+                      link_concurrency=None)
+    dt = time.perf_counter() - t0
+    triples = sum(manifest.column("rows").to_pylist()) \
+        if manifest.num_rows else 0
+    return {"sec": round(dt, 3), "triples": triples,
+            "triples_per_sec": round(triples / dt, 1)}
+
+
+def run_queries() -> dict:
+    """Representative query suite over the sf dir (forces execution)."""
+    import __ray_entry__ as entry
+    qs = entry.queries()
+    names = ["q1_pricing_summary", "q3_top_orders", "nation_revenue",
+             "customer_order_stats", "events_tumbling_hour",
+             "events_sessionize", "doc_triples", "docs_exact_dedup",
+             "docs_minhash_pairs", "docs_quality", "ann_topk"]
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # force full execution
+        try:
+            import ray.data as rdata
+            if isinstance(res, rdata.Dataset):
+                res.count()
+        except ImportError:
+            pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    headline = run_headline()
+    queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
+    result = {
+        "metric": METRIC,
+        "value": headline["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_files": BENCH_FILES,
+        "triples": headline["triples"],
+        "triples_per_sec": headline["triples_per_sec"],
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling():
+    """Same job, two parallelism levels, fresh processes.  Uses a 4×
+    corpus by default (400k files) so the parallel work dominates the
+    constant costs (session + exchange floor) — the regime the 100 TB
+    criterion is about; override with GRAFT_BENCH_FILES."""
+    files = os.environ.get("GRAFT_BENCH_FILES", "400000")
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_FILES=files, GRAFT_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> tuple:
+        # best-of-N: shared-sandbox disk/SMT noise is one-sided (it
+        # only ever slows a run down), so min is the faithful estimate
+        runs = [run_once(ncpu) for _ in range(repeats)]
+        best = min(runs, key=lambda r: r["value"])
+        return best, [r["value"] for r in runs]
+
+    lo, hi = 8, 32
+    (r_lo, secs_lo), (r_hi, secs_hi) = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "runs_sec_8": secs_lo, "runs_sec_32": secs_hi,
+        "triples_per_sec_8": r_lo["triples_per_sec"],
+        "triples_per_sec_32": r_hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_files": r_lo["bench_files"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

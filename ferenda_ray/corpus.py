@@ -547,3 +547,44 @@ def write_corpus(spec: CorpusSpec, out_dir: str) -> dict:
         pq.write_table(tbl, p)
         paths[name] = p
     return paths
+
+
+def write_sources_ray(spec: CorpusSpec, out_dir: str,
+                      num_blocks: int = 64) -> str:
+    """Distributed sources-only corpus generation (bench scale): the
+    file plan is broadcast; each Ray task renders its slice of files
+    and writes parquet shards.  No golden triples (those are for the
+    test-scale generator; the bench measures throughput)."""
+    import os
+    import ray
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = file_list(spec)
+    files_ref = ray.put(files)
+    seed = spec.seed
+
+    class Renderer:
+        def __init__(self, files_ref):
+            self.files = ray.get(files_ref)
+
+        def __call__(self, batch) -> "pa.Table":
+            rows = {k: [] for k in ("repo", "path", "commit", "lang",
+                                    "content")}
+            for i in batch["id"].to_pylist():
+                repo, path, lang = self.files[i]
+                d = plan_doc(CorpusSpec(n_files=spec.n_files, seed=seed),
+                             repo, path, lang, self.files)
+                rows["repo"].append(repo)
+                rows["path"].append(path)
+                rows["commit"].append(d.commit)
+                rows["lang"].append(lang)
+                rows["content"].append(RENDERERS[lang](d))
+            return pa.table(rows)
+
+    (rd.range(len(files)).repartition(num_blocks)
+     .map_batches(Renderer, fn_constructor_kwargs={"files_ref": files_ref},
+                  batch_format="pyarrow", batch_size=2048,
+                  concurrency=(1, 16))
+     .write_parquet(out_dir))
+    return out_dir

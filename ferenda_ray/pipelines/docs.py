@@ -123,6 +123,85 @@ def doc_facets(sf_dir: str, base: str = DEFAULT_BASE):
                         facets)
 
 
+def _widen9(b: pa.Table, graph: str = DOC_GRAPH) -> pa.Table:
+    """4-col doc triples → full 9-col TRIPLES rows."""
+    from ferenda_ray.schema import TRIPLES
+    n = b.num_rows
+    return pa.table({
+        "subj": b.column("subj"), "pred": b.column("pred"),
+        "obj_type": b.column("obj_type"),
+        "obj_value": b.column("obj_value").cast(pa.large_string()),
+        "obj_lang": pa.nulls(n, pa.string()),
+        "obj_datatype": pa.nulls(n, pa.string()),
+        "graph": pa.array([graph] * n, pa.string()),
+        "src_repo": pa.nulls(n, pa.string()),
+        "src_path": pa.nulls(n, pa.string()),
+    }, schema=TRIPLES)
+
+
+def doc_toc_pages(sf_dir: str, base: str = DEFAULT_BASE):
+    """TOC pagesets over the doc triples (``toc_pagesets`` path,
+    documentrepository.py:2855-2934): one page per first character of
+    the identifier sort key, with doc counts."""
+    from ferenda_ray.functions.facets import Facet
+    from ferenda_ray.functions.scalars import firstletter
+    from ferenda_ray.pipelines.derived import faceted_data, toc_pagesets
+    facet = Facet(ns.DCTERMS_IDENTIFIER, "dcterms_identifier",
+                  selector=firstletter)
+    wide = doc_triples(sf_dir, base).map_batches(
+        _widen9, batch_format="pyarrow")
+    faceted = faceted_data(wide, [facet])
+    pages = toc_pagesets(faceted, facet)
+    return pages.rename_columns(["value", "n_docs"])
+
+
+def doc_stats(sf_dir: str, base: str = DEFAULT_BASE):
+    """Faceted count-distinct over doc triples (the ``wsgiapp.stats``
+    shape, wsgiapp.py:232-386): per (dimension, value), distinct doc
+    URIs."""
+    from ferenda_ray.functions.facets import Facet
+    from ferenda_ray.functions.scalars import firstletter
+    from ferenda_ray.pipelines.derived import stats
+    facets = [
+        Facet(ns.DCTERMS_LANGUAGE, "dcterms_language"),
+        Facet(ns.DCTERMS_IDENTIFIER, "dcterms_identifier",
+              selector=firstletter),
+    ]
+    wide = doc_triples(sf_dir, base).map_batches(
+        _widen9, batch_format="pyarrow")
+    out = stats(wide, facets)
+    return out.map_batches(
+        lambda b: b.rename_columns(["dimension", "value", "n_docs"]),
+        batch_format="pyarrow")
+
+
+def doc_annotations(sf_dir: str, base: str = DEFAULT_BASE):
+    """Inbound-reference annotation groups (``construct_annotations``,
+    documentrepository.py:2636-2712) over the mention triples: for each
+    linked entity, how many documents reference it."""
+    from ferenda_ray.pipelines.derived import annotations
+    from ferenda_ray.uri import entity_uri
+
+    def as_triples(b: pa.Table) -> pa.Table:
+        return _widen9(pa.table({
+            "subj": pa.array(
+                [f"{base}res/doc/{d}"
+                 for d in b.column("doc_id").to_pylist()], pa.string()),
+            "pred": pa.array([ns.DCTERMS_SUBJECT] * b.num_rows, pa.string()),
+            "obj_type": pa.array(["uri"] * b.num_rows, pa.string()),
+            "obj_value": pa.array(
+                [entity_uri(a, base) for a in b.column("alias").to_pylist()],
+                pa.string()),
+        }))
+
+    ment = doc_mentions(sf_dir).map_batches(as_triples,
+                                            batch_format="pyarrow")
+    out = annotations(ment, target_prefix=base + "entity/")
+    return out.map_batches(
+        lambda b: b.select(["target_uri", "n_inbound"]),
+        batch_format="pyarrow")
+
+
 def language_stats(sf_dir: str):
     """Count-distinct docs per language (the ``wsgiapp.stats`` shape
     on documents)."""

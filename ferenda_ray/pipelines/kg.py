@@ -1,8 +1,10 @@
 """The flagship four-stage KG-construction pipeline.
 
 ``read_parquet(sources) → extract (stateless map_batches) → link
-(actor pool) → canonicalize (sameAs rewrite + exact dedup shuffle) →
-materialize (sorted bucketed shards + manifests)`` — the Ray-native
+(task closure for small dictionaries, actor pool for large) →
+canonicalize (sameAs rewrite + exact dedup, fused into the bucket
+shuffle) → materialize (sorted bucketed shards + manifests)`` — the
+Ray-native
 restatement of ferenda's download→parse→relate→generate lifecycle
 (SURVEY.md §3.4).
 
@@ -21,7 +23,7 @@ from ferenda_ray.schema import TRIPLES
 from ferenda_ray.stages.extract import extract
 from ferenda_ray.stages.link import link
 from ferenda_ray.stages.canonicalize import (
-    dedup_exact, mapping_from_sameas, rewrite)
+    dedup_exact, mapping_from_sameas, prededup_batch, rewrite)
 from ferenda_ray.stages.materialize import materialize
 from ferenda_ray.uri import DEFAULT_BASE
 from ferenda_ray.corpus import GRAPH
@@ -47,11 +49,17 @@ def vocab_as_triples(vocab: pa.Table, graph: str = GRAPH) -> pa.Table:
 
 def build_kg(sources, aliases=None, sameas: pa.Table | None = None,
              vocab: pa.Table | None = None, base: str = DEFAULT_BASE,
-             graph: str = GRAPH, link_concurrency=(1, 8),
-             repartition_blocks: int | None = None):
+             graph: str = GRAPH, link_concurrency=None,
+             repartition_blocks: int | None = None,
+             dedup: bool = True):
     """sources Dataset → canonical triples Dataset (lazy; nothing runs
     until consumed).  ``aliases`` / ``sameas`` / ``vocab`` are small
-    side tables (broadcast, never shuffled)."""
+    side tables (broadcast, never shuffled).
+
+    ``dedup=False`` applies only the per-batch combiner and leaves the
+    global exact-dedup to ``materialize(dedup=True)``, fusing it into
+    the bucket shuffle (one exchange instead of two) — the path
+    ``run_kg`` takes."""
     import ray.data as rd
     if repartition_blocks:
         sources = sources.repartition(repartition_blocks)
@@ -70,18 +78,22 @@ def build_kg(sources, aliases=None, sameas: pa.Table | None = None,
             batch_format="pyarrow")
     mapping = mapping_from_sameas(sameas) if sameas is not None else {}
     triples = rewrite(triples, mapping)
-    return dedup_exact(triples)
+    if dedup:
+        return dedup_exact(triples)
+    return triples.map_batches(prededup_batch, batch_format="pyarrow",
+                               batch_size=65536)
 
 
 def run_kg(sources_path: str, out_dir: str, aliases=None, sameas=None,
            vocab=None, base: str = DEFAULT_BASE, num_buckets: int = 32,
            resume: bool = True, fmt: str = "parquet",
-           link_concurrency=(1, 8)) -> pa.Table:
+           link_concurrency=None) -> pa.Table:
     """End-to-end: read corpus parquet → … → materialized shards.
     Returns the manifest table."""
     import ray.data as rd
     sources = rd.read_parquet(sources_path)
     canon = build_kg(sources, aliases=aliases, sameas=sameas, vocab=vocab,
-                     base=base, link_concurrency=link_concurrency)
+                     base=base, link_concurrency=link_concurrency,
+                     dedup=False)
     return materialize(canon, out_dir, num_buckets=num_buckets,
-                       resume=resume, fmt=fmt)
+                       resume=resume, fmt=fmt, dedup=True)

@@ -80,19 +80,28 @@ class _Rewriter:
         return df.to_arrow().cast(TRIPLES)
 
 
-def rewrite(triples, mapping: dict, broadcast: bool = True):
+def rewrite(triples, mapping: dict, broadcast: bool | None = None):
     """Rewrite subj/obj URIs through {variant → canonical}.
 
-    The mapping is ``ray.put`` once and fetched per actor — never
-    re-shipped per batch (broadcast small-side rule, SURVEY.md §2.4).
+    Small mappings (the union-find path: entity count ≪ triple count)
+    ride inside the pickled task closure — cached once per worker
+    process, no actor pool and no per-batch reshipping.  Large mappings
+    (``broadcast=True`` or >100k entries) go through ``ray.put`` + an
+    actor pool that fetches the ref once in ``__init__``.
     """
     import ray
     if not mapping:
         return triples
-    ref = ray.put(mapping) if broadcast else mapping
-    return triples.map_batches(
-        _Rewriter, fn_constructor_kwargs={"mapping": ref},
-        batch_format="pyarrow", batch_size=65536, concurrency=(1, 8))
+    if broadcast is None:
+        broadcast = len(mapping) > 100_000
+    if broadcast:
+        ref = ray.put(mapping)
+        return triples.map_batches(
+            _Rewriter, fn_constructor_kwargs={"mapping": ref},
+            batch_format="pyarrow", batch_size=65536, concurrency=(1, 8))
+    rewriter = _Rewriter(mapping)
+    return triples.map_batches(rewriter, batch_format="pyarrow",
+                               batch_size=65536)
 
 
 # --------------------------------------------------------------------------
@@ -107,6 +116,17 @@ def _prededup(batch: pa.Table) -> pa.Table:
     df = (df.sort(KEY7 + ["src_repo", "src_path"])
             .unique(subset=KEY7, keep="first", maintain_order=True))
     return df.to_arrow()
+
+
+def prededup_batch(batch: pa.Table) -> pa.Table:
+    """Null-preserving per-batch combiner (polars treats nulls as equal
+    in ``unique``): local exact-dedup keeping min lineage.  Used ahead
+    of the fused bucket-shuffle dedup in ``materialize(dedup=True)``,
+    where no Ray groupby ever sees the keys so no sentinel is needed."""
+    df = pl.from_arrow(batch)
+    df = (df.sort(KEY7 + ["src_repo", "src_path"])
+            .unique(subset=KEY7, keep="first", maintain_order=True))
+    return df.to_arrow().cast(batch.schema)
 
 
 def _restore(batch: pa.Table) -> pa.Table:

@@ -27,6 +27,7 @@ from __future__ import annotations
 import difflib
 import re
 
+import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -57,12 +58,15 @@ class EntityLinker:
         for row in aliases:
             amap.setdefault(row["alias"].lower(), []).append(row["entity_uri"])
         self.alias_map = {a: sorted(set(us)) for a, us in amap.items()}
-        # longest-first alternation so multi-word aliases win over prefixes
+        # longest-first alternation so multi-word aliases win over
+        # prefixes (leftmost-first alternation semantics are identical
+        # in Python re and the rust regex polars uses)
         pats = sorted(self.alias_map, key=len, reverse=True)
-        self.matcher = re.compile(
-            r"\b(" + "|".join(re.escape(a) for a in pats) + r")\b",
-            re.IGNORECASE,
-        ) if pats else None
+        alt = r"\b(" + "|".join(re.escape(a) for a in pats) + r")\b"
+        self.matcher = re.compile(alt, re.IGNORECASE) if pats else None
+        self.pl_pattern = "(?i)" + alt if pats else None
+        # ambiguity rule: lexicographically smallest candidate URI
+        self.first_uri = {a: us[0] for a, us in self.alias_map.items()}
         self._fuzzy_cache: dict = {}
 
     # --- lookup_resource analogue (documentrepository.py:500-548) ---------
@@ -94,42 +98,70 @@ class EntityLinker:
             return batch
         passthrough = batch.filter(pc.invert(is_mention))
         mentions = batch.filter(is_mention)
-        cols = {name: [] for name in TRIPLES.names}
-        subjs = mentions.column("subj").to_pylist()
-        texts = mentions.column("obj_value").to_pylist()
-        graphs = mentions.column("graph").to_pylist()
-        repos = mentions.column("src_repo").to_pylist()
-        paths = mentions.column("src_path").to_pylist()
-        for subj, text, graph, repo, path in zip(subjs, texts, graphs,
-                                                 repos, paths):
-            for ent in self.entities_in(text):
-                cols["subj"].append(subj)
-                cols["pred"].append(ns.DCTERMS_SUBJECT)
-                cols["obj_type"].append("uri")
-                cols["obj_value"].append(ent)
-                cols["obj_lang"].append(None)
-                cols["obj_datatype"].append(None)
-                cols["graph"].append(graph)
-                cols["src_repo"].append(repo)
-                cols["src_path"].append(path)
-        linked = pa.table(cols, schema=TRIPLES)
+        if self.pl_pattern is None:
+            return passthrough.cast(TRIPLES)
+        # vectorized scan: one rust-regex pass over the whole column,
+        # explode hits, dedup per mention row, map alias → entity URI
+        df = (pl.from_arrow(mentions.select(
+                  ["subj", "obj_value", "graph", "src_repo", "src_path"]))
+              .with_row_index("_i")
+              .with_columns(pl.col("obj_value")
+                            .str.extract_all(self.pl_pattern)
+                            .alias("_hits"))
+              .drop("obj_value")
+              .explode("_hits")
+              .drop_nulls("_hits")
+              .with_columns(pl.col("_hits").str.to_lowercase()
+                            .replace_strict(self.first_uri, default=None)
+                            .alias("obj_value"))
+              .unique(subset=["_i", "obj_value"])
+              .sort(["_i", "obj_value"]))
+        n = df.height
+        linked = pa.table({
+            "subj": df["subj"].to_arrow(),
+            "pred": pa.array([ns.DCTERMS_SUBJECT] * n, pa.string()),
+            "obj_type": pa.array(["uri"] * n, pa.string()),
+            "obj_value": df["obj_value"].to_arrow(),
+            "obj_lang": pa.nulls(n, pa.string()),
+            "obj_datatype": pa.nulls(n, pa.string()),
+            "graph": df["graph"].to_arrow(),
+            "src_repo": df["src_repo"].to_arrow(),
+            "src_path": df["src_path"].to_arrow(),
+        }, schema=TRIPLES)
         return pa.concat_tables([passthrough.cast(TRIPLES), linked])
 
 
-def link(triples, aliases, base: str = DEFAULT_BASE, concurrency=(1, 8),
-         batch_size: int = 8192, num_cpus: float = 1.0):
-    """Attach the linker actor pool to a triples/mentions Dataset.
+def link(triples, aliases, base: str = DEFAULT_BASE, concurrency=None,
+         batch_size: int = 8192, num_cpus: float = 1.0,
+         actor_threshold: int = 100_000):
+    """Attach the entity linker to a triples/mentions Dataset.
 
-    ``aliases`` (small side input) is broadcast via ``ray.put`` so it
-    ships to each actor once — never per batch (SURVEY.md §2.4).
+    Two physical plans for the same stage, picked by dictionary size
+    (mirroring ``rewrite``):
+
+    * small dictionary (< ``actor_threshold`` aliases, or
+      ``concurrency=None``): the ``EntityLinker`` instance — alias map
+      + compiled matcher — is built once on the driver and pickled into
+      the task closure; Ray caches the deserialized UDF per worker
+      process, so tasks scale to every free CPU with zero pool ramp-up.
+    * large dictionary (the 100 TB path — alias dict of GBs): actor
+      pool; ``aliases`` is broadcast via ``ray.put`` so it ships to
+      each actor once in ``__init__`` — never per batch (SURVEY.md
+      §2.4) — and grammar compilation is paid once per actor.
     """
     import ray
+    n_aliases = (aliases.num_rows if isinstance(aliases, pa.Table)
+                 else len(aliases))
+    if concurrency is None and n_aliases < actor_threshold:
+        linker = EntityLinker(aliases, base=base)
+        return triples.map_batches(linker, batch_format="pyarrow",
+                                   batch_size=batch_size)
     alias_ref = ray.put(aliases)
     return triples.map_batches(
         EntityLinker,
         fn_constructor_kwargs={"aliases": alias_ref, "base": base},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or (1, 8),
         num_cpus=num_cpus,
     )
