@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events.sessionize,
         "events_top_users": events.top_users_by_value,
         "event_type_share": events.event_type_share,
+        "events_latest_per_type": events.latest_per_type,
+        "events_frontpage_latest": events.frontpage_latest,
         # --- KG over documents ---
         "doc_triples": docs.doc_triples,
         "doc_mentions": docs.doc_mentions,
@@ -123,8 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_stats": docs.language_stats,
         # --- derived (generate/toc/news/stats surface) ---
         "doc_toc_pages": docs.doc_toc_pages,
+        "doc_toc_entries": docs.doc_toc_entries,
         "doc_stats": docs.doc_stats,
         "doc_annotations": docs.doc_annotations,
+        "doc_keyword_hub": docs.doc_keyword_hub,
         # --- dedup / text analysis ---
         "docs_exact_dedup": docs.docs_exact_dedup,
         "docs_token_count": docs.docs_token_count,
@@ -292,6 +296,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://example.org/entity/' || alias AS target_uri,
                    count(*) AS n_inbound
             FROM ({mention_union}) GROUP BY alias""",
+        "doc_toc_entries": f"""
+            SELECT substr(CAST(doc_id AS VARCHAR), 1, 1) AS value,
+                   CAST(doc_id AS VARCHAR) AS sortkey,
+                   {uri} AS uri
+            FROM documents""",
+        "doc_keyword_hub": f"""
+            SELECT 'https://example.org/entity/' || alias AS term,
+                   count(*) AS n_docs,
+                   min('https://example.org/res/doc/'
+                       || CAST(doc_id AS VARCHAR)) AS first_uri
+            FROM ({mention_union}) GROUP BY alias""",
+        "events_latest_per_type": """
+            WITH r AS (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts DESC, event_id)
+                           AS rank
+                FROM events
+            )
+            SELECT event_type, event_id, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3""",
+        "events_frontpage_latest": """
+            SELECT event_id, event_type, epoch_us(ts) AS ts_us
+            FROM events ORDER BY ts DESC, event_id LIMIT 5""",
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",

@@ -117,6 +117,48 @@ def toc_select_for_pages(faceted, facet: Facet):
     return keyed.groupby("_sel").map_groups(page, batch_format="pyarrow")
 
 
+def toc_entries(faceted, facet: Facet):
+    """Exploded TOC selection: one ``(value, sortkey, uri)`` row per
+    document — the flat form of :func:`toc_select_for_pages` (same
+    selector/key semantics, no list columns), joinable/oracle-friendly."""
+    binding = facet.binding
+
+    def add_keys(b: pa.Table) -> pa.Table:
+        vals = b.column(binding).to_pylist()
+        sel = [None if v is None else str(facet.selector(v)) for v in vals]
+        key = [None if v is None else str(facet.key(v)) for v in vals]
+        return pa.table({
+            "value": pa.array(sel, pa.string()),
+            "sortkey": pa.array(key, pa.string()),
+            "uri": b.column("uri"),
+        })
+
+    return (faceted.map_batches(add_keys, batch_format="pyarrow")
+            .filter(lambda r: r["value"] is not None))
+
+
+# ---------------------------------------------------------------------------
+# keyword hub — grouped semi-join (sources/general/keyword.py:107-173)
+
+def keyword_hub(triples, pred: str | None = None):
+    """Per keyword (``dcterms:subject`` object): how many documents
+    carry it and the lexicographically first one — the keyword-hub
+    construction (``SELECT ?uri ?subject`` + group per sanitized term)
+    as one ``groupby(term)`` with vectorized aggregates."""
+    from ray.data.aggregate import Count, Min
+    target = pred or ns.DCTERMS_SUBJECT
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("pred"), target))
+        return pa.table({"term": b.column("obj_value").cast(pa.string()),
+                         "uri": b.column("subj")})
+
+    return (triples.map_batches(proj, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Count(alias_name="n_docs"),
+                       Min("uri", alias_name="first_uri")))
+
+
 # ---------------------------------------------------------------------------
 # news / feeds — grouped top-k newest-first (documentrepository.py:3235-3377)
 

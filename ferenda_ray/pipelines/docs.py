@@ -139,6 +139,26 @@ def _widen9(b: pa.Table, graph: str = DOC_GRAPH) -> pa.Table:
     }, schema=TRIPLES)
 
 
+def _mention_triples(sf_dir: str, base: str = DEFAULT_BASE):
+    """Mention rows as dcterms:subject URI-object triples (doc -> entity)."""
+    from ferenda_ray.uri import entity_uri
+
+    def as_triples(b: pa.Table) -> pa.Table:
+        return _widen9(pa.table({
+            "subj": pa.array(
+                [f"{base}res/doc/{d}"
+                 for d in b.column("doc_id").to_pylist()], pa.string()),
+            "pred": pa.array([ns.DCTERMS_SUBJECT] * b.num_rows, pa.string()),
+            "obj_type": pa.array(["uri"] * b.num_rows, pa.string()),
+            "obj_value": pa.array(
+                [entity_uri(a, base) for a in b.column("alias").to_pylist()],
+                pa.string()),
+        }))
+
+    return doc_mentions(sf_dir).map_batches(as_triples,
+                                            batch_format="pyarrow")
+
+
 def doc_toc_pages(sf_dir: str, base: str = DEFAULT_BASE):
     """TOC pagesets over the doc triples (``toc_pagesets`` path,
     documentrepository.py:2855-2934): one page per first character of
@@ -180,26 +200,34 @@ def doc_annotations(sf_dir: str, base: str = DEFAULT_BASE):
     documentrepository.py:2636-2712) over the mention triples: for each
     linked entity, how many documents reference it."""
     from ferenda_ray.pipelines.derived import annotations
-    from ferenda_ray.uri import entity_uri
-
-    def as_triples(b: pa.Table) -> pa.Table:
-        return _widen9(pa.table({
-            "subj": pa.array(
-                [f"{base}res/doc/{d}"
-                 for d in b.column("doc_id").to_pylist()], pa.string()),
-            "pred": pa.array([ns.DCTERMS_SUBJECT] * b.num_rows, pa.string()),
-            "obj_type": pa.array(["uri"] * b.num_rows, pa.string()),
-            "obj_value": pa.array(
-                [entity_uri(a, base) for a in b.column("alias").to_pylist()],
-                pa.string()),
-        }))
-
-    ment = doc_mentions(sf_dir).map_batches(as_triples,
-                                            batch_format="pyarrow")
-    out = annotations(ment, target_prefix=base + "entity/")
+    out = annotations(_mention_triples(sf_dir, base),
+                      target_prefix=base + "entity/")
     return out.map_batches(
         lambda b: b.select(["target_uri", "n_inbound"]),
         batch_format="pyarrow")
+
+
+def doc_toc_entries(sf_dir: str, base: str = DEFAULT_BASE):
+    """Exploded TOC selection over the doc facets: one
+    ``(value, sortkey, uri)`` row per doc, page = first identifier
+    character (``toc_select_for_pages`` semantics without list
+    columns)."""
+    from ferenda_ray.functions.facets import Facet
+    from ferenda_ray.functions.scalars import firstletter
+    from ferenda_ray.pipelines.derived import faceted_data, toc_entries
+    facet = Facet(ns.DCTERMS_IDENTIFIER, "dcterms_identifier",
+                  selector=firstletter)
+    wide = doc_triples(sf_dir, base).map_batches(
+        _widen9, batch_format="pyarrow")
+    return toc_entries(faceted_data(wide, [facet]), facet)
+
+
+def doc_keyword_hub(sf_dir: str, base: str = DEFAULT_BASE):
+    """Keyword hub over the mention triples: per linked entity, doc
+    count + lexicographically first doc URI
+    (``keyword.py:107-173`` shape)."""
+    from ferenda_ray.pipelines.derived import keyword_hub
+    return keyword_hub(_mention_triples(sf_dir, base))
 
 
 def language_stats(sf_dir: str):

@@ -84,6 +84,41 @@ def top_users_by_value(sf_dir: str, k: int = 20):
                             batch_format="pyarrow")
 
 
+def latest_per_type(sf_dir: str, k: int = 3):
+    """Grouped top-k newest-first — the news-feed / atom-archive shape
+    (``news_select_for_feeds`` + archive paging,
+    ``documentrepository.py:3235-3377``, ``:3527-3662``): per
+    event_type, the ``k`` latest events as exploded
+    ``(event_type, event_id, rank)`` rows (ties broken by event_id)."""
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "event_type": g["event_type"].values,
+            "event_id": g["event_id"].values,
+            "rank": range(1, len(g) + 1),
+        })
+
+    return (_read_events(sf_dir, ["ts", "event_type", "event_id"])
+            .groupby("event_type")
+            .map_groups(topk, batch_format="pandas"))
+
+
+def frontpage_latest(sf_dir: str, k: int = 5):
+    """Global newest-k — the frontpage ``islice(news_entries, 5)``
+    analogue (``rfc.py:699-719``): distributed ``sort desc`` +
+    ``limit``."""
+    ds = (_read_events(sf_dir, ["ts", "event_id", "event_type"])
+          .sort(["ts", "event_id"], descending=[True, False])
+          .limit(k))
+    return ds.map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def event_type_share(sf_dir: str):
     """Count per event_type + share of total (two-pass small agg)."""
     from ray.data.aggregate import Count

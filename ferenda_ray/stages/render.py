@@ -1,0 +1,274 @@
+"""Presentation-side stages: patches, link transforms, XHTML+RDFa.
+
+Three per-record operators from the reference's parse/generate
+surface, restated as ``map_batches`` stages:
+
+* :func:`apply_patch` / :func:`patch_stage` — ``patch_if_needed``
+  (``documentrepository.py:1355-1404``): apply a per-document unified
+  diff before parsing; patch table is a small broadcast side input
+  keyed by document id.  A conflicting patch raises
+  :class:`PatchError` per row, captured as an ``patch_status`` column
+  (the reference raises and aborts the doc; we must stay
+  row-parallel).
+* :func:`transform_links` / :func:`transformlinks_stage` —
+  ``transformlinks`` (``:2754-2797``) + the url-transform closures
+  (``:2534-2632``): rewrite every ``href``/``src`` in generated HTML
+  through a url function (develurl / staticsite relocation,
+  remove-invalid-links), regex-vectorized per batch.
+* :func:`render_xhtml` / :func:`render_stage` — ``render_xhtml``
+  (``:1459-1683``): serialize a document's triples to XHTML+RDFa
+  (head ``<meta>``/``<link>`` per triple, ``@about``-scoped
+  ``<div>`` per fragment subject) such that distilling the RDFa
+  yields exactly the input triples — the reference's round-trip
+  invariant (``decorators.py:201-227``), asserted in tests by
+  re-extracting triples from the output.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pyarrow as pa
+
+
+class PatchError(Exception):
+    """Patch does not apply (context mismatch) or is malformed —
+    ``errors.PatchError`` analogue."""
+
+
+# ---------------------------------------------------------------------------
+# unified-diff application (thirdparty/patchit replacement, stdlib-only)
+
+_HUNK = re.compile(r"@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@")
+
+
+def _parse_hunks(patch: str) -> list:
+    """Unified diff → [(src_start_0based, [hunk_lines])], validated."""
+    hunks: list = []
+    current: list | None = None
+    for ln in patch.split("\n"):
+        m = _HUNK.match(ln)
+        if m:
+            current = []
+            hunks.append((int(m.group(1)) - 1, current))
+        elif ln.startswith(("---", "+++")) or ln.startswith("\\"):
+            continue
+        elif current is not None and (ln.startswith(("-", "+", " "))
+                                      or ln == ""):
+            if ln:
+                current.append(ln)
+        elif ln.strip() and current is None:
+            if ln.startswith(("-", "+")):
+                raise PatchError(f"hunk line before @@ header: {ln!r}")
+    if not hunks:
+        raise PatchError("no hunks in patch")
+    return hunks
+
+
+def apply_patch(text: str, patch: str) -> str:
+    """Apply a (possibly multi-hunk) single-file unified diff to
+    ``text``.  Context and deletion lines are verified against the
+    source; mismatch raises :class:`PatchError` (the
+    ``PatchConflictError`` path)."""
+    lines = text.split("\n")
+    out: list = []
+    src = 0
+    for start, hunk in _parse_hunks(patch):
+        if start < src:
+            raise PatchError("hunks out of order or overlapping")
+        out.extend(lines[src:start])
+        src = start
+        for hl in hunk:
+            tag, content = hl[0], hl[1:]
+            if tag == "-":
+                if src >= len(lines) or lines[src] != content:
+                    raise PatchError(
+                        f"context mismatch at line {src + 1}: "
+                        f"expected {content!r}")
+                src += 1
+            elif tag == "+":
+                out.append(content)
+            else:  # context line
+                if src >= len(lines) or lines[src] != content:
+                    raise PatchError(
+                        f"context mismatch at line {src + 1}")
+                out.append(lines[src])
+                src += 1
+    out.extend(lines[src:])
+    return "\n".join(out)
+
+
+def patch_stage(ds, patches: dict, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Broadcast {doc_id: unified_diff}; rows with a patch get it
+    applied, adding ``patch_status`` ∈ {none, patched,
+    error:<reason>}.  Small patch table ⇒ task-closure broadcast."""
+    def apply_batch(b: pa.Table) -> pa.Table:
+        texts, status = [], []
+        for i, t in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            p = patches.get(i)
+            if p is None:
+                texts.append(t)
+                status.append("none")
+            else:
+                try:
+                    texts.append(apply_patch(t, p))
+                    status.append("patched")
+                except PatchError as e:
+                    texts.append(t)
+                    status.append(f"error:{e}")
+        idx = b.schema.get_field_index(text_col)
+        b = b.set_column(idx, text_col,
+                         pa.array(texts, b.schema.field(text_col).type))
+        return b.append_column("patch_status", pa.array(status, pa.string()))
+
+    return ds.map_batches(apply_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# link transformation (transformlinks, :2754-2797; closures :2534-2632)
+
+_ATTR = re.compile(r"""\b(href|src)\s*=\s*(["'])(.*?)\2""", re.IGNORECASE)
+
+
+def transform_links(html_text: str, transform) -> str:
+    """Rewrite every href/src through ``transform(url) -> url | None``;
+    ``None`` removes the attribute (remove-invalid-links semantics)."""
+    def sub(m):
+        new = transform(m.group(3))
+        if new is None:
+            return ""
+        return f"{m.group(1)}={m.group(2)}{new}{m.group(2)}"
+
+    return _ATTR.sub(sub, html_text)
+
+
+def develurl_transform(develurl: str, canonical_base: str):
+    """Canonical-base → development-server URL rewriter (the
+    ``develurl`` closure, ``:2592-2602`` shape)."""
+    def transform(url: str):
+        if url.startswith(canonical_base):
+            return develurl.rstrip("/") + "/" + url[len(canonical_base):]
+        return url
+    return transform
+
+
+def transformlinks_stage(ds, transform, html_col: str = "html"):
+    def fn(b: pa.Table) -> pa.Table:
+        rewritten = [transform_links(h, transform)
+                     for h in b.column(html_col).to_pylist()]
+        idx = b.schema.get_field_index(html_col)
+        return b.set_column(idx, html_col,
+                            pa.array(rewritten,
+                                     b.schema.field(html_col).type))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# XHTML+RDFa rendering (render_xhtml, :1459-1683)
+
+_XHTML_NS = 'xmlns="http://www.w3.org/1999/xhtml"'
+
+
+def _esc(s: str) -> str:
+    return _html.escape(s, quote=True)
+
+
+def render_xhtml(doc_uri: str, triples: list) -> str:
+    """One document's triples → an XHTML+RDFa page string.
+
+    ``triples``: (subj, pred, obj_type, obj_value, obj_lang,
+    obj_datatype) tuples; subjects are ``doc_uri`` or fragment URIs
+    ``doc_uri#...``.  Doc-level triples render in ``<head>`` as
+    ``<meta property>``/``<link rel>`` (``render_xhtml_tree``'s head
+    serialization, ``:1513-1622``); fragment subjects become
+    ``@about``-scoped ``<div>`` elements in ``<body>`` (the
+    ``as_xhtml`` RDFa output, ``elements.py:625-657``)."""
+    head, body = [], []
+    by_subj: dict = {}
+    for t in triples:
+        by_subj.setdefault(t[0], []).append(t)
+
+    def emit(subj, rows, out, indent):
+        pad = " " * indent
+        for _, pred, otype, oval, olang, odt in sorted(
+                rows, key=lambda r: (r[1], str(r[3]))):
+            if otype == "uri":
+                out.append(f'{pad}<link rel="{_esc(pred)}" '
+                           f'href="{_esc(oval)}"/>')
+            else:
+                attrs = f'property="{_esc(pred)}" content="{_esc(oval)}"'
+                if olang:
+                    attrs += f' xml:lang="{_esc(olang)}"'
+                if odt:
+                    attrs += f' datatype="{_esc(odt)}"'
+                out.append(f"{pad}<meta {attrs}/>")
+
+    emit(doc_uri, by_subj.pop(doc_uri, []), head, 4)
+    for subj in sorted(by_subj):
+        body.append(f'    <div about="{_esc(subj)}" typeof="">')
+        emit(subj, by_subj[subj], body, 6)
+        body.append("    </div>")
+    return "\n".join(
+        ['<?xml version="1.0" encoding="utf-8"?>',
+         f'<html {_XHTML_NS} about="{_esc(doc_uri)}">',
+         "  <head>"] + head
+        + ["  </head>", "  <body>"] + body + ["  </body>", "</html>", ""])
+
+
+_RDFA_META = re.compile(
+    r'<meta property="([^"]+)" content="([^"]*)"'
+    r'(?: xml:lang="([^"]*)")?(?: datatype="([^"]*)")?\s*/>')
+_RDFA_LINK = re.compile(r'<link rel="([^"]+)" href="([^"]*)"\s*/>')
+_RDFA_SCOPE = re.compile(r'<(html|div)[^>]*\babout="([^"]*)"')
+
+
+def distill_xhtml(xhtml: str) -> list:
+    """Parse RDFa back to (subj, pred, obj_type, obj_value, obj_lang,
+    obj_datatype) tuples — the reference's *distill* step
+    (``decorators.py:201-227``), used to assert the round-trip."""
+    out = []
+    subj = None
+    for ln in xhtml.split("\n"):
+        m = _RDFA_SCOPE.search(ln)
+        if m:
+            subj = _html.unescape(m.group(2))
+            continue
+        m = _RDFA_META.search(ln)
+        if m:
+            out.append((subj, _html.unescape(m.group(1)), "literal",
+                        _html.unescape(m.group(2)),
+                        _html.unescape(m.group(3)) if m.group(3) else None,
+                        _html.unescape(m.group(4)) if m.group(4) else None))
+            continue
+        m = _RDFA_LINK.search(ln)
+        if m:
+            out.append((subj, _html.unescape(m.group(1)), "uri",
+                        _html.unescape(m.group(2)), None, None))
+    return out
+
+
+def render_stage(triples, num_partitions: int | None = None):
+    """Triples Dataset → Dataset ``(doc_uri, xhtml)``: group by the
+    fragment-stripped document URI (one shuffle keyed like the
+    annotations join), render per group."""
+    def keyed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        doc = pc.replace_substring_regex(b.column("subj"), "#.*$", "")
+        return b.append_column("_doc", doc)
+
+    def render(group: pa.Table) -> pa.Table:
+        doc_uri = group.column("_doc")[0].as_py()
+        rows = list(zip(group.column("subj").to_pylist(),
+                        group.column("pred").to_pylist(),
+                        group.column("obj_type").to_pylist(),
+                        group.column("obj_value").to_pylist(),
+                        group.column("obj_lang").to_pylist(),
+                        group.column("obj_datatype").to_pylist()))
+        return pa.table({"doc_uri": [doc_uri],
+                         "xhtml": [render_xhtml(doc_uri, rows)]})
+
+    return (triples.map_batches(keyed, batch_format="pyarrow")
+            .groupby("_doc").map_groups(render, batch_format="pyarrow"))
