@@ -103,36 +103,45 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     from ray.data.aggregate import Sum
     cust = _small_table(_read(sf_dir, "customer",
                               columns=["c_custkey", "c_mktsegment"]))
-    keys = set(cust.filter(
-        pc.equal(cust.column("c_mktsegment"), segment))
-        .column("c_custkey").to_pylist())
-    ref = ray.put(keys)
+    keyset = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), segment)) \
+        .column("c_custkey").combine_chunks()
 
-    class OrderFilter:
+    def order_filter(b: pa.Table) -> pa.Table:
+        # vectorized semi-join against the broadcast key set
+        mask = pc.is_in(b.column("o_custkey"), value_set=keyset)
+        return b.filter(mask).select(["o_orderkey"])
+
+    # the segment-filtered order keyset is small (|orders|/segments);
+    # collect it once and broadcast-semi-join lineitem — no shuffle
+    # join.  (At a scale where even the filtered keyset cannot ship,
+    # swap this for `li.join(orders, on=l_orderkey)` — same semantics.)
+    okeys = _small_table(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(order_filter, batch_format="pyarrow")) \
+        .column("o_orderkey").combine_chunks()
+    import ray
+    okeys_ref = ray.put(okeys)
+
+    class SemiJoin:
         def __init__(self, ref):
             self.keys = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            mask = pa.array([c in self.keys
-                             for c in b.column("o_custkey").to_pylist()])
-            return b.filter(mask).select(["o_orderkey"])
+            b = b.filter(pc.is_in(b.column("l_orderkey"),
+                                  value_set=self.keys))
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "rev": pc.multiply(b.column("l_extendedprice"),
+                                   pc.subtract(pa.scalar(1.0),
+                                               b.column("l_discount")))})
 
-    orders = (_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-              .map_batches(OrderFilter, fn_constructor_kwargs={"ref": ref},
-                           batch_format="pyarrow", concurrency=(1, 4))
-              .repartition(2))
     li = (_read(sf_dir, "lineitem",
                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
-          .map_batches(lambda b: pa.table({
-              "l_orderkey": b.column("l_orderkey"),
-              "rev": pc.multiply(b.column("l_extendedprice"),
-                                 pc.subtract(pa.scalar(1.0),
-                                             b.column("l_discount")))}),
-              batch_format="pyarrow")
-          .repartition(4))
-    joined = li.join(orders, join_type="inner", num_partitions=4,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
-    rev = (joined.groupby("l_orderkey")
+          .map_batches(SemiJoin, fn_constructor_kwargs={"ref": okeys_ref},
+                       batch_format="pyarrow", batch_size=65536,
+                       concurrency=(1, 8)))
+    rev = (li.groupby("l_orderkey")
            .aggregate(Sum("rev", alias_name="revenue")))
     # deterministic top-k: tie-break on the key (matches the oracle's
     # ORDER BY <unrounded expr> DESC, l_orderkey)
@@ -147,6 +156,7 @@ def nation_revenue(sf_dir: str):
     revenue per nation name.  Dims (customer, nation) broadcast; the
     orders→custkey map is also broadcast (small at test scale; at 100 TB
     orders joins via Dataset.join instead — same shape as q3)."""
+    import polars as pl
     import ray
     from ray.data.aggregate import Sum
     orders = _small_table(_read(sf_dir, "orders",
@@ -155,26 +165,29 @@ def nation_revenue(sf_dir: str):
                               columns=["c_custkey", "c_nationkey"]))
     nation = _small_table(_read(sf_dir, "nation",
                                 columns=["n_nationkey", "n_name"]))
-    o2c = dict(zip(orders.column("o_orderkey").to_pylist(),
-                   orders.column("o_custkey").to_pylist()))
-    c2n = dict(zip(cust.column("c_custkey").to_pylist(),
-                   cust.column("c_nationkey").to_pylist()))
-    n2name = dict(zip(nation.column("n_nationkey").to_pylist(),
-                      nation.column("n_name").to_pylist()))
-    ref = ray.put((o2c, c2n, n2name))
+    # pre-join the dimensions once on the driver: one broadcast
+    # (o_orderkey → n_name) table, vectorized hash-joined per batch
+    o2name = (pl.from_arrow(orders)
+              .join(pl.from_arrow(cust), left_on="o_custkey",
+                    right_on="c_custkey")
+              .join(pl.from_arrow(nation), left_on="c_nationkey",
+                    right_on="n_nationkey")
+              .select(["o_orderkey", "n_name"]))
+    ref = ray.put(o2name)
 
     class Mapper:
         def __init__(self, ref):
-            self.o2c, self.c2n, self.n2name = ray.get(ref)
+            self.o2name = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            rev = pc.multiply(b.column("l_extendedprice"),
-                              pc.subtract(pa.scalar(1.0),
-                                          b.column("l_discount")))
-            names = [self.n2name[self.c2n[self.o2c[o]]]
-                     for o in b.column("l_orderkey").to_pylist()]
-            return pa.table({"n_name": pa.array(names, pa.string()),
-                             "rev": rev})
+            df = pl.from_arrow(pa.table({
+                "o_orderkey": b.column("l_orderkey"),
+                "rev": pc.multiply(b.column("l_extendedprice"),
+                                   pc.subtract(pa.scalar(1.0),
+                                               b.column("l_discount"))),
+            }))
+            out = df.join(self.o2name, on="o_orderkey", how="inner")
+            return out.select(["n_name", "rev"]).to_arrow()
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])

@@ -36,6 +36,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import polars as pl
 
+from ferenda_ray.stages.broadcast import resolve, stateful_map
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -68,22 +70,18 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
 def distinct_docs(docs, text_col: str = "text", id_col: str = "doc_id"):
     """Anti-join form: keep only the representative rows (the
     ``groupby(key).first`` pattern of SURVEY.md §2.8)."""
-    import ray
     keep = exact_dedup(docs, text_col, id_col)
-    keep_ids = {r[id_col] for r in keep.take_all()}
-    ref = ray.put(keep_ids)
+    keep_ids = pa.array(sorted(r[id_col] for r in keep.take_all()))
 
     class Filter:
         def __init__(self, ref):
-            self.ids = ray.get(ref)
+            self.ids = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            mask = pa.array([i in self.ids
-                             for i in b.column(id_col).to_pylist()])
-            return b.filter(mask)
+            return b.filter(pc.is_in(b.column(id_col),
+                                     value_set=self.ids))
 
-    return docs.map_batches(Filter, fn_constructor_kwargs={"ref": ref},
-                            batch_format="pyarrow", concurrency=(1, 4))
+    return stateful_map(docs, Filter, keep_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -137,13 +135,20 @@ class MinHasher:
 
 def minhash_signatures(docs, num_perm=128, shingle_n=5, seed=42,
                        text_col="text", id_col="doc_id",
-                       concurrency=(1, 8)):
+                       concurrency=None):
+    """Hasher state is seed-derived and tiny, so the default plan is a
+    task closure (full-width, zero ramp); pass ``concurrency`` for an
+    actor pool."""
+    kw = dict(num_perm=num_perm, shingle_n=shingle_n, seed=seed,
+              text_col=text_col, id_col=id_col)
+    # modest batch size: the signature loop is the compute-heavy part,
+    # so more/smaller tasks parallelize it across the cluster
+    if concurrency is None:
+        return docs.map_batches(MinHasher(**kw), batch_format="pyarrow",
+                                batch_size=512)
     return docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n,
-                                   seed=seed, text_col=text_col,
-                                   id_col=id_col),
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+        MinHasher, fn_constructor_kwargs=kw,
+        batch_format="pyarrow", batch_size=512, concurrency=concurrency)
 
 
 def _bands(sig: list, bands: int, rows: int) -> list:
@@ -267,10 +272,8 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` via
     4×16-bit band blocking (a pair within distance ≤3 shares at least
     one exact 16-bit band — pigeonhole), then exact verify."""
-    sh = docs.map_batches(
-        SimHasher, fn_constructor_kwargs=dict(text_col=text_col,
-                                              id_col=id_col),
-        batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
+    sh = docs.map_batches(SimHasher(text_col=text_col, id_col=id_col),
+                          batch_format="pyarrow", batch_size=512)
 
     def explode(b: pa.Table) -> pa.Table:
         ids, band, key, full = [], [], [], []
@@ -322,8 +325,6 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
     ``ray.put`` and each batch computes its pairs against it — valid
     while the corpus's word-set table fits in worker memory; beyond
     that use :func:`minhash_lsh_pairs`."""
-    import ray
-
     def to_sets(b: pa.Table) -> pa.Table:
         return pa.table({
             id_col: b.column(id_col),
@@ -335,11 +336,10 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
     sets_ds = docs.map_batches(to_sets, batch_format="pyarrow")
     all_sets = sets_ds.take_all()  # small side, collected once
     side = {r[id_col]: frozenset(r["words"]) for r in all_sets}
-    ref = ray.put(side)
 
     class PairFinder:
         def __init__(self, ref):
-            self.side = ray.get(ref)
+            self.side = resolve(ref)
             self.order = sorted(self.side)
 
         def __call__(self, b: pa.Table) -> pa.Table:
@@ -363,9 +363,7 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
                              "id_b": pa.array(b_out, pa.int64()),
                              "jaccard": pa.array(j_out, pa.float64())})
 
-    return sets_ds.map_batches(
-        PairFinder, fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
+    return stateful_map(sets_ds, PairFinder, side, batch_size=1024)
 
 
 # ---------------------------------------------------------------------------
@@ -379,19 +377,16 @@ def embedding_neardup_pairs(embeddings, threshold: float = 0.95,
     against it.  O(N·B) flops per batch, zero shuffle — right for the
     'embedding table fits in memory' regime; bucket by coarse LSH
     before this at larger N (see similarity.py)."""
-    import ray
-
     mat_rows = embeddings.select_columns([id_col, vec_col]).take_all()
     ids = np.array([r[id_col] for r in mat_rows])
     order = np.argsort(ids)
     ids = ids[order]
     M = np.array([mat_rows[i][vec_col] for i in order], dtype=dtype)
     M /= (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
-    ref = ray.put((ids, M, dtype))
 
     class Finder:
         def __init__(self, ref):
-            self.ids, self.M, self.dtype = ray.get(ref)
+            self.ids, self.M, self.dtype = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             bids = np.array(b.column(id_col).to_pylist())
@@ -410,6 +405,5 @@ def embedding_neardup_pairs(embeddings, threshold: float = 0.95,
                              "id_b": pa.array(b_out, pa.int64()),
                              "cosine": pa.array(c_out, pa.float64())})
 
-    return embeddings.map_batches(
-        Finder, fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+    return stateful_map(embeddings, Finder, (ids, M, dtype),
+                        batch_size=2048)

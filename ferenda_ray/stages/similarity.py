@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ferenda_ray.stages.broadcast import resolve, stateful_map
+
 
 def _as_matrix(rows_or_ndarray) -> np.ndarray:
     a = np.asarray(rows_or_ndarray, dtype=np.float32)
@@ -34,15 +36,12 @@ def brute_topk(embeddings, queries, k: int = 10,
 
     Returns Dataset ``(query_id, vec_id, cosine, rank)``; ties broken
     by ascending ``vec_id`` (deterministic)."""
-    import ray
-
     Q = _normalize(_as_matrix(queries))
     qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
-    ref = ray.put((qids, Q))
 
     class Scorer:
         def __init__(self, ref):
-            self.qids, self.Q = ray.get(ref)
+            self.qids, self.Q = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = np.array(b.column(id_col).to_pylist())
@@ -61,9 +60,8 @@ def brute_topk(embeddings, queries, k: int = 10,
                              id_col: pa.array(icol, pa.int64()),
                              "cosine": pa.array(ccol, pa.float64())})
 
-    candidates = embeddings.map_batches(
-        Scorer, fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    candidates = stateful_map(embeddings, Scorer, (qids, Q),
+                              batch_size=4096)
 
     def merge(group: pa.Table) -> pa.Table:
         g = group.sort_by([("cosine", "descending"), (id_col, "ascending")])
@@ -80,11 +78,9 @@ def bucket_codes(embeddings, n_planes: int = 8, seed: int = 7,
     """Assign each vector its sign-LSH bucket code (int in
     [0, 2**n_planes)).  The planes are seeded and broadcast — at scale
     this column becomes the partition key for the index layout."""
-    import ray
-
     class Coder:
         def __init__(self, planes_ref):
-            self.P = ray.get(planes_ref)
+            self.P = resolve(planes_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             V = np.array(b.column(vec_col).to_pylist(), dtype=np.float32)
@@ -98,11 +94,8 @@ def bucket_codes(embeddings, n_planes: int = 8, seed: int = 7,
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
-    ref = ray.put(planes)
-    ds = embeddings.map_batches(Coder,
-                                fn_constructor_kwargs={"planes_ref": ref},
-                                batch_format="pyarrow", batch_size=4096,
-                                concurrency=(1, 4))
+    ds = stateful_map(embeddings, Coder, planes, state_key="planes_ref",
+                      batch_size=4096)
     return ds, planes
 
 
@@ -138,11 +131,10 @@ def lsh_topk(embeddings, queries, k: int = 10, n_planes: int = 8,
         for b in _neighbors(int(c)):
             admissible.setdefault(b, []).append(qi)
     qindex = {qid: i for i, qid in enumerate(qids)}
-    ref = ray.put((admissible, qindex, Q))
 
     class Scorer:
         def __init__(self, ref):
-            self.admissible, self.qindex, self.Q = ray.get(ref)
+            self.admissible, self.qindex, self.Q = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = np.array(b.column(id_col).to_pylist())
@@ -167,9 +159,8 @@ def lsh_topk(embeddings, queries, k: int = 10, n_planes: int = 8,
                              id_col: pa.array(icol, pa.int64()),
                              "cosine": pa.array(ccol, pa.float64())})
 
-    candidates = coded.map_batches(
-        Scorer, fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    candidates = stateful_map(coded, Scorer, (admissible, qindex, Q),
+                              batch_size=4096)
 
     def merge(group: pa.Table) -> pa.Table:
         g = group.sort_by([("cosine", "descending"), (id_col, "ascending")])

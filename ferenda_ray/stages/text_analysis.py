@@ -166,9 +166,12 @@ class Fingerprinter:
 
 def fingerprints(docs, k: int = 5, window: int = 4,
                  text_col: str = "text", id_col: str = "doc_id",
-                 concurrency=(1, 8)):
+                 concurrency=None):
+    """State is tiny (window params): task-closure plan by default."""
+    kw = dict(k=k, window=window, text_col=text_col, id_col=id_col)
+    if concurrency is None:
+        return docs.map_batches(Fingerprinter(**kw),
+                                batch_format="pyarrow", batch_size=512)
     return docs.map_batches(
-        Fingerprinter,
-        fn_constructor_kwargs=dict(k=k, window=window, text_col=text_col,
-                                   id_col=id_col),
+        Fingerprinter, fn_constructor_kwargs=kw,
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
