@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_annotations": docs.doc_annotations,
         "doc_keyword_hub": docs.doc_keyword_hub,
         # --- dedup / text analysis ---
+        "docs_search": docs.docs_search,
         "docs_exact_dedup": docs.docs_exact_dedup,
         "docs_token_count": docs.docs_token_count,
         "docs_quality": docs.docs_quality,
@@ -323,6 +324,20 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        "docs_search": r"""
+            WITH s AS (
+                SELECT 'https://example.org/res/' || source || '/'
+                           || doc_id AS uri,
+                       len(regexp_extract_all(text, '(?i)\bbatch\b'))
+                       + len(regexp_extract_all(text, '(?i)\bstream\b'))
+                       + len(regexp_extract_all(text, '(?i)\bvector\b'))
+                           AS hits
+                FROM documents
+            )
+            SELECT uri, CAST(hits AS DOUBLE) AS score,
+                   CAST(hits AS BIGINT) AS n_hits
+            FROM s WHERE hits > 0
+            ORDER BY score DESC, uri LIMIT 10""",
         "docs_token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)

@@ -291,7 +291,32 @@ def docs_language_id(sf_dir: str):
     return language_id(_read_docs(sf_dir, ["doc_id", "text"]))
 
 
+def docs_search(sf_dir: str, terms=("batch", "stream", "vector"),
+                k: int = 10):
+    """Ranked fulltext search over the documents table — the
+    ``relate_fulltext`` index + ``WSGIApp.query`` shape on
+    oracle-checkable data (score = whole-word term frequency; no
+    title field here so no boost term)."""
+    from ferenda_ray.stages.fulltext import search
+
+    def as_index(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "uri": pa.array(
+                [doc_uri_for(src, d) for src, d in
+                 zip(b.column("source").to_pylist(),
+                     b.column("doc_id").to_pylist())], pa.string()),
+            "title": pa.array([""] * n, pa.string()),
+            "text": b.column("text").cast(pa.large_string()),
+        })
+
+    index = _read_docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        as_index, batch_format="pyarrow")
+    return search(index, list(terms), k=k)
+
+
 # --- embeddings ------------------------------------------------------------
+
 
 def _read_emb(sf_dir: str):
     import ray.data as rd

@@ -22,7 +22,7 @@ import re
 from dataclasses import dataclass, field
 
 from ferenda_ray.elements import Body, Heading, Paragraph, Section, UnicodeElement
-from ferenda_ray.fsm import FSMParser
+from ferenda_ray.fsm import FSMParser, FSMStateError
 
 
 @dataclass
@@ -302,3 +302,26 @@ def parse_content(lang: str, content: str) -> ParsedDoc:
             doc.title = line.strip()[:120]
             break
     return doc
+
+
+def composite_parse(content: str, strategies: list | None = None):
+    """Try parse strategies in declared order until one succeeds —
+    ``CompositeRepository.parse`` semantics
+    (``compositerepository.py:57-337``: subrepos attempted in order,
+    first success wins, failures swallowed).  Success = no parse error
+    AND recognized structure (sections or metadata).  Returns
+    ``(strategy_name, ParsedDoc)``; exhaustion falls back to the
+    minimal generic parse under the name ``"fallback"``.
+
+    ``strategies``: ``[(name, parser_fn), ...]``; defaults to every
+    registered language parser in registration order.
+    """
+    strategies = strategies or list(PARSERS.items())
+    for name, fn in strategies:
+        try:
+            doc = fn(content)
+        except FSMStateError:
+            continue
+        if doc.sections or doc.meta:
+            return name, doc
+    return "fallback", parse_content("?", content)

@@ -1,0 +1,117 @@
+"""Fulltext index: the ``relate_fulltext`` leg of the relate action.
+
+The reference walks each parsed XHTML body, emits one indexable row
+per ``@about`` resource — ``(uri, repo, basefile, text=normalized
+plaintext, **facet_fields)`` — into ES/Whoosh
+(``documentrepository.py:2082-2149``; row shape
+``fulltextindex.py:120-151``; schema from facets ``:232-305``).
+
+Ray restatement: the index is a Parquet-backed Dataset of the same
+rows; building it is one ``map_batches`` pass over the sources (one
+row per document + one per recognized section); querying it is a
+vectorized scan — term-frequency scoring with a title boost (the
+boost-field idea of ``fulltextindex.py:260-305``) and deterministic
+ranking.  No shared mutable indexer: the "index" is data.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import polars as pl
+
+from ferenda_ray.recognizers import parse_content
+from ferenda_ray.fsm import FSMStateError
+from ferenda_ray.uri import DEFAULT_BASE, doc_uri, frag_uri
+
+_WS = re.compile(r"\s+")
+
+
+def _norm(s: str) -> str:
+    """``util.normalize_space`` analogue (``util.py:290``)."""
+    return _WS.sub(" ", s).strip()
+
+
+def fulltext_rows(sources, base: str = DEFAULT_BASE):
+    """Sources Dataset → index rows ``(uri, repo, basefile, title,
+    lang, text)``: one per document (intro prose) and one per section
+    (its prose), mirroring the per-``@about``-resource walk."""
+    def emit(b: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("uri", "repo", "basefile", "title",
+                                "lang", "text")}
+
+        def row(uri, repo, basefile, title, lang, text):
+            cols["uri"].append(uri)
+            cols["repo"].append(repo)
+            cols["basefile"].append(basefile)
+            cols["title"].append(title)
+            cols["lang"].append(lang)
+            cols["text"].append(_norm(text))
+
+        for repo, path, commit, lang, content in zip(
+                b.column("repo").to_pylist(), b.column("path").to_pylist(),
+                b.column("commit").to_pylist(), b.column("lang").to_pylist(),
+                b.column("content").to_pylist()):
+            du = doc_uri(repo, path, commit, base)
+            basefile = f"{repo}/{path}"
+            try:
+                parsed = parse_content(lang, content)
+            except FSMStateError:
+                continue  # poison pill: not indexable, pipeline continues
+            row(du, repo, basefile, parsed.title or "", lang,
+                " ".join(parsed.intro_prose))
+
+            def walk(sec):
+                row(frag_uri(du, sec.ordinal), repo, basefile, sec.title,
+                    lang, " ".join(sec.prose))
+                for sub in sec.subs:
+                    walk(sub)
+
+            for sec in parsed.sections:
+                walk(sec)
+        return pa.table({k: pa.array(v, pa.large_string()
+                                     if k == "text" else pa.string())
+                         for k, v in cols.items()})
+
+    return sources.map_batches(emit, batch_format="pyarrow",
+                               batch_size=256)
+
+
+def write_fulltext(rows, out_dir: str):
+    """Index sink: partitioned Parquet by ``repo`` (the per-repo index
+    slices the reference merges at query time, ``wsgiapp.py:289-296``)."""
+    rows.write_parquet(out_dir, partition_cols=["repo"])
+    return out_dir
+
+
+def read_fulltext(index_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(index_dir)
+
+
+def search(index, terms: list, k: int = 10, title_boost: float = 2.0):
+    """Ranked fulltext query over index rows: score = Σ term frequency
+    in ``text`` + ``title_boost`` × frequency in ``title`` (whole-word,
+    case-insensitive).  Returns the global top-``k`` as
+    ``(uri, score, n_hits)``, ties broken by uri — the
+    ``WSGIApp.query`` shape (``wsgiapp.py:388-660``) without the
+    serving layer."""
+    pats = [rf"(?i)\b{re.escape(t)}\b" for t in terms]
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["uri", "title", "text"]))
+        text_hits = sum((df["text"].str.count_matches(p).cast(pl.Int64)
+                         for p in pats), pl.Series([0] * df.height))
+        title_hits = sum((df["title"].str.count_matches(p).cast(pl.Int64)
+                          for p in pats), pl.Series([0] * df.height))
+        out = pl.DataFrame({
+            "uri": df["uri"],
+            "score": (text_hits + title_boost * title_hits).cast(pl.Float64),
+            "n_hits": (text_hits + title_hits).cast(pl.Int64),
+        }).filter(pl.col("n_hits") > 0)
+        return out.to_arrow()
+
+    scored = index.map_batches(score, batch_format="pyarrow",
+                               batch_size=8192)
+    return scored.sort(["score", "uri"], descending=[True, False]).limit(k)
