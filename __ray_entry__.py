@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_share": events.event_type_share,
         "events_latest_per_type": events.latest_per_type,
         "events_frontpage_latest": events.frontpage_latest,
+        "events_feed_pages": events.feed_pages,
         # --- KG over documents ---
         "doc_triples": docs.doc_triples,
         "doc_mentions": docs.doc_mentions,
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keyword_hub": docs.doc_keyword_hub,
         # --- dedup / text analysis ---
         "docs_search": docs.docs_search,
+        "docs_sample": docs.docs_sample,
         "docs_exact_dedup": docs.docs_exact_dedup,
         "docs_token_count": docs.docs_token_count,
         "docs_quality": docs.docs_quality,
@@ -146,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   fromlist=["docs"]).embeddings_neardup(sf),
         "embeddings_label_count": docs.embeddings_label_count,
         "lsh_ann_topk": docs.lsh_ann_topk,                  # rows-only
+        "ivf_ann_topk": docs.ivf_ann_topk,                  # rows-only
         # --- flagship KG pipeline (synthetic corpus) ---
         "kg_pipeline_synthetic": kg_pipeline_synthetic,     # rows-only
     }
@@ -321,6 +324,21 @@ def oracle_sql() -> dict[str, str]:
         "events_frontpage_latest": """
             SELECT event_id, event_type, epoch_us(ts) AS ts_us
             FROM events ORDER BY ts DESC, event_id LIMIT 5""",
+        "events_feed_pages": """
+            WITH r AS (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts DESC, event_id)
+                           AS rank
+                FROM events
+            )
+            SELECT event_type,
+                   CAST((rank - 1) // 100 AS BIGINT) AS page_idx,
+                   CAST(rank AS BIGINT) AS rank, event_id
+            FROM r""",
+        "docs_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""",
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",

@@ -291,6 +291,15 @@ def docs_language_id(sf_dir: str):
     return language_id(_read_docs(sf_dir, ["doc_id", "text"]))
 
 
+def docs_sample(sf_dir: str):
+    """Deterministic md5-bucket sample of the documents table (the
+    ``samplerepo`` analogue; engine-portable, so the DuckDB oracle
+    computes the identical row set)."""
+    from ferenda_ray.stages.sample import hash_sample
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "source"])
+    return hash_sample(ds, "doc_id", keep_buckets=(0,), num_buckets=16)
+
+
 def docs_search(sf_dir: str, terms=("batch", "stream", "vector"),
                 k: int = 10):
     """Ranked fulltext search over the documents table — the
@@ -352,6 +361,19 @@ def embeddings_label_count(sf_dir: str):
             .groupby("label").count()
             .map_batches(lambda b: b.rename_columns(["label", "n"]),
                          batch_format="pyarrow"))
+
+
+def ivf_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
+    """IVF (coarse-quantizer) approximate top-k — rows-only check
+    (recall measured vs brute force in tests)."""
+    import numpy as np
+    from ferenda_ray.stages.similarity import ivf_topk
+    emb = _read_emb(sf_dir).materialize()
+    rows = {r["vec_id"]: r["embedding"]
+            for r in emb.take_all() if r["vec_id"] in set(query_ids)}
+    Q = np.array([rows[q] for q in query_ids], dtype=np.float64)
+    return ivf_topk(emb, Q, k=k, n_centroids=16, n_probe=4,
+                    query_ids=list(query_ids))
 
 
 def lsh_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):

@@ -119,6 +119,27 @@ def frontpage_latest(sf_dir: str, k: int = 5):
         }), batch_format="pyarrow")
 
 
+def feed_pages(sf_dir: str, page_size: int = 100):
+    """Atom archive paging (``news_write_atom``,
+    ``documentrepository.py:3527-3662``): per event_type feed, entries
+    newest-first chunked into fixed pages — exploded
+    ``(event_type, page_idx, rank, event_id)`` rows."""
+    def pages(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, True])
+        n = len(g)
+        rank = list(range(1, n + 1))
+        return pd.DataFrame({
+            "event_type": g["event_type"].values,
+            "page_idx": [(r - 1) // page_size for r in rank],
+            "rank": rank,
+            "event_id": g["event_id"].values,
+        })
+
+    return (_read_events(sf_dir, ["ts", "event_type", "event_id"])
+            .groupby("event_type")
+            .map_groups(pages, batch_format="pandas"))
+
+
 def event_type_share(sf_dir: str):
     """Count per event_type + share of total (two-pass small agg)."""
     from ray.data.aggregate import Count

@@ -272,3 +272,70 @@ def render_stage(triples, num_partitions: int | None = None):
 
     return (triples.map_batches(keyed, batch_format="pyarrow")
             .groupby("_doc").map_groups(render, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Grit annotation XML (graph_to_annotation_file, :2693-2726)
+
+def to_grit_xml(triples: list) -> str:
+    """Serialize (subj, pred, obj_type, obj_value, obj_lang,
+    obj_datatype) tuples to Grit-shaped XML — the flattened
+    one-element-per-resource RDF layout the reference produces via its
+    ``rdfxml-grit.xsl`` for easy XSLT inclusion: ``<graph>`` of
+    ``<resource uri=…>`` with one child element per statement
+    (literal text, or ``<ref>`` for URI objects)."""
+    from ferenda_ray import ns as _ns
+    by_subj: dict = {}
+    for t in triples:
+        by_subj.setdefault(t[0], []).append(t)
+    out = ['<graph xmlns="http://purl.org/oort/impl/xmlns/grit#">']
+    for subj in sorted(by_subj):
+        out.append(f'  <resource uri="{_esc(subj)}">')
+        for _, pred, otype, oval, olang, odt in sorted(
+                by_subj[subj], key=lambda r: (r[1], str(r[3]))):
+            tag = _ns.qname(pred).replace(":", "-")
+            if otype == "uri":
+                out.append(f'    <{tag}><ref>{_esc(oval)}</ref></{tag}>')
+            else:
+                attrs = ""
+                if olang:
+                    attrs += f' xml:lang="{_esc(olang)}"'
+                if odt:
+                    attrs += f' fmt="{_esc(odt)}"'
+                out.append(f"    <{tag}{attrs}>{_esc(oval)}</{tag}>")
+        out.append("  </resource>")
+    out.append("</graph>")
+    return "\n".join(out) + "\n"
+
+
+def annotations_grit(triples, target_prefix: str | None = None):
+    """Per-target Grit annotation documents: the inbound-reference
+    groupby (``construct_annotations``) + Grit serialization
+    (``prep_annotation_file``) as one stage — Dataset
+    ``(target_uri, grit_xml, n_inbound)``."""
+    import pyarrow.compute as pc
+
+    def proj(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("obj_type"), "uri")
+        if target_prefix:
+            keep = pc.and_(keep, pc.starts_with(
+                b.column("obj_value").cast(pa.string()), target_prefix))
+        b = b.filter(keep)
+        return pa.table({
+            "target_uri": b.column("obj_value").cast(pa.string()),
+            "subj": b.column("subj"), "pred": b.column("pred")})
+
+    def grit(group: pa.Table) -> pa.Table:
+        target = group.column("target_uri")[0].as_py()
+        rows = [(s, p, "uri", target, None, None) for s, p in
+                sorted(zip(group.column("subj").to_pylist(),
+                           group.column("pred").to_pylist()))]
+        return pa.table({
+            "target_uri": [target],
+            "grit_xml": [to_grit_xml(rows)],
+            "n_inbound": [group.num_rows],
+        })
+
+    return (triples.map_batches(proj, batch_format="pyarrow")
+            .groupby("target_uri").map_groups(grit,
+                                              batch_format="pyarrow"))

@@ -170,3 +170,105 @@ def lsh_topk(embeddings, queries, k: int = 10, n_planes: int = 8,
 
     return candidates.groupby("query_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+
+def kmeans_fit(X: np.ndarray, n_centroids: int, n_iter: int = 10,
+               seed: int = 11) -> np.ndarray:
+    """Tiny seeded Lloyd's k-means on normalized vectors (driver-side,
+    over a sample).  Deterministic: init = seeded choice of rows."""
+    X = _normalize(np.asarray(X, dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)),
+                     replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for ci in range(len(C)):
+            members = X[assign == ci]
+            if len(members):
+                C[ci] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_assign(embeddings, centroids: np.ndarray,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Add each vector's nearest-centroid ``cell`` column (the
+    inverted-list key; at scale this is the partition/layout key,
+    exactly like the LSH ``bucket``)."""
+    class Assigner:
+        def __init__(self, ref):
+            self.C = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            V = _normalize(np.array(b.column(vec_col).to_pylist(),
+                                    dtype=np.float32))
+            cells = np.argmax(V @ self.C.T, axis=1).astype("int64")
+            return b.append_column("cell", pa.array(cells))
+
+    return stateful_map(embeddings, Assigner, centroids, batch_size=4096)
+
+
+def ivf_topk(embeddings, queries, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, train_sample: int = 4096, seed: int = 11,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_ids: list | None = None):
+    """IVF approximate top-k: train a coarse quantizer on a
+    deterministic sample, assign every vector to its cell, and scan
+    only each query's ``n_probe`` nearest cells.  Same
+    candidates→merge shape as :func:`lsh_topk`; recall grows with
+    ``n_probe`` (``n_probe = n_centroids`` ⇒ exact)."""
+    sample = embeddings.limit(train_sample).take_all()
+    C = kmeans_fit(np.array([r[vec_col] for r in sample]),
+                   n_centroids, seed=seed)
+    coded = ivf_assign(embeddings, C, vec_col, id_col)
+
+    Q = _normalize(_as_matrix(queries))
+    qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
+    qindex = {qid: i for i, qid in enumerate(qids)}
+    probe_order = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    admissible: dict = {}
+    for qi, cells in zip(qids, probe_order):
+        for c in cells:
+            admissible.setdefault(int(c), []).append(qi)
+
+    class Scorer:
+        def __init__(self, ref):
+            self.admissible, self.qindex, self.Q = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = np.array(b.column(id_col).to_pylist())
+            cells = np.array(b.column("cell").to_pylist())
+            V = _normalize(np.array(b.column(vec_col).to_pylist(),
+                                    dtype=np.float32))
+            qcol, icol, ccol = [], [], []
+            for cell in set(cells.tolist()):
+                qlist = self.admissible.get(int(cell))
+                if not qlist:
+                    continue
+                mask = cells == cell
+                Vm, idsm = V[mask], ids[mask]
+                for qid in qlist:
+                    s = Vm @ self.Q[self.qindex[qid]]
+                    kk = min(k, len(s))
+                    idx = np.argpartition(-s, kk - 1)[:kk] if kk else []
+                    qcol.extend([qid] * len(idx))
+                    icol.extend(int(idsm[j]) for j in idx)
+                    ccol.extend(float(s[j]) for j in idx)
+            return pa.table({"query_id": pa.array(qcol, pa.int64()),
+                             id_col: pa.array(icol, pa.int64()),
+                             "cosine": pa.array(ccol, pa.float64())})
+
+    candidates = stateful_map(coded, Scorer, (admissible, qindex, Q),
+                              batch_size=4096)
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"), (id_col, "ascending")])
+        g = g.slice(0, k)
+        return g.append_column(
+            "rank", pa.array(range(1, g.num_rows + 1), pa.int64()))
+
+    return candidates.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")

@@ -126,3 +126,18 @@ def test_embedding_neardup(ray_session):
     exp = {(a, b) for a in range(30) for b in range(a + 1, 30)
            if S[a, b] >= 0.99}
     assert set(pairs) == exp
+
+
+def test_hash_sample_deterministic(ray_session, docs_ds):
+    import hashlib
+    from ferenda_ray.stages.sample import hash_sample, limit_per_group
+    out = hash_sample(docs_ds, "doc_id", keep_buckets=(0,),
+                      num_buckets=16).take_all()
+    expect = {r["doc_id"] for r in docs_ds.take_all()
+              if hashlib.md5(str(r["doc_id"]).encode())
+              .hexdigest()[0] == "0"}
+    assert {r["doc_id"] for r in out} == expect
+    # grouped head: at most n rows per group, deterministic order
+    top = limit_per_group(docs_ds, "text", 1, "doc_id").take_all()
+    texts = [r["text"] for r in top]
+    assert len(texts) == len(set(texts))

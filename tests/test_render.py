@@ -137,3 +137,35 @@ def test_render_stage_groups_fragments(ray_session):
     assert len(out) == 1  # doc + fragment grouped under one page
     assert out[0]["doc_uri"] == DOC
     assert sorted(distill_xhtml(out[0]["xhtml"])) == sorted(TRIPLES)
+
+
+# --- Grit annotation XML (graph_to_annotation_file :2693-2726) ------------
+
+def test_to_grit_xml_shape():
+    from ferenda_ray.stages.render import to_grit_xml
+    xml = to_grit_xml(TRIPLES)
+    assert xml.startswith('<graph xmlns="http://purl.org/oort/')
+    assert f'<resource uri="{DOC}">' in xml
+    assert "<dcterms-title" in xml and 'xml:lang="en"' in xml
+    assert "<ref>http://purl.org/ontology/bibo/Document</ref>" in xml
+    assert 'fmt="http://www.w3.org/2001/XMLSchema#date"' in xml
+
+
+def test_annotations_grit_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.render import annotations_grit
+    t = pa.table({
+        "subj": ["d1", "d2", "d3"],
+        "pred": ["http://purl.org/dc/terms/references"] * 3,
+        "obj_type": ["uri"] * 3,
+        "obj_value": ["https://x/entity/e1", "https://x/entity/e1",
+                      "https://x/entity/e2"],
+    })
+    out = {r["target_uri"]: r
+           for r in annotations_grit(rd.from_arrow(t),
+                                     target_prefix="https://x/entity/"
+                                     ).take_all()}
+    assert out["https://x/entity/e1"]["n_inbound"] == 2
+    assert '<resource uri="d1">' in out["https://x/entity/e1"]["grit_xml"]
+    assert "dcterms-references" in out["https://x/entity/e2"]["grit_xml"]

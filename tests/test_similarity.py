@@ -72,3 +72,39 @@ def test_bucket_codes_deterministic(emb):
     c2 = {r["vec_id"]: r["bucket"] for r in ds2.take_all()}
     assert c1 == c2
     assert set(c1.values()) <= set(range(32))
+
+
+def test_ivf_topk_recall_and_exact_at_full_probe(emb):
+    import numpy as np
+    from ferenda_ray.stages.similarity import brute_topk, ivf_topk
+    ds, V = emb
+    Q = V[:3].copy()
+    exact = {}
+    for r in brute_topk(ds, Q, k=10, query_ids=[0, 1, 2]).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # partial probe: bounded scan, decent recall, always finds self
+    got = {}
+    rows = ivf_topk(ds, Q, k=10, n_centroids=8, n_probe=3,
+                    query_ids=[0, 1, 2]).take_all()
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(got.get(qi, set()) & exact[qi]) / 10 for qi in (0, 1, 2)]
+    assert sum(recalls) / 3 >= 0.5
+    assert all(qi in got[qi] for qi in (0, 1, 2))
+    # full probe == exact
+    rows = ivf_topk(ds, Q, k=10, n_centroids=8, n_probe=8,
+                    query_ids=[0, 1, 2]).take_all()
+    full = {}
+    for r in rows:
+        full.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert full == exact
+
+
+def test_kmeans_deterministic():
+    import numpy as np
+    from ferenda_ray.stages.similarity import kmeans_fit
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((200, 16)).astype("float32")
+    C1 = kmeans_fit(X, 8, seed=11)
+    C2 = kmeans_fit(X, 8, seed=11)
+    assert np.allclose(C1, C2)
