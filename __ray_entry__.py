@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_type": events.latest_per_type,
         "events_frontpage_latest": events.frontpage_latest,
         "events_feed_pages": events.feed_pages,
+        "events_hopping_15m": events.hopping_15m_of_hour,
+        "events_asof_hourly": events.asof_hourly_share,
+        "events_range_pairs": events.range_pairs_5m,
         # --- KG over documents ---
         "doc_triples": docs.doc_triples,
         "doc_mentions": docs.doc_mentions,
@@ -339,6 +342,39 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": """
             SELECT doc_id, lang, source FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""",
+        "events_hopping_15m": """
+            WITH w AS (
+                SELECT event_type, value,
+                       (CAST(floor(epoch(ts) / 900) AS BIGINT) - hops.i)
+                           * 900 AS window_start
+                FROM events, (VALUES (0), (1), (2), (3)) AS hops(i)
+            )
+            SELECT event_type, window_start, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM w GROUP BY event_type, window_start""",
+        "events_asof_hourly": """
+            WITH hourly AS (
+                SELECT event_type,
+                       (CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1)
+                           * 3600000000 AS avail_us,
+                       count(*) AS prev_hour_events
+                FROM events GROUP BY event_type, 2
+            ), l AS (
+                SELECT event_id, event_type, epoch_us(ts) AS ts_us
+                FROM events
+            )
+            SELECT l.event_id, l.event_type, h.prev_hour_events
+            FROM l ASOF LEFT JOIN hourly h
+              ON l.event_type = h.event_type AND l.ts_us >= h.avail_us""",
+        "events_range_pairs": """
+            SELECT a.user_id,
+                   least(a.event_id, b.event_id) AS id_a,
+                   greatest(a.event_id, b.event_id) AS id_b,
+                   CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) // 1000000
+                        AS BIGINT) AS gap_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000""",
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",

@@ -140,6 +140,67 @@ def feed_pages(sf_dir: str, page_size: int = 100):
             .map_groups(pages, batch_format="pandas"))
 
 
+def hopping_15m_of_hour(sf_dir: str):
+    """1-hour windows hopping every 15 min, per event_type: count +
+    value sum (the overlapping-window aggregate; each event lands in
+    4 windows)."""
+    from ferenda_ray.stages.windows import hopping_window
+    from ferenda_ray.pipelines.relational import _round_cols
+    out = hopping_window(
+        _read_events(sf_dir, ["ts", "event_type", "value"]),
+        size_s=3600, hop_s=900, key_cols=["event_type"],
+        aggs={"n_events": ("ts", "count"), "sum_value": ("value", "sum")})
+    return out.map_batches(lambda b: _round_cols(b, {"sum_value": 2}),
+                           batch_format="pyarrow")
+
+
+def asof_hourly_share(sf_dir: str):
+    """As-of join: each event picks the latest completed hourly stats
+    row (count for its event_type in the PREVIOUS hour) — the
+    trades-to-quotes shape.  Right side is the tumbling-hour aggregate
+    shifted forward one hour."""
+    import ray.data as rd
+    from ferenda_ray.stages.windows import asof_join
+
+    hourly = (tumbling_hour(sf_dir)
+              .map_batches(lambda b: pa.table({
+                  "event_type": b.column("event_type"),
+                  "avail_us": pc.multiply(
+                      pc.add(b.column("hour"), 1),
+                      _US_PER_HOUR).cast(pa.int64()),
+                  "prev_hour_events": b.column("n_events"),
+              }), batch_format="pyarrow"))
+    left = (_read_events(sf_dir, ["ts", "event_type", "event_id"])
+            .map_batches(lambda b: pa.table({
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+            }), batch_format="pyarrow"))
+    out = asof_join(left, hourly, on="avail_us", by="event_type",
+                    right_cols=["prev_hour_events"], ts_col_left="ts_us")
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "event_type": b.column("event_type"),
+            "prev_hour_events":
+                b.column("prev_hour_events").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def range_pairs_5m(sf_dir: str, max_gap_s: int = 300):
+    """Self range-join per user: event pairs within 5 minutes."""
+    from ferenda_ray.stages.windows import range_join_pairs
+    ev = (_read_events(sf_dir, ["ts", "user_id", "event_id"]))
+    out = range_join_pairs(ev, key_col="user_id", max_gap_s=max_gap_s)
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "id_a": b.column("id_a").cast(pa.int64()),
+            "id_b": b.column("id_b").cast(pa.int64()),
+            "gap_s": b.column("gap_s").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def event_type_share(sf_dir: str):
     """Count per event_type + share of total (two-pass small agg)."""
     from ray.data.aggregate import Count
