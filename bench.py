@@ -57,9 +57,17 @@ def run_headline() -> dict:
     sameas = pa.Table.from_pylist(sameas_rows())
     vocab = pa.Table.from_pylist(vocab_triple_rows())
 
-    # warm the page cache (measure compute+shuffle, not first disk read)
+    # warm for real: count() only touches parquet metadata, so read the
+    # raw bytes into the page cache, and run a tiny Dataset op so Ray's
+    # worker processes exist before the timed region
+    import glob
+    for f in glob.glob(os.path.join(corpus, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     import ray.data as rd
-    rd.read_parquet(corpus).count()
+    rd.range(10000).map_batches(lambda b: b,
+                                batch_format="pyarrow").count()
 
     out_dir = f"/tmp/ferenda_ray_bench/out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)

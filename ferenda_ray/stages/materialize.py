@@ -31,6 +31,7 @@ import hashlib
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import polars as pl
 
@@ -40,10 +41,30 @@ from ferenda_ray.state import manifest as mf
 SORT_KEY = ["subj", "pred", "obj_value"]
 
 
-def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Vectorized hash bucket on ``subj`` (polars 64-bit hash)."""
+def add_bucket(batch: pa.Table, num_buckets: int,
+               dict_encode: bool = False) -> pa.Table:
+    """Vectorized hash bucket on ``subj`` (polars 64-bit hash).
+
+    ``dict_encode`` dictionary-encodes every string column before the
+    exchange — triple columns are repetitive enough (constant
+    ``graph``, ~13 predicates) that this cuts shuffled bytes ~60%
+    (measured 65 MB → ~25 MB per 232k rows).  DEFAULT OFF: Ray's
+    sort-exchange block concatenation unifies the per-batch
+    dictionaries repeatedly and at the 14.8M-triple scale that
+    unification dominates (the job went from 23 s to >10 min).  On a
+    real multi-node cluster where network bytes — not CPU — bound the
+    exchange, flip it on and measure."""
     h = pl.from_arrow(batch.column("subj")).rename("subj").hash(seed=0)
     b = (h % num_buckets).cast(pl.Int64).rename("bucket")
+    if dict_encode:
+        cols = {}
+        for name in batch.column_names:
+            arr = batch.column(name)
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(
+                    arr.type):
+                arr = pc.dictionary_encode(arr.combine_chunks())
+            cols[name] = arr
+        batch = pa.table(cols)
     return batch.append_column("bucket", b.to_arrow())
 
 
@@ -93,7 +114,16 @@ def _bucket_writer(out_dir: str, fmt: str = "parquet",
     def write_bucket(group: pa.Table) -> pa.Table:
         bucket = group.column("bucket")[0].as_py()
         part = f"bucket={bucket:05d}"
-        df = pl.from_arrow(group.drop_columns(["bucket"]))
+        group = group.drop_columns(["bucket"])
+        # decode any dictionary-encoded columns (post-exchange, local)
+        cols = {}
+        for name in group.column_names:
+            arr = group.column(name)
+            if pa.types.is_dictionary(arr.type):
+                arr = pc.cast(arr.combine_chunks(), arr.type.value_type)
+            cols[name] = arr
+        group = pa.table(cols)
+        df = pl.from_arrow(group)
         key7 = ["subj", "pred", "obj_type", "obj_value", "obj_lang",
                 "obj_datatype", "graph"]
         if dedup:
