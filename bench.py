@@ -172,4 +172,6 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     else:
+        if "--stats" in sys.argv:
+            os.environ["FERENDA_RAY_STATS"] = "1"
         main()

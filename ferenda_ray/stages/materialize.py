@@ -215,6 +215,10 @@ def materialize(triples, out_dir: str, num_buckets: int = 32,
             _bucket_writer(out_dir, fmt, dedup=dedup),
             batch_format="pyarrow")
         result = manifest_ds.take_all()  # tiny: one row per bucket
+        if os.environ.get("FERENDA_RAY_STATS"):
+            # operator-level evidence (task counts, per-stage wall,
+            # shuffle bytes) — `bench.py --stats`
+            print(manifest_ds.stats())
         return pa.Table.from_pylist(result) if result else pa.table({})
     # opt-in hash exchange.  NOTE: the strategy must be set on the
     # DATASET's captured context (`Dataset.context`), not
