@@ -112,6 +112,8 @@ def _bucket_writer(out_dir: str, fmt: str = "parquet",
     """
 
     def write_bucket(group: pa.Table) -> pa.Table:
+        import time
+        t0 = time.perf_counter()
         bucket = group.column("bucket")[0].as_py()
         part = f"bucket={bucket:05d}"
         group = group.drop_columns(["bucket"])
@@ -154,9 +156,11 @@ def _bucket_writer(out_dir: str, fmt: str = "parquet",
             "partition": part,
             "shard_file": files[0] if files else "",
             "rows": data.num_rows,
+            "input_rows": group.num_rows,
             "min_subj": data.column("subj")[0].as_py() if data.num_rows else "",
             "max_subj": data.column("subj")[-1].as_py() if data.num_rows else "",
             "content_sha256": digest.hexdigest(),
+            "elapsed_ms": int((time.perf_counter() - t0) * 1000),
         }
         mf.write_manifest(out_dir, part, record)
         return pa.table({k: [record[k]] for k in record})
