@@ -67,3 +67,17 @@ def qname(uri: str) -> str:
         if uri.startswith(base):
             return f"{prefix}:{uri[len(base):]}"
     return uri
+
+
+# every predicate the engine itself emits (extract/link/canonicalize) —
+# the static exchange vocabulary for materialize's compact encoding
+ENGINE_PREDICATES = [
+    RDF_TYPE, RDFS_LABEL, OWL_SAMEAS,
+    DCTERMS_TITLE, DCTERMS_IDENTIFIER, DCTERMS_LANGUAGE,
+    DCTERMS_ISPARTOF, DCTERMS_REFERENCES, DCTERMS_SUBJECT,
+    DCTERMS_ISSUED, DCTERMS_PUBLISHER, DCTERMS_EXTENT,
+    DCTERMS + "creator", DCTERMS + "requires",
+    PROV_WASGENERATEDBY, BIBO_CHAPTER,
+    SKOS_ALTLABEL, SKOS_PREFLABEL,
+    FR_CONTENT_SHA256, FR_MENTIONS, FR_LANG, FR + "parseError",
+]

@@ -23,7 +23,7 @@ from ferenda_ray.schema import TRIPLES
 from ferenda_ray.stages.extract import extract
 from ferenda_ray.stages.link import link
 from ferenda_ray.stages.canonicalize import (
-    dedup_exact, mapping_from_sameas, prededup_batch, rewrite)
+    _Rewriter, dedup_exact, mapping_from_sameas, prededup_batch, rewrite)
 from ferenda_ray.stages.materialize import materialize
 from ferenda_ray.uri import DEFAULT_BASE
 from ferenda_ray.corpus import GRAPH
@@ -64,8 +64,6 @@ def build_kg(sources, aliases=None, sameas: pa.Table | None = None,
     if repartition_blocks:
         sources = sources.repartition(repartition_blocks)
     triples = extract(sources, base=base, graph=graph)
-    if vocab is not None and vocab.num_rows:
-        triples = triples.union(rd.from_arrow(vocab_as_triples(vocab, graph)))
     if aliases is not None:
         triples = link(triples, aliases, base=base,
                        concurrency=link_concurrency)
@@ -78,22 +76,49 @@ def build_kg(sources, aliases=None, sameas: pa.Table | None = None,
             batch_format="pyarrow")
     mapping = mapping_from_sameas(sameas) if sameas is not None else {}
     triples = rewrite(triples, mapping)
+    if not dedup:
+        # no explicit batch_size: see rewrite() — a large batch_size
+        # would collapse the fused map chain to a handful of tasks
+        triples = triples.map_batches(prededup_batch,
+                                      batch_format="pyarrow")
+    # union the (tiny, mention-free) vocab AFTER the map chain: a
+    # mid-chain Union is a fusion barrier, splitting
+    # extract→link→rewrite→prededup into separate physical operators —
+    # on a small cluster the streaming executor's per-operator
+    # resource reservation then starves the heavy extract stage
+    # (measured: the 72 CPU-s extract ran at ~1× effective parallelism
+    # on an 8-CPU cluster).  Rewrite/dedup semantics are preserved by
+    # applying the rewriter to the vocab table driver-side (tiny) —
+    # bucket-local dedup in materialize covers the rest.
+    if vocab is not None and vocab.num_rows:
+        vt = vocab_as_triples(vocab, graph)
+        if mapping:
+            vt = _Rewriter(mapping)(vt)
+        triples = triples.union(rd.from_arrow(vt))
     if dedup:
         return dedup_exact(triples)
-    return triples.map_batches(prededup_batch, batch_format="pyarrow",
-                               batch_size=65536)
+    return triples
 
 
 def run_kg(sources_path: str, out_dir: str, aliases=None, sameas=None,
            vocab=None, base: str = DEFAULT_BASE, num_buckets: int = 32,
            resume: bool = True, fmt: str = "parquet",
-           link_concurrency=None) -> pa.Table:
+           link_concurrency=None, graph: str = GRAPH) -> pa.Table:
     """End-to-end: read corpus parquet → … → materialized shards.
-    Returns the manifest table."""
+    Returns the manifest table.
+
+    The exchange runs compact (static pred vocabulary = engine
+    predicates + any predicates in the ``vocab`` side table; constant
+    graph dropped in flight) — ~30% fewer shuffled bytes."""
     import ray.data as rd
     sources = rd.read_parquet(sources_path)
     canon = build_kg(sources, aliases=aliases, sameas=sameas, vocab=vocab,
-                     base=base, link_concurrency=link_concurrency,
+                     base=base, graph=graph,
+                     link_concurrency=link_concurrency,
                      dedup=False)
+    pred_vocab = list(ns.ENGINE_PREDICATES)
+    if vocab is not None and vocab.num_rows:
+        pred_vocab += vocab.column("pred").to_pylist()
     return materialize(canon, out_dir, num_buckets=num_buckets,
-                       resume=resume, fmt=fmt, dedup=True)
+                       resume=resume, fmt=fmt, dedup=True,
+                       pred_vocab=pred_vocab, graph_const=graph)

@@ -98,10 +98,14 @@ def rewrite(triples, mapping: dict, broadcast: bool | None = None):
         ref = ray.put(mapping)
         return triples.map_batches(
             _Rewriter, fn_constructor_kwargs={"mapping": ref},
-            batch_format="pyarrow", batch_size=65536, concurrency=(1, 8))
+            batch_format="pyarrow", concurrency=(1, 8))
+    # batch_size deliberately unset: an explicit large batch_size on a
+    # stage that fuses with upstream maps makes Ray bundle that many
+    # input ROWS into every fused task (e.g. 65536 ⇒ only 7 tasks for
+    # a 400k-doc corpus — parallelism collapse); per-block batches are
+    # already tens of thousands of rows here
     rewriter = _Rewriter(mapping)
-    return triples.map_batches(rewriter, batch_format="pyarrow",
-                               batch_size=65536)
+    return triples.map_batches(rewriter, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -151,8 +155,7 @@ def dedup_exact(triples):
     lineage pair.  Phase 1: per-batch vectorized unique (combiner);
     phase 2: one hash-shuffle groupby-aggregate."""
     from ray.data.aggregate import Min
-    pre = triples.map_batches(_prededup, batch_format="pyarrow",
-                              batch_size=65536)
+    pre = triples.map_batches(_prededup, batch_format="pyarrow")
     agg = pre.groupby(KEY7).aggregate(Min("src_repo"), Min("src_path"))
     return agg.map_batches(_restore, batch_format="pyarrow",
                            batch_size=65536)

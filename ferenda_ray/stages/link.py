@@ -132,7 +132,7 @@ class EntityLinker:
 
 
 def link(triples, aliases, base: str = DEFAULT_BASE, concurrency=None,
-         batch_size: int = 8192, num_cpus: float = 1.0,
+         batch_size: int | None = None, num_cpus: float = 1.0,
          actor_threshold: int = 100_000):
     """Attach the entity linker to a triples/mentions Dataset.
 
@@ -153,6 +153,11 @@ def link(triples, aliases, base: str = DEFAULT_BASE, concurrency=None,
     n_aliases = (aliases.num_rows if isinstance(aliases, pa.Table)
                  else len(aliases))
     if concurrency is None and n_aliases < actor_threshold:
+        # batch_size deliberately None: an explicit batch_size on a
+        # fusing stage makes Ray bundle that many rows per fused task
+        # (8192 here collapsed the 400k-doc chain to 43 tasks — a 2-
+        # wave schedule with a long straggler tail); per-block batches
+        # keep one task per upstream block
         linker = EntityLinker(aliases, base=base)
         return triples.map_batches(linker, batch_format="pyarrow",
                                    batch_size=batch_size)

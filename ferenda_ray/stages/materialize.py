@@ -40,9 +40,58 @@ from ferenda_ray.state import manifest as mf
 
 SORT_KEY = ["subj", "pred", "obj_value"]
 
+# fixed obj_type enum (engine-emitted values only)
+_OBJ_TYPES = pa.array(["uri", "literal", "bnode", "mention", "error"])
+
+
+def compact_batch(batch: pa.Table, pred_vocab: pa.Array,
+                  graph_const: str | None) -> pa.Table:
+    """Shrink exchange bytes without Arrow dictionary types (whose
+    per-batch dictionaries Ray's exchange concat re-unifies
+    quadratically): ``pred`` → int32 code against a GLOBAL static
+    vocabulary (unknowns ride a mostly-empty fallback column),
+    ``obj_type`` → int8 against the fixed enum, and the constant
+    ``graph`` column is dropped entirely.  ~30% fewer shuffled bytes
+    on the triple schema (pred+graph+obj_type ≈ 20 of 65 MB per 232k
+    rows)."""
+    pred_c = pc.index_in(batch.column("pred"), value_set=pred_vocab) \
+        .cast(pa.int32())
+    known = pc.is_valid(pred_c)
+    pred_x = pc.if_else(known, pa.nulls(batch.num_rows, pa.string()),
+                        batch.column("pred").combine_chunks())
+    ot_c = pc.index_in(batch.column("obj_type"),
+                       value_set=_OBJ_TYPES).cast(pa.int8())
+    cols = {"pred_c": pred_c, "pred_x": pred_x, "obj_type_c": ot_c}
+    drop = ["pred", "obj_type"]
+    if graph_const is not None:
+        drop.append("graph")
+    out = batch.drop_columns(drop)
+    for k, v in cols.items():
+        out = out.append_column(k, v)
+    return out
+
+
+def restore_batch(table: pa.Table, pred_vocab: pa.Array,
+                  graph_const: str | None) -> pa.Table:
+    """Inverse of :func:`compact_batch` (post-exchange, bucket-local)."""
+    pred_c = table.column("pred_c").combine_chunks()
+    known = pc.take(pred_vocab, pc.fill_null(pred_c, 0))
+    pred = pc.if_else(pc.is_valid(pred_c), known,
+                      table.column("pred_x").combine_chunks())
+    ot = pc.take(_OBJ_TYPES, table.column("obj_type_c").combine_chunks())
+    out = table.drop_columns(["pred_c", "pred_x", "obj_type_c"])
+    out = out.append_column("pred", pred.cast(pa.string()))
+    out = out.append_column("obj_type", ot.cast(pa.string()))
+    if graph_const is not None:
+        out = out.append_column(
+            "graph", pa.array([graph_const] * table.num_rows, pa.string()))
+    return out.select(TRIPLES.names)
+
 
 def add_bucket(batch: pa.Table, num_buckets: int,
-               dict_encode: bool = False) -> pa.Table:
+               dict_encode: bool = False,
+               pred_vocab: pa.Array | None = None,
+               graph_const: str | None = None) -> pa.Table:
     """Vectorized hash bucket on ``subj`` (polars 64-bit hash).
 
     ``dict_encode`` dictionary-encodes every string column before the
@@ -56,6 +105,8 @@ def add_bucket(batch: pa.Table, num_buckets: int,
     exchange, flip it on and measure."""
     h = pl.from_arrow(batch.column("subj")).rename("subj").hash(seed=0)
     b = (h % num_buckets).cast(pl.Int64).rename("bucket")
+    if pred_vocab is not None:
+        batch = compact_batch(batch, pred_vocab, graph_const)
     if dict_encode:
         cols = {}
         for name in batch.column_names:
@@ -98,7 +149,9 @@ def to_ntriples(table: pa.Table) -> pl.Series:
 
 
 def _bucket_writer(out_dir: str, fmt: str = "parquet",
-                   dedup: bool = False):
+                   dedup: bool = False,
+                   pred_vocab: pa.Array | None = None,
+                   graph_const: str | None = None):
     """Per-bucket ``map_groups`` sink: (dedup,) sort, write, emit
     manifest row.
 
@@ -117,6 +170,8 @@ def _bucket_writer(out_dir: str, fmt: str = "parquet",
         bucket = group.column("bucket")[0].as_py()
         part = f"bucket={bucket:05d}"
         group = group.drop_columns(["bucket"])
+        if pred_vocab is not None:
+            group = restore_batch(group, pred_vocab, graph_const)
         # decode any dictionary-encoded columns (post-exchange, local)
         cols = {}
         for name in group.column_names:
@@ -171,7 +226,8 @@ def _bucket_writer(out_dir: str, fmt: str = "parquet",
 def materialize(triples, out_dir: str, num_buckets: int = 32,
                 resume: bool = True, fmt: str = "parquet",
                 dedup: bool = False,
-                shuffle_partitions: int | None = None) -> pa.Table:
+                shuffle_partitions: int | None = None,
+                pred_vocab=None, graph_const: str | None = None) -> pa.Table:
     """Write hash-bucketed, within-bucket-sorted shards; returns the
     manifest table (one row per bucket written this run).
 
@@ -195,9 +251,12 @@ def materialize(triples, out_dir: str, num_buckets: int = 32,
     """
     import functools
     os.makedirs(out_dir, exist_ok=True)
+    if pred_vocab is not None and not isinstance(pred_vocab, pa.Array):
+        pred_vocab = pa.array(sorted(set(pred_vocab)), pa.string())
     bucketed = triples.map_batches(
-        functools.partial(add_bucket, num_buckets=num_buckets),
-        batch_format="pyarrow", batch_size=65536)
+        functools.partial(add_bucket, num_buckets=num_buckets,
+                          pred_vocab=pred_vocab, graph_const=graph_const),
+        batch_format="pyarrow")
     if resume:
         done = {int(p.split("=")[1]) for p in mf.done_partitions(out_dir)}
         if done:
@@ -216,7 +275,8 @@ def materialize(triples, out_dir: str, num_buckets: int = 32,
     # 3.7M-triple corpus at 32 CPUs)
     if shuffle_partitions is None:
         manifest_ds = bucketed.groupby("bucket").map_groups(
-            _bucket_writer(out_dir, fmt, dedup=dedup),
+            _bucket_writer(out_dir, fmt, dedup=dedup,
+                           pred_vocab=pred_vocab, graph_const=graph_const),
             batch_format="pyarrow")
         result = manifest_ds.take_all()  # tiny: one row per bucket
         if os.environ.get("FERENDA_RAY_STATS"):
@@ -236,7 +296,8 @@ def materialize(triples, out_dir: str, num_buckets: int = 32,
     try:
         manifest_ds = bucketed.groupby(
             "bucket", num_partitions=shuffle_partitions).map_groups(
-            _bucket_writer(out_dir, fmt, dedup=dedup),
+            _bucket_writer(out_dir, fmt, dedup=dedup,
+                           pred_vocab=pred_vocab, graph_const=graph_const),
             batch_format="pyarrow")
         result = manifest_ds.take_all()  # tiny: one row per bucket
     finally:
