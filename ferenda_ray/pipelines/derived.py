@@ -16,6 +16,22 @@ from ferenda_ray.functions.facets import DEFAULT_FACETS, Facet
 from ferenda_ray.uri import DEFAULT_BASE, basefile_from_uri
 
 
+def _apply_unique(vals: pl.Series, fn) -> pl.Series:
+    """Apply a Python scalar ``fn`` per DISTINCT value then remap
+    vectorized (polars ``replace_strict``): O(n_distinct) Python calls
+    instead of O(n_rows).  Values where ``fn`` raises map to null
+    (callers drop them) — the in-batch replacement for the former
+    per-row loops / ``Dataset.filter(lambda)`` sites."""
+    mapping = {}
+    for v in vals.unique().drop_nulls().to_list():
+        try:
+            mapping[v] = str(fn(v))
+        except Exception:
+            mapping[v] = None
+    return vals.replace_strict(mapping, default=None,
+                               return_dtype=pl.String)
+
+
 # ---------------------------------------------------------------------------
 # faceted_data — SPARQL SELECT pivot analogue (documentrepository.py:2235-2383)
 
@@ -75,9 +91,10 @@ def toc_pagesets(faceted, facet: Facet) -> pa.Table:
     """Distinct selector values (+ doc counts) for one facet — the page
     list (``:2855-2934``).  Small result, returned as a Table."""
     def sel(b: pa.Table) -> pa.Table:
-        vals = [v if v is None else facet.selector(v)
-                for v in b.column(facet.binding).to_pylist()]
-        return pa.table({"value": pa.array(vals, pa.string())})
+        vals = _apply_unique(
+            pl.from_arrow(b.column(facet.binding)).rename("v"),
+            facet.selector)
+        return pa.table({"value": vals.to_arrow().cast(pa.string())})
     counts = (faceted.map_batches(sel, batch_format="pyarrow")
               .groupby("value").count())
     t = pa.Table.from_pylist(counts.take_all())
@@ -96,14 +113,13 @@ def toc_select_for_pages(faceted, facet: Facet):
     binding = facet.binding
 
     def add_keys(b: pa.Table) -> pa.Table:
-        vals = b.column(binding).to_pylist()
-        sel = [None if v is None else str(facet.selector(v)) for v in vals]
-        key = [None if v is None else str(facet.key(v)) for v in vals]
-        return (b.append_column("_sel", pa.array(sel, pa.string()))
-                 .append_column("_key", pa.array(key, pa.string())))
+        vals = pl.from_arrow(b.column(binding)).rename("v")
+        sel = _apply_unique(vals, facet.selector).to_arrow().cast(pa.string())
+        key = _apply_unique(vals, facet.key).to_arrow().cast(pa.string())
+        out = (b.append_column("_sel", sel).append_column("_key", key))
+        return out.filter(pc.is_valid(out.column("_sel")))
 
-    keyed = (faceted.map_batches(add_keys, batch_format="pyarrow")
-             .filter(lambda r: r["_sel"] is not None))
+    keyed = faceted.map_batches(add_keys, batch_format="pyarrow")
 
     def page(group: pa.Table) -> pa.Table:
         g = group.sort_by([("_key", "descending" if facet.key_descending
@@ -124,17 +140,17 @@ def toc_entries(faceted, facet: Facet):
     binding = facet.binding
 
     def add_keys(b: pa.Table) -> pa.Table:
-        vals = b.column(binding).to_pylist()
-        sel = [None if v is None else str(facet.selector(v)) for v in vals]
-        key = [None if v is None else str(facet.key(v)) for v in vals]
-        return pa.table({
-            "value": pa.array(sel, pa.string()),
-            "sortkey": pa.array(key, pa.string()),
+        vals = pl.from_arrow(b.column(binding)).rename("v")
+        t = pa.table({
+            "value": _apply_unique(vals, facet.selector)
+            .to_arrow().cast(pa.string()),
+            "sortkey": _apply_unique(vals, facet.key)
+            .to_arrow().cast(pa.string()),
             "uri": b.column("uri"),
         })
+        return t.filter(pc.is_valid(t.column("value")))
 
-    return (faceted.map_batches(add_keys, batch_format="pyarrow")
-            .filter(lambda r: r["value"] is not None))
+    return faceted.map_batches(add_keys, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -180,20 +196,21 @@ def news_feeds(faceted, facet: Facet, date_binding: str = "dcterms_issued",
         })
 
     def add_fv(b: pa.Table) -> pa.Table:
-        vals = [None if v is None else str(facet.selector(v))
-                for v in b.column(binding).to_pylist()]
-        return b.append_column("_fv", pa.array(vals, pa.string()))
+        fv = _apply_unique(pl.from_arrow(b.column(binding)).rename("v"),
+                           facet.selector).to_arrow().cast(pa.string())
+        out = b.append_column("_fv", fv)
+        return out.filter(pc.and_(pc.is_valid(out.column("_fv")),
+                                  pc.is_valid(out.column(date_binding))))
 
-    keyed = (faceted.map_batches(add_fv, batch_format="pyarrow")
-             .filter(lambda r: r["_fv"] is not None
-                     and r[date_binding] is not None))
+    keyed = faceted.map_batches(add_fv, batch_format="pyarrow")
     per_value = keyed.groupby("_fv").map_groups(feed, batch_format="pyarrow")
 
-    all_keyed = (faceted
-                 .map_batches(lambda b: b.append_column(
-                     "_fv", pa.array(["all"] * b.num_rows, pa.string())),
-                     batch_format="pyarrow")
-                 .filter(lambda r: r[date_binding] is not None))
+    def add_all(b: pa.Table) -> pa.Table:
+        out = b.append_column(
+            "_fv", pa.array(["all"] * b.num_rows, pa.string()))
+        return out.filter(pc.is_valid(out.column(date_binding)))
+
+    all_keyed = faceted.map_batches(add_all, batch_format="pyarrow")
     all_feed = all_keyed.groupby("_fv").map_groups(feed,
                                                    batch_format="pyarrow")
     return per_value.union(all_feed)
@@ -217,22 +234,30 @@ def stats(triples, facets: list | None = None):
                      value_set=pa.array(list(pred_to_binding))),
             pc.invert(pc.match_substring(b.column("subj"), "#")))
         b = b.filter(keep)
-        dims, vals, uris = [], [], []
-        for subj, pred, v in zip(b.column("subj").to_pylist(),
-                                 b.column("pred").to_pylist(),
-                                 b.column("obj_value").to_pylist()):
-            binding = pred_to_binding[pred]
-            try:
-                sv = str(selectors[binding](v))
-            except Exception:
+        df = pl.from_arrow(b.select(["subj", "pred", "obj_value"]))
+        df = df.with_columns(
+            pl.col("pred").replace_strict(pred_to_binding, default=None,
+                                          return_dtype=pl.String)
+            .alias("dimension"),
+            pl.col("obj_value").cast(pl.String))
+        # selector applied per distinct value per dimension (memoized
+        # remap — was a per-row Python loop)
+        parts = []
+        for binding, selfn in selectors.items():
+            sub = df.filter(pl.col("dimension") == binding)
+            if sub.height == 0:
                 continue
-            dims.append(binding)
-            vals.append(sv)
-            uris.append(subj)
-        t = pa.table({"dimension": pa.array(dims, pa.string()),
-                      "value": pa.array(vals, pa.string()),
-                      "uri": pa.array(uris, pa.string())})
-        return pl.from_arrow(t).unique().to_arrow()  # in-batch dedup
+            parts.append(pl.DataFrame({
+                "dimension": sub["dimension"],
+                "value": _apply_unique(sub["obj_value"], selfn),
+                "uri": sub["subj"],
+            }))
+        if not parts:
+            return pa.table({"dimension": pa.array([], pa.string()),
+                             "value": pa.array([], pa.string()),
+                             "uri": pa.array([], pa.string())})
+        out = (pl.concat(parts).drop_nulls("value").unique())
+        return out.to_arrow()  # in-batch dedup
 
     projected = triples.map_batches(project, batch_format="pyarrow")
     distinct = projected.groupby(["dimension", "value", "uri"]).count()
@@ -263,13 +288,17 @@ def dependencies(triples, base: str = DEFAULT_BASE, num_partitions: int = 8):
     ``(src_doc_uri, dst_doc_uri)`` rows.  The inverse-reference join of
     ``relate_dependencies`` (object-URI probe, ``:2029-2055``) as one
     partitioned hash join instead of per-doc file appends."""
-    # docs side: every bibo:Document subject
-    docs = (triples
-            .filter(lambda r: r["pred"] == ns.RDF_TYPE
-                    and r["obj_value"] == ns.BIBO_DOCUMENT)
-            .map_batches(lambda b: _doc_ref_key(b, base),
-                         batch_format="pyarrow")
-            .filter(lambda r: r["ref_key"] is not None))
+    # docs side: every bibo:Document subject (vectorized in-batch
+    # predicate filter — runs on ~1 row per doc, not per triple)
+    def docs_proj(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(b.column("pred"), ns.RDF_TYPE),
+            pc.equal(b.column("obj_value").cast(pa.string()),
+                     ns.BIBO_DOCUMENT))
+        t = _doc_ref_key(b.filter(keep), base)
+        return t.filter(pc.is_valid(t.column("ref_key")))
+
+    docs = triples.map_batches(docs_proj, batch_format="pyarrow")
     # refs side: citation edges; strip #S fragment from the ref URI
     def refs_proj(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("pred"), ns.DCTERMS_REFERENCES))

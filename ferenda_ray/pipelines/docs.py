@@ -38,32 +38,36 @@ def doc_triples(sf_dir: str, base: str = DEFAULT_BASE):
     """Document-level triples: type, identifier, language, extent,
     content sha256 (the per-row lineage invariant).  5 triples per doc,
     flat-map inside one ``map_batches``."""
+    _4COL = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                       ("obj_type", pa.string()), ("obj_value", pa.string())])
+
     def emit(b: pa.Table) -> pa.Table:
-        subj, pred, ot, ov = [], [], [], []
+        # URI + constant columns are vectorized string concat; only the
+        # sha256 lineage digest needs the Python loop (no vectorized
+        # sha256 kernel in arrow/polars)
+        import polars as pl
+        df = pl.from_arrow(
+            b.select(["doc_id", "text", "lang", "source", "n_chars"]))
+        du = (pl.lit(base + "res/") + pl.col("source") + pl.lit("/")
+              + pl.col("doc_id").cast(pl.String)).alias("subj")
+        sha = pl.Series("sha", [hashlib.sha256(t.encode("utf-8")).hexdigest()
+                                for t in df["text"]])
 
-        def row(s, p, t, v):
-            subj.append(s)
-            pred.append(p)
-            ot.append(t)
-            ov.append(v)
+        def block(p, t, ov):
+            return df.select(du, pl.lit(p).alias("pred"),
+                             pl.lit(t).alias("obj_type"),
+                             ov.alias("obj_value"))
 
-        for did, text, lang, source, n_chars in zip(
-                b.column("doc_id").to_pylist(),
-                b.column("text").to_pylist(),
-                b.column("lang").to_pylist(),
-                b.column("source").to_pylist(),
-                b.column("n_chars").to_pylist()):
-            du = doc_uri_for(source, did, base)
-            row(du, ns.RDF_TYPE, "uri", ns.BIBO_DOCUMENT)
-            row(du, ns.DCTERMS_IDENTIFIER, "literal", str(did))
-            row(du, ns.DCTERMS_LANGUAGE, "literal", lang)
-            row(du, ns.DCTERMS_EXTENT, "literal", str(n_chars))
-            row(du, ns.FR_CONTENT_SHA256, "literal",
-                hashlib.sha256(text.encode("utf-8")).hexdigest())
-        return pa.table({"subj": pa.array(subj, pa.string()),
-                         "pred": pa.array(pred, pa.string()),
-                         "obj_type": pa.array(ot, pa.string()),
-                         "obj_value": pa.array(ov, pa.string())})
+        out = pl.concat([
+            block(ns.RDF_TYPE, "uri", pl.lit(ns.BIBO_DOCUMENT)),
+            block(ns.DCTERMS_IDENTIFIER, "literal",
+                  pl.col("doc_id").cast(pl.String)),
+            block(ns.DCTERMS_LANGUAGE, "literal", pl.col("lang")),
+            block(ns.DCTERMS_EXTENT, "literal",
+                  pl.col("n_chars").cast(pl.String)),
+            block(ns.FR_CONTENT_SHA256, "literal", sha),
+        ])
+        return out.to_arrow().cast(_4COL)
 
     return _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow",
                                           batch_size=8192)
@@ -144,16 +148,21 @@ def _mention_triples(sf_dir: str, base: str = DEFAULT_BASE):
     from ferenda_ray.uri import entity_uri
 
     def as_triples(b: pa.Table) -> pa.Table:
-        return _widen9(pa.table({
-            "subj": pa.array(
-                [f"{base}res/doc/{d}"
-                 for d in b.column("doc_id").to_pylist()], pa.string()),
-            "pred": pa.array([ns.DCTERMS_SUBJECT] * b.num_rows, pa.string()),
-            "obj_type": pa.array(["uri"] * b.num_rows, pa.string()),
-            "obj_value": pa.array(
-                [entity_uri(a, base) for a in b.column("alias").to_pylist()],
-                pa.string()),
-        }))
+        import polars as pl
+        df = pl.from_arrow(b.select(["doc_id", "alias"]))
+        # entity_uri memoized over the tiny distinct alias set
+        amap = {a: entity_uri(a, base)
+                for a in df["alias"].unique().to_list()}
+        out = df.select(
+            (pl.lit(base + "res/doc/") + pl.col("doc_id").cast(pl.String))
+            .alias("subj"),
+            pl.lit(ns.DCTERMS_SUBJECT).alias("pred"),
+            pl.lit("uri").alias("obj_type"),
+            pl.col("alias").replace_strict(amap, return_dtype=pl.String)
+            .alias("obj_value"))
+        return _widen9(out.to_arrow().cast(pa.schema(
+            [("subj", pa.string()), ("pred", pa.string()),
+             ("obj_type", pa.string()), ("obj_value", pa.string())])))
 
     return doc_mentions(sf_dir).map_batches(as_triples,
                                             batch_format="pyarrow")
@@ -309,12 +318,13 @@ def docs_search(sf_dir: str, terms=("batch", "stream", "vector"),
     from ferenda_ray.stages.fulltext import search
 
     def as_index(b: pa.Table) -> pa.Table:
+        import polars as pl
         n = b.num_rows
+        uri = pl.from_arrow(b.select(["source", "doc_id"])).select(
+            (pl.lit(DEFAULT_BASE + "res/") + pl.col("source") + pl.lit("/")
+             + pl.col("doc_id").cast(pl.String)).alias("uri"))["uri"]
         return pa.table({
-            "uri": pa.array(
-                [doc_uri_for(src, d) for src, d in
-                 zip(b.column("source").to_pylist(),
-                     b.column("doc_id").to_pylist())], pa.string()),
+            "uri": uri.to_arrow().cast(pa.string()),
             "title": pa.array([""] * n, pa.string()),
             "text": b.column("text").cast(pa.large_string()),
         })

@@ -97,8 +97,10 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
-    """Join (broadcast customer ∩ segment → semi-filter orders) ⋈
-    lineitem via ``Dataset.join``; revenue per order; global top-k."""
+    """Broadcast the segment-filtered CUSTOMER keyset (a true dim),
+    semi-filter orders per batch against it, then semi-join lineitem ⋈
+    filtered orders via ``Dataset.join`` — no fact-derived data ever
+    ships to the driver; revenue per order; global top-k."""
     import ray
     from ray.data.aggregate import Sum
     cust = _small_table(_read(sf_dir, "customer",
@@ -106,42 +108,39 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     keyset = cust.filter(
         pc.equal(cust.column("c_mktsegment"), segment)) \
         .column("c_custkey").combine_chunks()
+    keyset_ref = ray.put(keyset)
 
-    def order_filter(b: pa.Table) -> pa.Table:
-        # vectorized semi-join against the broadcast key set
-        mask = pc.is_in(b.column("o_custkey"), value_set=keyset)
-        return b.filter(mask).select(["o_orderkey"])
-
-    # the segment-filtered order keyset is small (|orders|/segments);
-    # collect it once and broadcast-semi-join lineitem — no shuffle
-    # join.  (At a scale where even the filtered keyset cannot ship,
-    # swap this for `li.join(orders, on=l_orderkey)` — same semantics.)
-    okeys = _small_table(
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-        .map_batches(order_filter, batch_format="pyarrow")) \
-        .column("o_orderkey").combine_chunks()
-    import ray
-    okeys_ref = ray.put(okeys)
-
-    class SemiJoin:
+    class OrderFilter:
         def __init__(self, ref):
             self.keys = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            b = b.filter(pc.is_in(b.column("l_orderkey"),
-                                  value_set=self.keys))
-            return pa.table({
-                "l_orderkey": b.column("l_orderkey"),
-                "rev": pc.multiply(b.column("l_extendedprice"),
-                                   pc.subtract(pa.scalar(1.0),
-                                               b.column("l_discount")))})
+            # vectorized semi-join against the broadcast customer keys
+            mask = pc.is_in(b.column("o_custkey"), value_set=self.keys)
+            return b.filter(mask).select(["o_orderkey"])
+
+    orders = (_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+              .map_batches(OrderFilter,
+                           fn_constructor_kwargs={"ref": keyset_ref},
+                           batch_format="pyarrow", batch_size=65536,
+                           concurrency=(1, 4))
+              .repartition(4))
+
+    def rev_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev": pc.multiply(b.column("l_extendedprice"),
+                               pc.subtract(pa.scalar(1.0),
+                                           b.column("l_discount")))})
 
     li = (_read(sf_dir, "lineitem",
                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
-          .map_batches(SemiJoin, fn_constructor_kwargs={"ref": okeys_ref},
-                       batch_format="pyarrow", batch_size=65536,
-                       concurrency=(1, 8)))
-    rev = (li.groupby("l_orderkey")
+          .map_batches(rev_proj, batch_format="pyarrow",
+                       batch_size=65536)
+          .repartition(8))
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    rev = (joined.groupby("l_orderkey")
            .aggregate(Sum("rev", alias_name="revenue")))
     # deterministic top-k: tie-break on the key (matches the oracle's
     # ORDER BY <unrounded expr> DESC, l_orderkey)
@@ -152,48 +151,55 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
 
 def nation_revenue(sf_dir: str):
-    """Multi-dimension broadcast join: lineitem→orders→customer→nation,
-    revenue per nation name.  Dims (customer, nation) broadcast; the
-    orders→custkey map is also broadcast (small at test scale; at 100 TB
-    orders joins via Dataset.join instead — same shape as q3)."""
+    """Multi-dimension join: lineitem ⋈ orders ⋈ customer ⋈ nation,
+    revenue per nation name.  Only the TRUE dimensions broadcast
+    (customer⋈nation pre-joined driver-side → c_custkey→n_name map);
+    the fact-fact edge (lineitem↔orders) is a distributed
+    ``Dataset.join`` — nothing fact-derived ever rides the driver."""
     import polars as pl
     import ray
     from ray.data.aggregate import Sum
-    orders = _small_table(_read(sf_dir, "orders",
-                                columns=["o_orderkey", "o_custkey"]))
     cust = _small_table(_read(sf_dir, "customer",
                               columns=["c_custkey", "c_nationkey"]))
     nation = _small_table(_read(sf_dir, "nation",
                                 columns=["n_nationkey", "n_name"]))
-    # pre-join the dimensions once on the driver: one broadcast
-    # (o_orderkey → n_name) table, vectorized hash-joined per batch
-    o2name = (pl.from_arrow(orders)
-              .join(pl.from_arrow(cust), left_on="o_custkey",
-                    right_on="c_custkey")
+    # pre-join the dims once on the driver: one broadcast
+    # (c_custkey → n_name) table, vectorized hash-joined per batch
+    c2name = (pl.from_arrow(cust)
               .join(pl.from_arrow(nation), left_on="c_nationkey",
                     right_on="n_nationkey")
-              .select(["o_orderkey", "n_name"]))
-    ref = ray.put(o2name)
+              .select(["c_custkey", "n_name"]))
+    ref = ray.put(c2name)
+
+    def rev_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev": pc.multiply(b.column("l_extendedprice"),
+                               pc.subtract(pa.scalar(1.0),
+                                           b.column("l_discount")))})
+
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"])
+          .map_batches(rev_proj, batch_format="pyarrow", batch_size=65536)
+          .repartition(8))
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]).repartition(4)
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
 
     class Mapper:
         def __init__(self, ref):
-            self.o2name = ray.get(ref)
+            self.c2name = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            df = pl.from_arrow(pa.table({
-                "o_orderkey": b.column("l_orderkey"),
-                "rev": pc.multiply(b.column("l_extendedprice"),
-                                   pc.subtract(pa.scalar(1.0),
-                                               b.column("l_discount"))),
-            }))
-            out = df.join(self.o2name, on="o_orderkey", how="inner")
+            df = pl.from_arrow(b.select(["o_custkey", "rev"]))
+            out = df.join(self.c2name, left_on="o_custkey",
+                          right_on="c_custkey", how="inner")
             return out.select(["n_name", "rev"]).to_arrow()
 
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    agg = (li.map_batches(Mapper, fn_constructor_kwargs={"ref": ref},
-                          batch_format="pyarrow", batch_size=65536,
-                          concurrency=(1, 8))
+    agg = (joined.map_batches(Mapper, fn_constructor_kwargs={"ref": ref},
+                              batch_format="pyarrow", batch_size=65536,
+                              concurrency=(1, 8))
            .groupby("n_name").aggregate(Sum("rev", alias_name="revenue")))
     return agg.map_batches(lambda b: _round_cols(b, {"revenue": 2}),
                            batch_format="pyarrow")

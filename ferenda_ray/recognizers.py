@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 from ferenda_ray.elements import Body, Heading, Paragraph, Section, UnicodeElement
 from ferenda_ray.fsm import FSMParser, FSMStateError
+from ferenda_ray.fsm import newstate as fsm_newstate
 
 
 @dataclass
@@ -51,27 +52,28 @@ _RE_SEC = re.compile(r"^## (\d+)\. (.+)$")
 _RE_SUB = re.compile(r"^### (\d+(?:\.\d+)+) (.+)$")
 
 
-def _is_h1(line):
-    return bool(_RE_H1.match(line))
+# recognizers receive the PARSER (reference API, fsmparser.py:118-156)
+def _is_h1(p):
+    return bool(_RE_H1.match(p.reader.peek()))
 
 
-def _is_kv(line):
-    return bool(_RE_KV.match(line))
+def _is_kv(p):
+    return bool(_RE_KV.match(p.reader.peek()))
 
 
-def _is_section(line):
-    return bool(_RE_SEC.match(line))
+def _is_section(p):
+    return bool(_RE_SEC.match(p.reader.peek()))
 
 
-def _is_subsection(line):
-    return bool(_RE_SUB.match(line))
+def _is_subsection(p):
+    return bool(_RE_SUB.match(p.reader.peek()))
 
 
-def _is_blank(line):
-    return not line.strip()
+def _is_blank(p):
+    return not p.reader.peek().strip()
 
 
-def _is_para(line):
+def _is_para(p):
     return True
 
 
@@ -97,6 +99,7 @@ def _make_para(p):
     return Paragraph([p.reader.next()])
 
 
+@fsm_newstate("section")
 def _make_section(p):
     line = p.reader.next()
     m = _RE_SEC.match(line) or _RE_SUB.match(line)
@@ -124,7 +127,9 @@ def markdown_parser() -> FSMParser:
         ("subsection", _is_subsection): (False, None),
     })
     p.initial_state = "body"
-    p.initial_constructor = lambda parser: Body()
+    # the initial constructor recurses itself (reference semantics:
+    # parse() returns initial_constructor(parser) directly)
+    p.initial_constructor = lambda parser: parser.make_children(Body())
     return p
 
 

@@ -173,52 +173,95 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
     sigs = minhash_signatures(docs, num_perm, shingle_n, seed,
                               text_col, id_col)
 
+    # Shuffle ONLY (id, band, bhash) through the band exchange — NOT the
+    # 128×int64 signature (which would be copied into every band row =
+    # ``bands``× shuffle amplification).  Signatures re-join to the
+    # candidate-pair set afterwards: two hash-joins of the sig table vs
+    # a 16× fatter band shuffle.
     def explode(b: pa.Table) -> pa.Table:
-        ids, bnd, bh, sig_out = [], [], [], []
+        ids, bnd, bh = [], [], []
         for i, sig in zip(b.column(id_col).to_pylist(),
                           b.column("minhash").to_pylist()):
             for bi, h in enumerate(_bands(sig, bands, rows)):
                 ids.append(i)
                 bnd.append(bi)
                 bh.append(h)
-                sig_out.append(sig)
         return pa.table({
-            id_col: pa.array(ids),
+            id_col: pa.array(ids, pa.int64()),
             "band": pa.array(bnd, pa.int32()),
             "bhash": pa.array(bh, pa.int64()),
-            "minhash": pa.array(sig_out, pa.list_(pa.int64())),
         })
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
+        ids = sorted(set(group.column(id_col).to_pylist()))
         if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a_out, b_out = [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a_out.append(ids[x])
+                b_out.append(ids[y])
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64())})
+
+    cand = (exploded.groupby(["band", "bhash"])
+            .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # a pair can surface from several bands → dedup, then re-attach the
+    # two signatures and estimate Jaccard (fraction of equal perms)
+    cand = (cand.groupby(["id_a", "id_b"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+    # coalesce: map_groups output carries empty blocks that hang/break
+    # Ray 2.49's hash-shuffle join (same workaround as
+    # canonicalize.label_propagation)
+    cand = cand.repartition(4).materialize()
+
+    # pack each 128×int64 signature into one binary value — arrow's
+    # hash join can't carry list payload columns, and the pack is
+    # vectorized (one flatten + per-row memoryview slice)
+    def _sig_packed(idname: str, signame: str):
+        def pack(b: pa.Table) -> pa.Table:
+            arr = b.column("minhash").combine_chunks()
+            n = len(arr)
+            flat = pc.list_flatten(arr).to_numpy().astype("<i8")
+            buf = pa.py_buffer(flat.tobytes())
+            fsb = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(num_perm * 8), n, [None, buf])
+            return pa.table({idname: b.column(id_col), signame: fsb})
+        return pack
+
+    sig_a = sigs.map_batches(_sig_packed("id_a", "sig_a"),
+                             batch_format="pyarrow").repartition(4)
+    sig_b = sigs.map_batches(_sig_packed("id_b", "sig_b"),
+                             batch_format="pyarrow").repartition(4)
+    joined = cand.join(sig_a, join_type="inner", on=("id_a",),
+                       num_partitions=8)
+    joined = joined.join(sig_b, join_type="inner", on=("id_b",),
+                         num_partitions=8)
+
+    def _unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
+        raw = b"".join(m.as_py() for m in col.combine_chunks())
+        return np.frombuffer(raw, dtype="<i8").reshape(n, num_perm)
+
+    def estimate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "est_jaccard": pa.array([], pa.float64())})
-        sigs_ = np.array(group.column("minhash").to_pylist())
-        a_out, b_out, j_out = [], [], []
-        order = np.argsort(ids)
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                ia, ib = order[x], order[y]
-                if ids[ia] == ids[ib]:
-                    continue
-                est = float((sigs_[ia] == sigs_[ib]).mean())
-                if est >= threshold:
-                    a_out.append(ids[ia])
-                    b_out.append(ids[ib])
-                    j_out.append(est)
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
-                         "est_jaccard": pa.array(j_out, pa.float64())})
+        A = _unpack(b.column("sig_a"), b.num_rows)
+        B = _unpack(b.column("sig_b"), b.num_rows)
+        est = (A == B).mean(axis=1)
+        keep = est >= threshold
+        mask = pa.array(keep)
+        return pa.table({
+            "id_a": b.column("id_a").filter(mask),
+            "id_b": b.column("id_b").filter(mask),
+            "est_jaccard": pa.array(est[keep], type=pa.float64()),
+        })
 
-    pairs = (exploded.groupby(["band", "bhash"])
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
-    # a pair can surface from several bands → dedup
-    return (pairs.groupby(["id_a", "id_b"])
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+    return joined.map_batches(estimate, batch_format="pyarrow")
 
 
 def minhash_clusters(docs, threshold: float = 0.8, **kw) -> dict:
@@ -270,8 +313,22 @@ class SimHasher:
 def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
                   id_col: str = "doc_id"):
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` via
-    4×16-bit band blocking (a pair within distance ≤3 shares at least
-    one exact 16-bit band — pigeonhole), then exact verify."""
+    band blocking, then exact verify.  The band count is DERIVED from
+    ``max_hamming`` (bands = max_hamming + 1): by pigeonhole, a pair
+    within distance ≤ max_hamming must agree exactly on at least one
+    band — so recall is 1.0 for any ``max_hamming`` ≤ 63, not just the
+    4-band default's ≤3."""
+    bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError("max_hamming must be <= 63 for 64-bit SimHash")
+    width = 64 // bands
+    # band bi covers bits [bi*width, (bi+1)*width) — last band takes
+    # the remainder bits too
+    def _band_key(h: int, bi: int) -> int:
+        lo = bi * width
+        hi = 64 if bi == bands - 1 else lo + width
+        return (h >> lo) & ((1 << (hi - lo)) - 1)
+
     sh = docs.map_batches(SimHasher(text_col=text_col, id_col=id_col),
                           batch_format="pyarrow", batch_size=512)
 
@@ -279,10 +336,10 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
         ids, band, key, full = [], [], [], []
         for i, h in zip(b.column(id_col).to_pylist(),
                         b.column("simhash").to_pylist()):
-            for bi in range(4):
+            for bi in range(bands):
                 ids.append(i)
                 band.append(bi)
-                key.append((h >> (16 * bi)) & 0xFFFF)
+                key.append(_band_key(h, bi))
                 full.append(h)
         return pa.table({id_col: pa.array(ids),
                          "band": pa.array(band, pa.int32()),
@@ -371,7 +428,10 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
 
 def embedding_neardup_pairs(embeddings, threshold: float = 0.95,
                             vec_col: str = "embedding",
-                            id_col: str = "vec_id", dtype=np.float32):
+                            id_col: str = "vec_id", dtype=np.float64):
+    # dtype float64 by default: this path is oracle-checked against
+    # DuckDB's float64 cosine; float32 can flip threshold-boundary rows
+    # (ADVICE r1).  Pass float32 explicitly for the approximate regime.
     """Pairs with cosine similarity ≥ threshold (id_a < id_b): the full
     (normalized) matrix is broadcast; each batch does one matmul
     against it.  O(N·B) flops per batch, zero shuffle — right for the
@@ -389,9 +449,12 @@ def embedding_neardup_pairs(embeddings, threshold: float = 0.95,
             self.ids, self.M, self.dtype = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            bids = np.array(b.column(id_col).to_pylist())
-            V = np.array(b.column(vec_col).to_pylist(), dtype=self.dtype)
-            V /= (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+            from ferenda_ray.stages.similarity import _col_matrix
+            bids = b.column(id_col).to_numpy(zero_copy_only=False)
+            # non-inplace divide: _col_matrix may return a read-only
+            # zero-copy view of the Arrow buffer
+            V = _col_matrix(b, vec_col, self.dtype)
+            V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
             S = V @ self.M.T
             a_out, b_out, c_out = [], [], []
             for r in range(S.shape[0]):

@@ -54,6 +54,14 @@ def compact_batch(batch: pa.Table, pred_vocab: pa.Array,
     ``graph`` column is dropped entirely.  ~30% fewer shuffled bytes
     on the triple schema (pred+graph+obj_type ≈ 20 of 65 MB per 232k
     rows)."""
+    if graph_const is not None and batch.num_rows:
+        # single-graph invariant: never silently rewrite a mixed-graph
+        # dataset's graph column to the constant (ADVICE r1)
+        eq = pc.equal(batch.column("graph"), pa.scalar(graph_const))
+        if pc.any(pc.is_null(eq)).as_py() or not pc.all(eq).as_py():
+            raise ValueError(
+                "compact_batch: graph_const set but batch carries "
+                "differing graph values; pass graph_const=None")
     pred_c = pc.index_in(batch.column("pred"), value_set=pred_vocab) \
         .cast(pa.int32())
     known = pc.is_valid(pred_c)
@@ -251,6 +259,9 @@ def materialize(triples, out_dir: str, num_buckets: int = 32,
     """
     import functools
     os.makedirs(out_dir, exist_ok=True)
+    layout = mf.bucket_layout_probe()
+    layout["num_buckets"] = num_buckets
+    mf.check_bucket_layout(out_dir, layout)
     if pred_vocab is not None and not isinstance(pred_vocab, pa.Array):
         pred_vocab = pa.array(sorted(set(pred_vocab)), pa.string())
     bucketed = triples.map_batches(

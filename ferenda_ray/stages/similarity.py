@@ -20,9 +20,25 @@ import pyarrow as pa
 from ferenda_ray.stages.broadcast import resolve, stateful_map
 
 
-def _as_matrix(rows_or_ndarray) -> np.ndarray:
-    a = np.asarray(rows_or_ndarray, dtype=np.float32)
+def _as_matrix(rows_or_ndarray, dtype=np.float64) -> np.ndarray:
+    # float64 by default: the oracle-checked paths (brute_topk,
+    # embedding_neardup_pairs) must reproduce DuckDB's float64
+    # list_cosine_similarity bit-for-bit after 4dp rounding; float32
+    # can flip ties at rounding/threshold boundaries.  The approximate
+    # scale paths (LSH/IVF) opt back into float32.
+    a = np.asarray(rows_or_ndarray, dtype=dtype)
     return a if a.ndim == 2 else a[None, :]
+
+
+def _col_matrix(b: pa.Table, col: str, dtype=np.float64) -> np.ndarray:
+    """Vectorized ``list<float>`` column → (n, d) ndarray.
+
+    Assumes non-null, equal-length lists (the embedding-table
+    invariant); avoids the per-row ``to_pylist`` Python loop."""
+    import pyarrow.compute as pc
+    arr = b.column(col).combine_chunks()
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(len(arr), -1)
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -44,9 +60,8 @@ def brute_topk(embeddings, queries, k: int = 10,
             self.qids, self.Q = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            ids = np.array(b.column(id_col).to_pylist())
-            V = _normalize(np.array(b.column(vec_col).to_pylist(),
-                                    dtype=np.float32))
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            V = _normalize(_col_matrix(b, vec_col, np.float64))
             S = self.Q @ V.T                       # (q, batch)
             qcol, icol, ccol = [], [], []
             kk = min(k, S.shape[1])
@@ -83,7 +98,7 @@ def bucket_codes(embeddings, n_planes: int = 8, seed: int = 7,
             self.P = resolve(planes_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            V = np.array(b.column(vec_col).to_pylist(), dtype=np.float32)
+            V = _col_matrix(b, vec_col, np.float32)
             bits = (V @ self.P.T) > 0              # (n, planes)
             codes = bits @ (1 << np.arange(self.P.shape[0]))
             return b.append_column("bucket",
@@ -108,7 +123,7 @@ def lsh_topk(embeddings, queries, k: int = 10, n_planes: int = 8,
     import ray
 
     coded, planes = bucket_codes(embeddings, n_planes, seed, vec_col, id_col)
-    Q = _normalize(_as_matrix(queries))
+    Q = _normalize(_as_matrix(queries, np.float32))
     qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
     qbits = (Q @ planes.T) > 0
     qcodes = qbits @ (1 << np.arange(n_planes))
@@ -137,10 +152,9 @@ def lsh_topk(embeddings, queries, k: int = 10, n_planes: int = 8,
             self.admissible, self.qindex, self.Q = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            ids = np.array(b.column(id_col).to_pylist())
-            buckets = np.array(b.column("bucket").to_pylist())
-            V = _normalize(np.array(b.column(vec_col).to_pylist(),
-                                    dtype=np.float32))
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            buckets = b.column("bucket").to_numpy(zero_copy_only=False)
+            V = _normalize(_col_matrix(b, vec_col, np.float32))
             qcol, icol, ccol = [], [], []
             for qid_list_bucket in set(buckets.tolist()):
                 qlist = self.admissible.get(int(qid_list_bucket))
@@ -203,8 +217,7 @@ def ivf_assign(embeddings, centroids: np.ndarray,
             self.C = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            V = _normalize(np.array(b.column(vec_col).to_pylist(),
-                                    dtype=np.float32))
+            V = _normalize(_col_matrix(b, vec_col, np.float32))
             cells = np.argmax(V @ self.C.T, axis=1).astype("int64")
             return b.append_column("cell", pa.array(cells))
 
@@ -225,7 +238,7 @@ def ivf_topk(embeddings, queries, k: int = 10, n_centroids: int = 16,
                    n_centroids, seed=seed)
     coded = ivf_assign(embeddings, C, vec_col, id_col)
 
-    Q = _normalize(_as_matrix(queries))
+    Q = _normalize(_as_matrix(queries, np.float32))
     qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
     qindex = {qid: i for i, qid in enumerate(qids)}
     probe_order = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
@@ -239,10 +252,9 @@ def ivf_topk(embeddings, queries, k: int = 10, n_centroids: int = 16,
             self.admissible, self.qindex, self.Q = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            ids = np.array(b.column(id_col).to_pylist())
-            cells = np.array(b.column("cell").to_pylist())
-            V = _normalize(np.array(b.column(vec_col).to_pylist(),
-                                    dtype=np.float32))
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            cells = b.column("cell").to_numpy(zero_copy_only=False)
+            V = _normalize(_col_matrix(b, vec_col, np.float32))
             qcol, icol, ccol = [], [], []
             for cell in set(cells.tolist()):
                 qlist = self.admissible.get(int(cell))

@@ -53,6 +53,42 @@ def done_partitions(out_dir: str) -> set:
     return set(read_manifests(out_dir))
 
 
+def bucket_layout_probe() -> dict:
+    """Fingerprint of the bucket-assignment function.
+
+    Resume correctness depends on ``polars`` 64-bit ``hash(seed=0)``
+    being identical between the original run and the resume; polars
+    does not guarantee hash stability across versions.  We record the
+    polars version AND an actual hash-probe value (hash of a fixed
+    sentinel) so a resume under a changed hash function is refused
+    instead of silently mixing two bucket layouts (ADVICE r1)."""
+    import polars as pl
+    probe = int(pl.Series("s", ["ferenda-ray-bucket-probe"])
+                .hash(seed=0)[0])
+    return {"polars_version": pl.__version__, "hash_probe": probe}
+
+
+def check_bucket_layout(out_dir: str, layout: dict) -> None:
+    """Write ``_layout.json`` on first run; on resume, refuse if the
+    recorded layout (hash probe / polars version / bucket count)
+    differs from the current one."""
+    path = os.path.join(out_dir, "_layout.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != layout:
+            raise RuntimeError(
+                f"refusing to resume into {out_dir}: bucket layout "
+                f"changed ({prev} -> {layout}); wipe the output dir or "
+                "pin the original polars version/bucket count")
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(layout, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def atomic_write(path: str, write_fn) -> None:
     """write_fn(tmp_path); then atomic rename to ``path``."""
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -17,11 +17,15 @@ class UnionFind:
         self.parent: dict = {}
 
     def find(self, x):
-        p = self.parent.setdefault(x, x)
-        if p == x:
-            return x
-        root = self.find(p)
-        self.parent[x] = root  # path compression
+        # Iterative (no recursion limit): walk to the root, then a
+        # second pass compresses the whole path.  A 10^6-long sameAs
+        # chain must not blow the driver's stack.
+        parent = self.parent
+        root = parent.setdefault(x, x)
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
         return root
 
     def union(self, a, b):

@@ -1,0 +1,231 @@
+"""Conformance against the REFERENCE's own checked-in fixture corpus.
+
+Drives this engine's FSMParser + TextReader + element serialization over
+``/root/reference/test/files/fsmparser/*.txt`` and asserts byte-for-byte
+equality with the reference's golden ``*.xml`` files (the semantics of
+``testutil.file_parametrize`` + ``testFSMParser.Parse.parametric_test``,
+``ferenda/testutil.py:14-60``; ``test/testFSMParser.py:56-361``).
+
+The grammar below re-creates the reference test suite's plain-text
+structure grammar (sections/subsections, three list flavours, the
+State-A/B/C chain) on THIS engine's API — it is the contract both
+parsers must satisfy, so the goldens are shared; the code is original.
+"""
+
+import os
+import re
+
+import pytest
+
+from ferenda_ray import elements as el
+from ferenda_ray.fsm import FSMParser, FSMStateError, newstate
+from ferenda_ray.sources.textreader import TextReader, UNIX
+
+FIXDIR = "/root/reference/test/files/fsmparser"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(FIXDIR),
+                                reason="reference fixtures not present")
+
+_SECTION = re.compile(r"^(\d[\.\d]*) +(.*[^\.])$")
+
+
+def _section_parts(chunk):
+    m = _SECTION.match(chunk)
+    return (m.group(1).rstrip("."), m.group(2).strip()) if m else (None, chunk)
+
+
+def _depth(chunk):
+    ordinal = _section_parts(chunk)[0]
+    return 0 if ordinal is None else len([s for s in ordinal.split(".") if s])
+
+
+_LI_NUM = re.compile(r"^(\d+)([\.\)]) +")
+_LI_ROMAN = re.compile(r"^([IVXivx]+)([\.\)]) +")
+_LI_ALPHA = re.compile(r"^([A-Za-z])([\.\)]) +")
+
+
+def _listitem_parts(chunk):
+    """(css-list-style-type, ordinal, separator, rest) or Nones."""
+    for rx, kinds in ((_LI_NUM, ("decimal-leading-zero", "decimal")),
+                      (_LI_ROMAN, ("lower-roman", "upper-roman")),
+                      (_LI_ALPHA, ("lower-alpha", "upper-alpha"))):
+        m = rx.match(chunk)
+        if m:
+            if rx is _LI_NUM:
+                kind = kinds[0] if chunk.startswith("0") else kinds[1]
+            else:
+                kind = kinds[0] if chunk[0].islower() else kinds[1]
+            return kind, m.group(1), m.group(2), chunk[m.end():]
+    if chunk.startswith("* "):
+        return "disc", None, None, chunk
+    if chunk.startswith("- "):
+        return "dash", None, None, chunk
+    return None, None, None, chunk
+
+
+def build_parser() -> FSMParser:
+    # recognizers ----------------------------------------------------------
+    def is_li_decimal(p):
+        return _listitem_parts(p.reader.peek())[0] in (
+            "decimal", "decimal-leading-zero")
+
+    def is_li_roman(p):
+        return _listitem_parts(p.reader.peek())[0] in (
+            "lower-roman", "upper-roman")
+
+    def is_li_alpha(p):
+        return _listitem_parts(p.reader.peek())[0] in (
+            "lower-alpha", "upper-alpha")
+
+    def is_header(p):
+        c = p.reader.peek()
+        return len(c) > 100 and not c.endswith(".")
+
+    def is_section(p):
+        return _depth(p.reader.peek()) == 1
+
+    def is_subsection(p):
+        return _depth(p.reader.peek()) == 2
+
+    def is_subsubsection(p):
+        return _depth(p.reader.peek()) == 3
+
+    def is_preformatted(p):
+        return "   " in p.reader.peek()
+
+    def is_state_a(p):
+        return p.reader.peek().startswith("State A:")
+
+    def is_state_b(p):
+        return p.reader.peek().startswith("State B:")
+
+    def is_state_c(p):
+        return p.reader.peek().startswith("State C:")
+
+    def is_paragraph(p):
+        return len(p.reader.peek()) > 6
+
+    # constructors ---------------------------------------------------------
+    def _sectional(cls, state):
+        @newstate(state)
+        def make(p):
+            ordinal, title = _section_parts(p.reader.next())
+            return p.make_children(cls(ordinal=ordinal, title=title))
+        make.__name__ = "make_" + state
+        return make
+
+    make_section = _sectional(el.Section, "section")
+    make_subsection = _sectional(el.Subsection, "subsection")
+    make_subsubsection = _sectional(el.Subsubsection, "subsubsection")
+
+    def make_paragraph(p):
+        return el.Paragraph([p.reader.next().strip()])
+
+    def make_preformatted(p):
+        return el.Preformatted([p.reader.next()])
+
+    def _state_para(tag):
+        def make(p):
+            return el.Paragraph([p.reader.next().strip()], id=tag)
+        return make
+
+    make_state_a = _state_para("state-a")
+    make_state_b = _state_para("state-b")
+    make_state_c = _state_para("state-c")
+
+    @newstate("listitem")
+    def make_listitem(p):
+        _, ordinal, _, rest = _listitem_parts(p.reader.next())
+        li = el.ListItem(ordinal=ordinal)
+        li.append(rest)
+        return p.make_children(li)
+
+    def _ordered_list(state):
+        @newstate(state)
+        def make(p):
+            kind = _listitem_parts(p.reader.peek())[0]
+            ol = el.OrderedList(type=kind)
+            ol.append(p.make_child(make_listitem, "listitem"))
+            return p.make_children(ol)
+        make.__name__ = "make_" + state
+        return make
+
+    make_ol_decimal = _ordered_list("ol-decimal")
+    make_ol_alpha = _ordered_list("ol-alpha")
+    make_ol_roman = _ordered_list("ol-roman")
+
+    def sublist_or_parent(symbol, state_stack):
+        # start a nested list of a flavour not already on the stack,
+        # else give the item back to an ancestor list
+        if symbol is is_li_alpha and "ol-alpha" not in state_stack:
+            return make_ol_alpha, "ol-alpha"
+        if symbol is is_li_roman and "ol-roman" not in state_stack:
+            return make_ol_roman, "ol-roman"
+        if symbol is is_li_decimal and "ol-decimal" not in state_stack:
+            # quirk preserved from the reference grammar: decimal
+            # sublists are built as roman (test/testFSMParser.py:126-128)
+            return make_ol_roman, "ol-roman"
+        return False, None
+
+    p = FSMParser()
+    p.set_recognizers(is_li_decimal, is_li_roman, is_li_alpha, is_header,
+                      is_section, is_subsection, is_subsubsection,
+                      is_preformatted, is_state_a, is_state_b, is_state_c,
+                      is_paragraph)
+    p.set_transitions({
+        ("body", is_paragraph): (make_paragraph, None),
+        ("body", is_section): (make_section, "section"),
+        ("body", is_state_a): (make_state_a, "state-a"),
+        ("state-a", is_state_b): (make_state_b, "state-b"),
+        ("state-b", is_state_c): (make_state_c, "state-c"),
+        ("state-c", is_section): (False, None),
+        ("section", is_paragraph): (make_paragraph, None),
+        ("section", is_subsection): (make_subsection, "subsection"),
+        ("subsection", is_paragraph): (make_paragraph, None),
+        ("subsection", is_subsection): (False, None),
+        ("subsection", is_state_a): (False, "body"),
+        ("subsection", is_subsubsection): (make_subsubsection,
+                                           "subsubsection"),
+        ("subsubsection", is_paragraph): (make_paragraph, None),
+        ("subsubsection", is_section): (False, None),
+        ("subsection", is_section): (False, None),
+        ("section", is_section): (False, None),
+        ("body", is_li_decimal): (make_ol_decimal, "ol-decimal"),
+        ("ol-decimal", is_li_decimal): (make_listitem, "listitem"),
+        ("ol-decimal", is_li_alpha): (make_ol_alpha, "ol-alpha"),
+        ("ol-alpha", is_li_alpha): (make_listitem, "listitem"),
+        ("ol-alpha", is_li_roman): (make_ol_roman, "ol-roman"),
+        ("ol-roman", is_li_roman): (make_listitem, "listitem"),
+        ("ol-roman", is_li_alpha): (False, None),
+        ("ol-alpha", is_li_decimal): (False, None),
+        ("listitem", is_li_alpha): sublist_or_parent,
+        ("listitem", is_li_roman): sublist_or_parent,
+        ("listitem", is_li_decimal): sublist_or_parent,
+    })
+    p.initial_state = "body"
+    p.initial_constructor = (
+        lambda parser: parser.make_children(el.Body()))
+    return p
+
+
+def _parse_file(path):
+    tr = TextReader(path, encoding="utf-8", linesep=UNIX)
+    return build_parser().parse(tr.getiterator(tr.readparagraph))
+
+
+FIXTURES = sorted(f[:-4] for f in os.listdir(FIXDIR) if f.endswith(".txt"))
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_fsmparser_fixture(name):
+    body = _parse_file(os.path.join(FIXDIR, name + ".txt"))
+    with open(os.path.join(FIXDIR, name + ".xml"), encoding="utf-8") as f:
+        golden = f.read().strip()
+    assert el.serialize(body).strip() == golden
+
+
+@pytest.mark.parametrize("name", ["no-recognizer", "no-transition"])
+def test_fsmparser_error_fixture(name):
+    # .tx files: chunks no recognizer/transition covers must raise
+    with pytest.raises(FSMStateError):
+        _parse_file(os.path.join(FIXDIR, name + ".tx"))
