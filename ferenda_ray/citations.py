@@ -29,9 +29,31 @@ CODE_REF = re.compile(
     r"(?:#S(?P<ordinal>\d+(?:\.\d+)*))?"
 )
 
-# bare URLs (the reference ships a ready-made ``citationpatterns.url``
-# grammar, ``ferenda/citationpatterns.py:16-40``)
-URL = re.compile(r"\bhttps?://[^\s)\]>\"']+")
+# bare URLs, decomposed into named productions exactly like the
+# reference's ready-made ``citationpatterns.url`` grammar
+# (``ferenda/citationpatterns.py:16-36``): scheme / netloc / path /
+# query / fragment, with trailing punctuation (",", ")", ".") excluded
+# from the end of each component — verified against the reference's
+# ``test/files/citation/url`` fixtures.
+URL = re.compile(
+    r"\b(?P<scheme>https?|ftp)://"
+    r"(?P<netloc>[^\s/.]+(?:\.[^\s/.]+)*)"
+    r"(?P<path>[^\s?#,).]+(?:[,).]+[^\s?#,).]+)*)?"
+    r"(?:\?(?P<query>[^\s#,).]+(?:[,).]+[^\s#,).]+)*))?"
+    r"(?:#(?P<fragment>[^\s,).]+(?:[,).]+[^\s,).]+)*))?"
+)
+
+
+def citation_as_xml(name: str, groups: dict) -> str:
+    """Parse-result dict → the reference's XML rendering
+    (``util.parseresults_as_xml``, ``ferenda/util.py:743-790``):
+    productions sorted by name, nulls omitted."""
+    lines = [f"<{name}>"]
+    for k in sorted(groups):
+        if groups[k] is not None:
+            lines.append(f"  <{k}>{groups[k]}</{k}>")
+    lines.append(f"</{name}>")
+    return "\n".join(lines)
 
 
 class CitationParser:
@@ -43,7 +65,11 @@ class CitationParser:
     def parse_string(self, text: str) -> list:
         """Split ``text`` into segments: plain strings and
         ``(matched_text, name, groupdict)`` tuples, in order
-        (``citationparser.py:65-96``)."""
+        (``citationparser.py:65-96``).  As in the reference (whose
+        pyparsing ``scanString`` end offsets sit past any whitespace
+        that follows the grammar's last token), the matched span
+        absorbs trailing whitespace — verified against the
+        ``test/files/citation/url`` fixtures."""
         hits = sorted(
             (m.start(), m.end(), name, m)
             for name, rx in self.grammars.items()
@@ -57,7 +83,9 @@ class CitationParser:
                 continue  # overlapping later grammar loses (first wins)
             if start > pos:
                 out.append(text[pos:start])
-            out.append((m.group(0), name, m.groupdict()))
+            while end < len(text) and text[end].isspace():
+                end += 1
+            out.append((text[start:end], name, m.groupdict()))
             pos = end
             last_end = end
         if pos < len(text):

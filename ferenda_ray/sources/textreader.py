@@ -29,6 +29,11 @@ class TextReader:
     navigation.  See module docstring; API mirrors
     ``ferenda/textreader.py`` (cited per method)."""
 
+    # class-attr aliases (reference API: ``TextReader.UNIX`` etc.)
+    UNIX = UNIX
+    DOS = DOS
+    MAC = MAC
+
     def __init__(self, filename: str | None = None,
                  encoding: str = "utf-8", string: str | None = None,
                  linesep: str = UNIX):

@@ -13,7 +13,10 @@ def test_parse_string_segments():
     text, name, d = segs[1]
     assert name == "code_ref"
     assert d == {"repo": "org0/repo1", "path": "src/a.py", "ordinal": "2"}
-    assert segs[2] == " after"
+    # matched span absorbs trailing whitespace (reference scanString
+    # semantics, proven by the citation/url fixture suite)
+    assert text == "see org0/repo1:src/a.py#S2 "
+    assert segs[2] == "after"
 
 
 def test_trailing_period_not_captured():
