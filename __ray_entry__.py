@@ -84,9 +84,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_pipeline_synthetic(sf_dir: str):
         """Full 4-stage KG pipeline on the deterministic synthetic code
-        corpus (size keyed to sf via a /tmp cache).  Rows-only check —
-        exactness vs golden triples is asserted in pytest."""
+        corpus (size keyed to sf via a /tmp cache).  ORACLE-CHECKED:
+        the generator's golden ``expected_triples`` parquet is the
+        DuckDB side (read_parquet in the SQL), and the pipeline output
+        (canonicalized + exact-deduped) must hash-match it exactly."""
         import os
+        import pyarrow as pa
         import pyarrow.parquet as pq
         import ray.data as rd
         from ferenda_ray.corpus import CorpusSpec, write_corpus
@@ -95,11 +98,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cache = f"/tmp/ferenda_ray_corpus_{n}"
         if not os.path.exists(os.path.join(cache, "sources.parquet")):
             write_corpus(CorpusSpec(n_files=n), cache)
-        return build_kg(
+        canon = build_kg(
             rd.read_parquet(os.path.join(cache, "sources.parquet")),
             aliases=pq.read_table(os.path.join(cache, "aliases.parquet")),
             sameas=pq.read_table(os.path.join(cache, "sameas.parquet")),
             vocab=pq.read_table(os.path.join(cache, "vocab_triples.parquet")))
+        cols = ["subj", "pred", "obj_type", "obj_value", "obj_lang",
+                "obj_datatype"]
+        return canon.map_batches(lambda b: b.select(cols),
+                                 batch_format="pyarrow")
 
     return {
         # --- relational operator inventory (TPC-H-ish) ---
@@ -141,9 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": docs.docs_quality,
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
+        "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
         "docs_simhash_pairs": docs.docs_simhash_pairs,      # rows-only
         "docs_fingerprints": docs.docs_fingerprints,        # rows-only
-        "docs_language_id": docs.docs_language_id,          # rows-only
+        "docs_language_id": docs.docs_language_id,
         # --- similarity (embeddings) ---
         "ann_topk": docs.ann_topk,
         "embeddings_neardup":
@@ -151,13 +159,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   fromlist=["docs"]).embeddings_neardup(sf),
         "embeddings_label_count": docs.embeddings_label_count,
         "lsh_ann_topk": docs.lsh_ann_topk,                  # rows-only
-        "ivf_ann_topk": docs.ivf_ann_topk,                  # rows-only
+        "ivf_ann_topk": docs.ivf_ann_topk,    # full-probe ⇒ exact, oracled
         # --- flagship KG pipeline (synthetic corpus) ---
-        "kg_pipeline_synthetic": kg_pipeline_synthetic,     # rows-only
+        "kg_pipeline_synthetic": kg_pipeline_synthetic,  # golden-oracled
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # the KG golden parquet must exist before DuckDB reads it: the
+    # generator is pure Python/pyarrow (no Ray), cheap at n=400
+    import os
+    kg_cache = "/tmp/ferenda_ray_corpus_400"
+    if not os.path.exists(os.path.join(kg_cache, "expected_triples.parquet")):
+        from ferenda_ray.corpus import CorpusSpec, write_corpus
+        write_corpus(CorpusSpec(n_files=400), kg_cache)
+
     uri = "'https://example.org/res/' || source || '/' || doc_id"
     mention_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, '{a}' AS alias, "
@@ -478,8 +494,87 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.4""",
         "embeddings_label_count": """
             SELECT label, count(*) AS n FROM embeddings GROUP BY label""",
+        # IVF at full probe is exact ⇒ same oracle as brute force
+        "ivf_ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS cos
+                FROM embeddings e CROSS JOIN q
+            ), r AS (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id)
+                           AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10""",
+        # identical word SET ⇒ identical 1-gram MinHash signature ⇒
+        # candidate in every band: the verified-dup set equals the
+        # exact SQL identical-word-set-pair set (recall 1.0 by
+        # construction)
+        "docs_minhash_verified_dups": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(
+                           regexp_extract_all(text, '\S+'))) AS ws
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM w a JOIN w b
+              ON a.ws = b.ws AND a.doc_id < b.doc_id""",
+        # stopword-hit-ratio language ID is exactly expressible in SQL:
+        # token membership over whitespace-split lower() tokens,
+        # first-profile-wins tie-break (en > de > fr > sv), 'und' at 0
+        "docs_language_id": _LANG_ID_SQL,
+        "kg_pipeline_synthetic": f"""
+            SELECT subj, pred, obj_type, obj_value, obj_lang,
+                   obj_datatype
+            FROM read_parquet(
+                '{kg_cache}/expected_triples.parquet')""",
         # docs_minhash_pairs / docs_simhash_pairs / docs_fingerprints /
-        # docs_language_id / lsh_ann_topk / kg_pipeline_synthetic:
-        # intentionally no SQL equivalent (sketch/heuristic/approximate
-        # or non-SQL pipeline) → driver records rows-only checks.
+        # lsh_ann_topk: intentionally no SQL equivalent
+        # (sketch-estimate / rolling-hash / approximate-by-design) →
+        # driver records rows-only checks; their exactness properties
+        # are pytest-verified (recall vs brute force, subset vs exact
+        # jaccard).
     }
+
+
+def _lang_expr(lang: str, words) -> str:
+    inlist = ", ".join(f"'{w}'" for w in sorted(words))
+    return (f"len(list_filter(toks, x -> x IN ({inlist})))"
+            f" / CAST(greatest(len(toks), 1) AS DOUBLE)")
+
+
+def _build_lang_id_sql() -> str:
+    from ferenda_ray.stages.text_analysis import _LANG_PROFILES
+    exprs = {lang: _lang_expr(lang, words)
+             for lang, words in _LANG_PROFILES.items()}
+    order = list(_LANG_PROFILES)  # en, de, fr, sv — Python dict order
+    score_cols = ",\n".join(f"  {exprs[l]} AS s_{l}" for l in order)
+    # first profile with the (strictly) best raw score wins; 'und' at 0
+    best = "greatest(" + ", ".join(f"s_{l}" for l in order) + ")"
+    pick = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in order) + " END"
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+{score_cols}
+            FROM t
+        )
+        SELECT doc_id, {pick} AS lang_pred,
+               floor({best} * 1000000 + 0.5) / 1000000 AS lang_score
+        FROM s"""
+
+
+_LANG_ID_SQL = _build_lang_id_sql()

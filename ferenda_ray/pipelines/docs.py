@@ -281,6 +281,46 @@ def docs_minhash_pairs(sf_dir: str, threshold: float = 0.5):
                              threshold=threshold)
 
 
+def docs_minhash_verified_dups(sf_dir: str):
+    """MinHash-LSH candidate pairs VERIFIED by exact word-SET equality
+    — the oracle-checkable end-to-end exercise of the LSH path.  The
+    MinHash here runs over 1-gram shingles (= the distinct-word set),
+    so identical word sets ⇒ identical signatures ⇒ the pair collides
+    in EVERY band: recall vs the SQL identical-word-set-pair oracle is
+    1.0 BY CONSTRUCTION; the word-set-digest verify removes
+    estimate-only false positives.  Returns ``(id_a, id_b)``."""
+    import hashlib
+    from ferenda_ray.stages.dedup import minhash_lsh_pairs
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=1.0,
+                              shingle_n=1).repartition(2)
+
+    def sha_side(idname, shaname):
+        def prep(b: pa.Table) -> pa.Table:
+            digs = [hashlib.sha256(
+                        " ".join(sorted(set(t.split()))).encode()).hexdigest()
+                    for t in b.column("text").to_pylist()]
+            return pa.table({idname: b.column("doc_id"),
+                             shaname: pa.array(digs, pa.string())})
+        return prep
+
+    sa = docs.map_batches(sha_side("id_a", "sha_a"),
+                          batch_format="pyarrow").repartition(2)
+    sb = docs.map_batches(sha_side("id_b", "sha_b"),
+                          batch_format="pyarrow").repartition(2)
+    j = pairs.join(sa, join_type="inner", on=("id_a",), num_partitions=4)
+    # coalesce between joins: Ray 2.49's join chokes on the empty
+    # blocks the previous join can emit
+    j = j.repartition(2)
+    j = j.join(sb, join_type="inner", on=("id_b",), num_partitions=4)
+
+    def verify(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("sha_a"), b.column("sha_b"))
+        return b.filter(keep).select(["id_a", "id_b"])
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 def docs_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     from ferenda_ray.stages.dedup import simhash_pairs
     return simhash_pairs(_read_docs(sf_dir, ["doc_id", "text"]),
@@ -374,16 +414,22 @@ def embeddings_label_count(sf_dir: str):
 
 
 def ivf_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
-    """IVF (coarse-quantizer) approximate top-k — rows-only check
-    (recall measured vs brute force in tests)."""
+    """IVF top-k run FULL-PROBE (n_probe = n_centroids), which is
+    exact by construction — so the brute-force SQL oracle applies and
+    the whole IVF machinery (train → assign → per-cell scan → merge)
+    is value-checked.  The PRUNED path's recall is measured against
+    brute force in tests (test_similarity)."""
     import numpy as np
     from ferenda_ray.stages.similarity import ivf_topk
+    from ferenda_ray.pipelines.relational import _round_cols
     emb = _read_emb(sf_dir).materialize()
     rows = {r["vec_id"]: r["embedding"]
             for r in emb.take_all() if r["vec_id"] in set(query_ids)}
     Q = np.array([rows[q] for q in query_ids], dtype=np.float64)
-    return ivf_topk(emb, Q, k=k, n_centroids=16, n_probe=4,
-                    query_ids=list(query_ids))
+    out = ivf_topk(emb, Q, k=k, n_centroids=16, n_probe=16,
+                   query_ids=list(query_ids), dtype=np.float64)
+    return out.map_batches(lambda b: _round_cols(b, {"cosine": 4}),
+                           batch_format="pyarrow")
 
 
 def lsh_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):

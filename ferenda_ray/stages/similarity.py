@@ -227,7 +227,7 @@ def ivf_assign(embeddings, centroids: np.ndarray,
 def ivf_topk(embeddings, queries, k: int = 10, n_centroids: int = 16,
              n_probe: int = 4, train_sample: int = 4096, seed: int = 11,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             query_ids: list | None = None):
+             query_ids: list | None = None, dtype=np.float32):
     """IVF approximate top-k: train a coarse quantizer on a
     deterministic sample, assign every vector to its cell, and scan
     only each query's ``n_probe`` nearest cells.  Same
@@ -238,7 +238,9 @@ def ivf_topk(embeddings, queries, k: int = 10, n_centroids: int = 16,
                    n_centroids, seed=seed)
     coded = ivf_assign(embeddings, C, vec_col, id_col)
 
-    Q = _normalize(_as_matrix(queries, np.float32))
+    # dtype float64 when exact results are required (full probe +
+    # DuckDB float64 oracle); float32 for the approximate scale path
+    Q = _normalize(_as_matrix(queries, dtype))
     qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
     qindex = {qid: i for i, qid in enumerate(qids)}
     probe_order = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
@@ -254,7 +256,7 @@ def ivf_topk(embeddings, queries, k: int = 10, n_centroids: int = 16,
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b.column(id_col).to_numpy(zero_copy_only=False)
             cells = b.column("cell").to_numpy(zero_copy_only=False)
-            V = _normalize(_col_matrix(b, vec_col, np.float32))
+            V = _normalize(_col_matrix(b, vec_col, dtype))
             qcol, icol, ccol = [], [], []
             for cell in set(cells.tolist()):
                 qlist = self.admissible.get(int(cell))
