@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keyword_hub": docs.doc_keyword_hub,
         # --- dedup / text analysis ---
         "docs_search": docs.docs_search,
+        "docs_search_paged": docs.docs_search_paged,
         "docs_sample": docs.docs_sample,
         "docs_exact_dedup": docs.docs_exact_dedup,
         "docs_token_count": docs.docs_token_count,
@@ -408,6 +409,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(hits AS BIGINT) AS n_hits
             FROM s WHERE hits > 0
             ORDER BY score DESC, uri LIMIT 10""",
+        "docs_search_paged": r"""
+            WITH s AS (
+                SELECT 'https://example.org/res/' || source || '/'
+                           || doc_id AS uri,
+                       len(regexp_extract_all(text, '(?i)\bbatch\b'))
+                       + len(regexp_extract_all(text, '(?i)\bstream\b'))
+                           AS hits
+                FROM documents WHERE lang = 'en'
+            ), r AS (
+                SELECT uri, CAST(hits AS DOUBLE) AS score,
+                       CAST(hits AS BIGINT) AS n_hits,
+                       row_number() OVER (ORDER BY hits DESC, uri)
+                           AS rank
+                FROM s WHERE hits > 0
+            )
+            SELECT uri, score, n_hits, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank > 5 AND rank <= 10""",
         "docs_token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)

@@ -166,3 +166,50 @@ def year_of(s: str) -> int:
     if not m:
         raise ValueError(f"no year in {s!r}")
     return int(m.group(1))
+
+
+# ---------------------------------------------------------------------------
+# locale-collated sort keys (documentrepository.py:2924-2926:
+# `util.switch_locale(collate_locale)` + `locale.strxfrm` for TOC
+# ordering).  `locale.strxfrm` is process-global, non-deterministic
+# across machines, and unusable inside parallel Ray workers — so the
+# engine ships PINNED collation tables instead: a pure function of
+# (string, locale) that every worker evaluates identically.
+
+_COLLATE_SV = {
+    # Swedish: å ä ö are distinct letters AFTER z (not variants of a/o)
+    "å": "z{", "ä": "z|", "ö": "z}",
+    "é": "e",  # acute-e collates with e
+}
+_COLLATE_GENERIC = {
+    # latin-1 diacritics fold onto their base letter
+    "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ò": "o", "ó": "o", "ô": "o", "õ": "o", "ö": "o",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ç": "c", "ñ": "n", "ý": "y",
+}
+_COLLATE_TABLES = {"sv": _COLLATE_SV, "generic": _COLLATE_GENERIC}
+
+
+def collation_key(s: str, locale: str = "generic") -> str:
+    """Deterministic collation key: primary weight (lowercased, table-
+    mapped) + tie-break on the casefolded original — so "Ärende" sorts
+    after "Zebra" under ``sv`` but with "ärende" == "Ärende" at the
+    primary level.  The strxfrm replacement for TOC page ordering."""
+    table = _COLLATE_TABLES.get(locale, _COLLATE_GENERIC)
+    low = s.lower()
+    primary = "".join(table.get(ch, ch) for ch in low)
+    return primary + "\x00" + low
+
+
+def collated_firstletter(s: str, locale: str = "generic") -> str:
+    """TOC page selector under pinned collation: the first collating
+    letter (Swedish å/ä/ö keep their identity rather than folding)."""
+    for ch in s.lower():
+        if ch.isalpha():
+            if locale == "sv" and ch in ("å", "ä", "ö"):
+                return ch
+            return _COLLATE_GENERIC.get(ch, ch)
+    return ""

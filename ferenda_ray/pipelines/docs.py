@@ -374,6 +374,31 @@ def docs_search(sf_dir: str, terms=("batch", "stream", "vector"),
     return search(index, list(terms), k=k)
 
 
+def docs_search_paged(sf_dir: str, terms=("batch", "stream"),
+                      lang: str = "en", page: int = 1, page_size: int = 5):
+    """Field-filtered, PAGINATED search — the full ``WSGIApp.query``
+    surface (free-text + ``lang=`` field filter + page 2 of the rank
+    ordering), oracle-checkable."""
+    import polars as pl
+    from ferenda_ray.stages.fulltext import query
+
+    def as_index(b: pa.Table) -> pa.Table:
+        uri = pl.from_arrow(b.select(["source", "doc_id"])).select(
+            (pl.lit(DEFAULT_BASE + "res/") + pl.col("source") + pl.lit("/")
+             + pl.col("doc_id").cast(pl.String)).alias("uri"))["uri"]
+        return pa.table({
+            "uri": uri.to_arrow().cast(pa.string()),
+            "title": pa.array([""] * b.num_rows, pa.string()),
+            "text": b.column("text").cast(pa.large_string()),
+            "lang": b.column("lang"),
+        })
+
+    index = _read_docs(sf_dir, ["doc_id", "source", "text", "lang"]) \
+        .map_batches(as_index, batch_format="pyarrow")
+    return query(index, list(terms), fields={"lang": lang},
+                 page=page, page_size=page_size)
+
+
 # --- embeddings ------------------------------------------------------------
 
 

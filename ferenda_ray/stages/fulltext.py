@@ -115,3 +115,65 @@ def search(index, terms: list, k: int = 10, title_boost: float = 2.0):
     scored = index.map_batches(score, batch_format="pyarrow",
                                batch_size=8192)
     return scored.sort(["score", "uri"], descending=[True, False]).limit(k)
+
+
+def query(index, terms: list, fields: dict | None = None,
+          require_all: bool = False, page: int = 0, page_size: int = 10,
+          title_boost: float = 2.0):
+    """The full ``WSGIApp.query`` surface (``wsgiapp.py:388-660``):
+    free-text terms + exact field filters + boolean AND + pagination.
+
+    * ``fields``: {column: value} equality filters applied vectorized
+      inside the scoring pass (the ``field=value`` query params).
+    * ``require_all``: every term must hit at least once (boolean AND;
+      default OR keeps any row with a hit).
+    * ``page``/``page_size``: global rank pagination — rows
+      ``page*page_size .. (page+1)*page_size`` of the score ordering,
+      with a 1-based ``rank`` column (deterministic: ties break on
+      uri).
+
+    Distributed shape: scoring + filtering stream per batch; only the
+    top ``(page+1)*page_size`` rows (small) pass the sort barrier."""
+    pats = [rf"(?i)\b{re.escape(t)}\b" for t in terms]
+
+    def score(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for col, val in (fields or {}).items():
+            b = b.filter(pc.equal(b.column(col), val))
+        df = pl.from_arrow(b.select(["uri", "title", "text"]))
+        per_term = [(df["text"].str.count_matches(p).cast(pl.Int64),
+                     df["title"].str.count_matches(p).cast(pl.Int64))
+                    for p in pats]
+        text_hits = sum((t for t, _ in per_term),
+                        pl.Series([0] * df.height))
+        title_hits = sum((t for _, t in per_term),
+                         pl.Series([0] * df.height))
+        out = pl.DataFrame({
+            "uri": df["uri"],
+            "score": (text_hits + title_boost * title_hits)
+            .cast(pl.Float64),
+            "n_hits": (text_hits + title_hits).cast(pl.Int64),
+        })
+        if require_all:
+            present = None
+            for t, ti in per_term:
+                p = (t + ti) > 0
+                present = p if present is None else (present & p)
+            out = out.filter(pl.Series(present))
+        else:
+            out = out.filter(pl.col("n_hits") > 0)
+        return out.to_arrow()
+
+    scored = index.map_batches(score, batch_format="pyarrow",
+                               batch_size=8192)
+    top = (scored.sort(["score", "uri"], descending=[True, False])
+           .limit((page + 1) * page_size).repartition(1))
+
+    def page_slice(b: pa.Table) -> pa.Table:
+        start = page * page_size
+        b = b.append_column(
+            "rank", pa.array(range(1, b.num_rows + 1), pa.int64()))
+        return b.slice(start, page_size)
+
+    return top.map_batches(page_slice, batch_format="pyarrow",
+                           batch_size=None)

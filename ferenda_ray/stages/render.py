@@ -220,9 +220,11 @@ def render_xhtml(doc_uri: str, triples: list) -> str:
 
 _RDFA_META = re.compile(
     r'<meta property="([^"]+)" content="([^"]*)"'
-    r'(?: xml:lang="([^"]*)")?(?: datatype="([^"]*)")?\s*/>')
+    r'(?: (?:xml:)?lang="([^"]*)")?(?: datatype="([^"]*)")?\s*/>')
 _RDFA_LINK = re.compile(r'<link rel="([^"]+)" href="([^"]*)"\s*/>')
-_RDFA_SCOPE = re.compile(r'<(html|div)[^>]*\babout="([^"]*)"')
+# presentation-only link rels that carry no RDFa statement
+_PRESENTATION_RELS = frozenset({"stylesheet", "icon", "preload"})
+_RDFA_SCOPE = re.compile(r'<(html|div|section)[^>]*\babout="([^"]*)"')
 
 
 def distill_xhtml(xhtml: str) -> list:
@@ -244,7 +246,7 @@ def distill_xhtml(xhtml: str) -> list:
                         _html.unescape(m.group(4)) if m.group(4) else None))
             continue
         m = _RDFA_LINK.search(ln)
-        if m:
+        if m and m.group(1) not in _PRESENTATION_RELS:
             out.append((subj, _html.unescape(m.group(1)), "uri",
                         _html.unescape(m.group(2)), None, None))
     return out
@@ -339,3 +341,88 @@ def annotations_grit(triples, target_prefix: str | None = None):
     return (triples.map_batches(proj, batch_format="pyarrow")
             .groupby("target_uri").map_groups(grit,
                                               batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# HTML5 presentation transform (ferenda/transformer.py:25-372 semantics:
+# parsed XHTML+RDFa → templated, navigable HTML5 with depth-relative
+# asset links; the reference drives an XSLT file, this engine performs
+# the equivalent tree rewrite with stdlib parsing — no XSLT processor
+# in the environment)
+
+def xhtml_to_html5(xhtml: str, title: str | None = None,
+                   depth: int = 0, stylesheets: tuple = ("css/main.css",),
+                   scripts: tuple = ()) -> str:
+    """One document's XHTML+RDFa string → an HTML5 page.
+
+    * ``<!DOCTYPE html>`` + unnamespaced ``<html>``
+    * head RDFa ``<meta>``/``<link>`` preserved (data attributes keep
+      round-tripping through :func:`distill_xhtml`)
+    * ``dcterms:title`` (or ``title=``) becomes ``<title>`` and a
+      visible ``<h1>``
+    * fragment ``<div about>`` sections become ``<section about>``
+    * asset URLs are prefixed ``../`` × depth — the transformer's
+      depth parameter (``transformer.py:127-160``)
+    """
+    triples = distill_xhtml(xhtml)
+    doc_uri = None
+    m = _RDFA_SCOPE.search(xhtml)
+    if m:
+        doc_uri = _html.unescape(m.group(2))
+    if title is None:
+        for s, p, ot, ov, _, _ in triples:
+            if s == doc_uri and p.endswith("title"):
+                title = ov
+                break
+    title = title or (doc_uri or "")
+    rel = "../" * depth
+    head = [f"    <title>{_esc(title)}</title>"]
+    for sheet in stylesheets:
+        head.append(f'    <link rel="stylesheet" href="{rel}{_esc(sheet)}"/>')
+    for script in scripts:
+        head.append(f'    <script src="{rel}{_esc(script)}"></script>')
+    doc_rows = [t for t in triples if t[0] == doc_uri]
+    frag_subjects: dict = {}
+    for t in triples:
+        if t[0] != doc_uri:
+            frag_subjects.setdefault(t[0], []).append(t)
+    for _, pred, otype, oval, olang, odt in sorted(
+            doc_rows, key=lambda r: (r[1], str(r[3]))):
+        if otype == "uri":
+            head.append(f'    <link rel="{_esc(pred)}" '
+                        f'href="{_esc(oval)}"/>')
+        else:
+            attrs = f'property="{_esc(pred)}" content="{_esc(oval)}"'
+            if olang:
+                attrs += f' lang="{_esc(olang)}"'
+            if odt:
+                attrs += f' datatype="{_esc(odt)}"'
+            head.append(f"    <meta {attrs}/>")
+    body = [f"    <h1>{_esc(title)}</h1>"]
+    for subj in sorted(frag_subjects):
+        body.append(f'    <section about="{_esc(subj)}">')
+        for _, pred, otype, oval, olang, odt in sorted(
+                frag_subjects[subj], key=lambda r: (r[1], str(r[3]))):
+            if otype == "uri":
+                body.append(f'      <link rel="{_esc(pred)}" '
+                            f'href="{_esc(oval)}"/>')
+            else:
+                body.append(f'      <meta property="{_esc(pred)}" '
+                            f'content="{_esc(oval)}"/>')
+        body.append("    </section>")
+    about = f' about="{_esc(doc_uri)}"' if doc_uri else ""
+    return "\n".join(
+        ["<!DOCTYPE html>", f"<html{about}>", "  <head>"] + head
+        + ["  </head>", "  <body>"] + body + ["  </body>", "</html>", ""])
+
+
+def html5_stage(pages, depth: int = 0):
+    """Dataset ``(doc_uri, xhtml)`` → ``(doc_uri, html5)`` — the
+    *generate* presentation pass as a vectorless but per-row-cheap
+    map_batches stage (string rewrite only)."""
+    def fn(b: pa.Table) -> pa.Table:
+        html5 = [xhtml_to_html5(x, depth=depth)
+                 for x in b.column("xhtml").to_pylist()]
+        return pa.table({"doc_uri": b.column("doc_uri"),
+                         "html5": pa.array(html5, pa.large_string())})
+    return pages.map_batches(fn, batch_format="pyarrow")

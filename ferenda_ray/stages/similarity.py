@@ -286,3 +286,207 @@ def ivf_topk(embeddings, queries, k: int = 10, n_centroids: int = 16,
 
     return candidates.groupby("query_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned index layouts — the 100 TB path made REAL.
+#
+# The in-task bucket filters above still READ every block; at scale a
+# top-k probe must touch only admissible partitions.  These builders
+# persist the bucket/cell assignment as hive-partitioned parquet
+# (one directory per bucket) and the probers construct the explicit
+# admissible-path list before the read — I/O pruning at the file
+# listing, not a post-read filter.
+
+def build_lsh_index(embeddings, out_dir: str, n_planes: int = 8,
+                    seed: int = 7, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Persist ``(id, vec, bucket)`` partitioned by bucket; planes are
+    saved beside the data so probers recompute query codes.  Returns
+    the planes."""
+    import os
+    coded, planes = bucket_codes(embeddings, n_planes, seed,
+                                 vec_col, id_col)
+    # duplicate the key: hive partitioning consumes `part_bucket`,
+    # `bucket` stays a data column for the scorer
+    coded = coded.map_batches(
+        lambda b: b.append_column("part_bucket", b.column("bucket")),
+        batch_format="pyarrow")
+    coded.write_parquet(out_dir, partition_cols=["part_bucket"])
+    np.save(os.path.join(out_dir, "_planes.npy"), planes)
+    return planes
+
+
+def _admissible_lsh_partitions(index_dir: str, queries, k, probe_hamming,
+                               query_ids):
+    """(paths, admissible, qindex, Q) for an LSH probe — the path list
+    is the pruning evidence tests assert on."""
+    import os
+    planes = np.load(os.path.join(index_dir, "_planes.npy"))
+    n_planes = planes.shape[0]
+    Q = _normalize(_as_matrix(queries, np.float32))
+    qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
+    qcodes = ((Q @ planes.T) > 0) @ (1 << np.arange(n_planes))
+
+    def neighbors(code: int) -> set:
+        out, frontier = {code}, [code]
+        for _ in range(probe_hamming):
+            frontier = [c ^ (1 << b) for c in frontier
+                        for b in range(n_planes)]
+            out.update(frontier)
+        return out
+
+    admissible: dict = {}
+    for qid, c in zip(qids, qcodes.astype(int)):
+        for b in neighbors(int(c)):
+            admissible.setdefault(b, []).append(qid)
+    import glob as _glob
+    dirs = [os.path.join(index_dir, f"part_bucket={b}")
+            for b in sorted(admissible)
+            if os.path.isdir(os.path.join(index_dir, f"part_bucket={b}"))]
+    # expand to files: Ray's read_parquet wants file paths when given
+    # an explicit list
+    paths = [f for d in dirs
+             for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    qindex = {qid: i for i, qid in enumerate(qids)}
+    return paths, admissible, qindex, Q
+
+
+def lsh_topk_pruned(index_dir: str, queries, k: int = 10,
+                    probe_hamming: int = 1,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    query_ids: list | None = None):
+    """Approximate top-k over a persisted LSH index: ONLY admissible
+    ``part_bucket=`` directories are opened (same candidates→merge
+    shape as :func:`lsh_topk`, same recall)."""
+    import ray.data as rd
+    paths, admissible, qindex, Q = _admissible_lsh_partitions(
+        index_dir, queries, k, probe_hamming, query_ids)
+    if not paths:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64())}))
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col, "bucket"])
+
+    class Scorer:
+        def __init__(self, ref):
+            self.admissible, self.qindex, self.Q = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            buckets = b.column("bucket").to_numpy(zero_copy_only=False)
+            V = _normalize(_col_matrix(b, vec_col, np.float32))
+            qcol, icol, ccol = [], [], []
+            for bucket in set(buckets.tolist()):
+                qlist = self.admissible.get(int(bucket))
+                if not qlist:
+                    continue
+                mask = buckets == bucket
+                Vm, idsm = V[mask], ids[mask]
+                for qid in qlist:
+                    s = Vm @ self.Q[self.qindex[qid]]
+                    kk = min(k, len(s))
+                    idx = np.argpartition(-s, kk - 1)[:kk] if kk else []
+                    qcol.extend([qid] * len(idx))
+                    icol.extend(int(idsm[j]) for j in idx)
+                    ccol.extend(float(s[j]) for j in idx)
+            return pa.table({"query_id": pa.array(qcol, pa.int64()),
+                             id_col: pa.array(icol, pa.int64()),
+                             "cosine": pa.array(ccol, pa.float64())})
+
+    candidates = stateful_map(ds, Scorer, (admissible, qindex, Q),
+                              batch_size=4096)
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"), (id_col, "ascending")])
+        g = g.slice(0, k)
+        return g.append_column(
+            "rank", pa.array(range(1, g.num_rows + 1), pa.int64()))
+
+    return candidates.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")
+
+
+def build_ivf_index(embeddings, out_dir: str, n_centroids: int = 16,
+                    train_sample: int = 4096, seed: int = 11,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Persist ``(id, vec, cell)`` partitioned by cell + the trained
+    centroids.  Returns the centroids."""
+    import os
+    sample = embeddings.limit(train_sample).take_all()
+    C = kmeans_fit(np.array([r[vec_col] for r in sample]),
+                   n_centroids, seed=seed)
+    coded = ivf_assign(embeddings, C, vec_col, id_col)
+    coded = coded.map_batches(
+        lambda b: b.append_column("part_cell", b.column("cell")),
+        batch_format="pyarrow")
+    coded.write_parquet(out_dir, partition_cols=["part_cell"])
+    np.save(os.path.join(out_dir, "_centroids.npy"), C)
+    return C
+
+
+def ivf_topk_pruned(index_dir: str, queries, k: int = 10,
+                    n_probe: int = 4,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    query_ids: list | None = None):
+    """IVF top-k over a persisted index: only each query's ``n_probe``
+    nearest ``part_cell=`` directories are opened."""
+    import os
+    import ray.data as rd
+    C = np.load(os.path.join(index_dir, "_centroids.npy"))
+    Q = _normalize(_as_matrix(queries, np.float32))
+    qids = list(query_ids) if query_ids is not None else list(range(len(Q)))
+    qindex = {qid: i for i, qid in enumerate(qids)}
+    probe_order = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    admissible: dict = {}
+    for qid, cells in zip(qids, probe_order):
+        for c in cells:
+            admissible.setdefault(int(c), []).append(qid)
+    import glob as _glob
+    dirs = [os.path.join(index_dir, f"part_cell={c}")
+            for c in sorted(admissible)
+            if os.path.isdir(os.path.join(index_dir, f"part_cell={c}"))]
+    paths = [f for d in dirs
+             for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col, "cell"])
+
+    class Scorer:
+        def __init__(self, ref):
+            self.admissible, self.qindex, self.Q = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            cells = b.column("cell").to_numpy(zero_copy_only=False)
+            V = _normalize(_col_matrix(b, vec_col, np.float32))
+            qcol, icol, ccol = [], [], []
+            for cell in set(cells.tolist()):
+                qlist = self.admissible.get(int(cell))
+                if not qlist:
+                    continue
+                mask = cells == cell
+                Vm, idsm = V[mask], ids[mask]
+                for qid in qlist:
+                    s = Vm @ self.Q[self.qindex[qid]]
+                    kk = min(k, len(s))
+                    idx = np.argpartition(-s, kk - 1)[:kk] if kk else []
+                    qcol.extend([qid] * len(idx))
+                    icol.extend(int(idsm[j]) for j in idx)
+                    ccol.extend(float(s[j]) for j in idx)
+            return pa.table({"query_id": pa.array(qcol, pa.int64()),
+                             id_col: pa.array(icol, pa.int64()),
+                             "cosine": pa.array(ccol, pa.float64())})
+
+    candidates = stateful_map(ds, Scorer, (admissible, qindex, Q),
+                              batch_size=4096)
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"), (id_col, "ascending")])
+        g = g.slice(0, k)
+        return g.append_column(
+            "rank", pa.array(range(1, g.num_rows + 1), pa.int64()))
+
+    return candidates.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")

@@ -59,3 +59,31 @@ def test_search_title_boost(ray_session):
     hits = search(idx, ["alpha"], k=2, title_boost=2.0).take_all()
     assert hits[0]["uri"] == "u1" and hits[0]["score"] == 2.0
     assert hits[1]["uri"] == "u2" and hits[1]["score"] == 1.0
+
+
+def test_query_fields_pagination(ray_session):
+    """WSGIApp.query surface: field filters, boolean AND, pagination."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.fulltext import query
+    rows = []
+    for i in range(30):
+        rows.append({"uri": f"u{i:02d}", "title": "",
+                     "text": "alpha " * (30 - i) + ("beta" if i % 2 else ""),
+                     "repo": "r1" if i < 20 else "r2"})
+    t = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(t)
+    # page 0 and 1 partition the ordering with global ranks
+    p0 = query(ds, ["alpha"], page=0, page_size=5).take_all()
+    p1 = query(ds, ["alpha"], page=1, page_size=5).take_all()
+    assert [r["rank"] for r in p0] == [1, 2, 3, 4, 5]
+    assert [r["rank"] for r in p1] == [6, 7, 8, 9, 10]
+    assert p0[0]["uri"] == "u00"  # most alpha hits first
+    assert p1[0]["uri"] == "u05"
+    # field filter
+    pf = query(ds, ["alpha"], fields={"repo": "r2"}, page_size=20).take_all()
+    assert {r["uri"][:3] >= "u20" for r in pf} == {True}
+    # boolean AND: only odd-numbered docs contain beta
+    pa_ = query(ds, ["alpha", "beta"], require_all=True,
+                page_size=30).take_all()
+    assert pa_ and all(int(r["uri"][1:]) % 2 == 1 for r in pa_)

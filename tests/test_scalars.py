@@ -61,3 +61,40 @@ def test_firstletter_year():
     assert s.year_of("2019-12-31") == 2019
     with pytest.raises(ValueError):
         s.year_of("nope")
+
+
+def test_collation_key_swedish():
+    from ferenda_ray.functions.scalars import (
+        collated_firstletter, collation_key)
+    titles = ["Ärende", "Zebra", "Öl", "Apa", "Åtgärd", "apa"]
+    ordered = sorted(titles, key=lambda t: collation_key(t, "sv"))
+    # Swedish: å ä ö after z; case-insensitive primary with stable tie
+    assert ordered == ["Apa", "apa", "Zebra", "Åtgärd", "Ärende", "Öl"]
+    # generic locale folds diacritics onto the base letter
+    gen = sorted(["Über", "Uns", "Apfel"],
+                 key=lambda t: collation_key(t, "generic"))
+    assert gen == ["Apfel", "Über", "Uns"]
+    assert collated_firstletter("Ärende", "sv") == "ä"
+    assert collated_firstletter("Ärende", "generic") == "a"
+
+
+def test_collation_key_as_facet(ray_session):
+    """The collation key drives a TOC facet sort end-to-end."""
+    import ray.data as rd
+    import pyarrow as pa
+    from ferenda_ray.functions.facets import Facet
+    from ferenda_ray.functions.scalars import (
+        collated_firstletter, collation_key)
+    from ferenda_ray.pipelines.derived import toc_entries
+    from ferenda_ray import ns
+    titles = ["Ärende", "Zebra", "Öl", "Apa", "Åtgärd"]
+    faceted = rd.from_arrow(pa.table({
+        "uri": [f"u{i}" for i in range(len(titles))],
+        "dcterms_title": titles}))
+    facet = Facet(ns.DCTERMS_TITLE, "dcterms_title",
+                  selector=lambda v: collated_firstletter(v, "sv"),
+                  key=lambda v: collation_key(v, "sv"))
+    rows = toc_entries(faceted, facet).take_all()
+    by_sortkey = [r["uri"] for r in sorted(rows, key=lambda r: r["sortkey"])]
+    assert by_sortkey == ["u3", "u1", "u4", "u0", "u2"]
+    assert {r["value"] for r in rows} == {"a", "z", "å", "ä", "ö"}

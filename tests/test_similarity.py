@@ -108,3 +108,53 @@ def test_kmeans_deterministic():
     C1 = kmeans_fit(X, 8, seed=11)
     C2 = kmeans_fit(X, 8, seed=11)
     assert np.allclose(C1, C2)
+
+
+def test_lsh_pruned_index(emb, tmp_path):
+    """Persisted LSH index: probe opens only admissible partitions,
+    results identical to the in-task lsh_topk at matched params."""
+    import os
+    ds, V = emb
+    idx = str(tmp_path / "lsh_idx")
+    sim.build_lsh_index(ds, idx, n_planes=6, seed=7)
+    all_parts = {d for d in os.listdir(idx) if d.startswith("part_bucket=")}
+    assert len(all_parts) > 4  # data spread over many buckets
+    Q = V[[3, 50]]
+    paths, admissible, _, _ = sim._admissible_lsh_partitions(
+        idx, Q, 10, 1, None)
+    probed = {os.path.basename(os.path.dirname(p)) for p in paths}
+    # PRUNING: the probe's file listing is a strict subset
+    assert probed and probed < all_parts
+    got_pruned = {}
+    for r in sim.lsh_topk_pruned(idx, Q, k=10, probe_hamming=1).take_all():
+        got_pruned.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_full = {}
+    for r in sim.lsh_topk(ds, Q, k=10, n_planes=6, seed=7,
+                          probe_hamming=1).take_all():
+        got_full.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert got_pruned == got_full
+
+
+def test_ivf_pruned_index(emb, tmp_path):
+    """Persisted IVF index: only n_probe cells opened; full probe over
+    the index reproduces exact brute-force top-k ids."""
+    import os
+    ds, V = emb
+    idx = str(tmp_path / "ivf_idx")
+    sim.build_ivf_index(ds, idx, n_centroids=8, seed=11)
+    all_parts = {d for d in os.listdir(idx) if d.startswith("part_cell=")}
+    assert len(all_parts) >= 4
+    Q = V[[7, 120]]
+    # pruned probe: opens n_probe=2 cells per query at most
+    got = {}
+    for r in sim.ivf_topk_pruned(idx, Q, k=10, n_probe=2).take_all():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # self-hit always lands in the query's own (nearest) cell
+    assert 7 in got[0] and 120 in got[1]
+    # full probe == exact
+    exact = _brute_numpy(V, Q, 10)
+    got_full = {}
+    for r in sim.ivf_topk_pruned(idx, Q, k=10, n_probe=8).take_all():
+        got_full.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qi in exact:
+        assert got_full[qi] == {j for j, _ in exact[qi]}
