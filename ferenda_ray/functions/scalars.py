@@ -213,3 +213,17 @@ def collated_firstletter(s: str, locale: str = "generic") -> str:
                 return ch
             return _COLLATE_GENERIC.get(ch, ch)
     return ""
+
+
+def sanitize_term(term: str, min_len: int = 2, max_len: int = 100,
+                  invalid_start: str = "./:",
+                  invalid_end: str = ".,") -> str | None:
+    """Keyword sanity gate (``sources/general/keyword.py:64-183``):
+    whitespace-normalized, length-bounded, and not starting/ending in
+    punctuation that marks a non-keyword.  ``None`` = reject."""
+    term = " ".join(term.split())
+    if (max_len >= len(term) >= min_len
+            and term[0] not in invalid_start
+            and term[-1] not in invalid_end):
+        return term
+    return None

@@ -165,9 +165,22 @@ def keyword_hub(triples, pred: str | None = None):
     target = pred or ns.DCTERMS_SUBJECT
 
     def proj(b: pa.Table) -> pa.Table:
+        from ferenda_ray.functions.scalars import sanitize_term
         b = b.filter(pc.equal(b.column("pred"), target))
-        return pa.table({"term": b.column("obj_value").cast(pa.string()),
-                         "uri": b.column("subj")})
+        # keyword sanity gate (keyword.py:175-183) applied per distinct
+        # value; rejects (None) drop out of the hub
+        def san(v):
+            s = sanitize_term(v)
+            if s is None:
+                raise ValueError(v)   # → null in _apply_unique
+            return s
+
+        terms = _apply_unique(
+            pl.from_arrow(b.column("obj_value").cast(pa.string()))
+            .rename("v"), san)
+        t = pa.table({"term": terms.to_arrow().cast(pa.string()),
+                      "uri": b.column("subj")})
+        return t.filter(pc.is_valid(t.column("term")))
 
     return (triples.map_batches(proj, batch_format="pyarrow")
             .groupby("term")

@@ -177,3 +177,50 @@ def query(index, terms: list, fields: dict | None = None,
 
     return top.map_batches(page_slice, batch_format="pyarrow",
                            batch_size=None)
+
+
+def fulltext_rows_faceted(sources, repo_facets: dict,
+                          base: str = DEFAULT_BASE):
+    """Facet-DRIVEN index rows: per-repo facet declarations are merged
+    into ONE index schema (conflicting ``indexingtype`` for the same
+    binding raises :class:`~ferenda_ray.functions.facets.SchemaConflictError`
+    — ``fulltextindex.py:232-305`` semantics), and each document row
+    carries one column per facet binding, populated from the parsed
+    document's metadata (binding ``dcterms_issued`` ← meta key
+    ``Issued`` etc.).
+
+    ``repo_facets``: {repo_name_or_'*': [Facet, ...]}."""
+    from ferenda_ray.functions.facets import merged_schema
+    schema = merged_schema(list(repo_facets.values()))
+    extra = [b for b in schema
+             if b not in ("uri", "repo", "basefile", "title", "lang",
+                          "text")]
+
+    def _meta_key(binding: str) -> str:
+        return binding.split("_", 1)[-1].capitalize()
+
+    def emit(b: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("uri", "repo", "basefile", "title",
+                                "lang", "text", *extra)}
+        for repo, path, commit, lang, content in zip(
+                b.column("repo").to_pylist(), b.column("path").to_pylist(),
+                b.column("commit").to_pylist(), b.column("lang").to_pylist(),
+                b.column("content").to_pylist()):
+            try:
+                parsed = parse_content(lang, content)
+            except FSMStateError:
+                continue
+            cols["uri"].append(doc_uri(repo, path, commit, base))
+            cols["repo"].append(repo)
+            cols["basefile"].append(f"{repo}/{path}")
+            cols["title"].append(parsed.title or "")
+            cols["lang"].append(lang)
+            cols["text"].append(_norm(" ".join(parsed.intro_prose)))
+            for binding in extra:
+                cols[binding].append(parsed.meta.get(_meta_key(binding)))
+        return pa.table({k: pa.array(v, pa.large_string()
+                                     if k == "text" else pa.string())
+                         for k, v in cols.items()})
+
+    return sources.map_batches(emit, batch_format="pyarrow",
+                               batch_size=256)

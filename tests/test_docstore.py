@@ -1,0 +1,73 @@
+"""DocumentStore path algebra + version archiving
+(documentstore.py:287-376, 622-735, 787-826 semantics)."""
+
+import os
+
+import pytest
+
+from ferenda_ray.state.docstore import (
+    ArchivingError, AttachmentPolicyError, DocumentStore,
+    basefile_to_pathfrag, pathfrag_to_basefile)
+
+
+def test_pathfrag_roundtrip():
+    assert basefile_to_pathfrag("1998:204") == "1998%3A204"
+    assert basefile_to_pathfrag("123/a") == "123/a"
+    for b in ("1998:204", "123/a", "a b/c%d"):
+        assert pathfrag_to_basefile(basefile_to_pathfrag(b)) == b
+
+
+def test_path_algebra(tmp_path):
+    d = DocumentStore(str(tmp_path))
+    assert d.path("123/a", "parsed", ".xhtml") \
+        == str(tmp_path / "parsed/123/a.xhtml")
+    assert d.path("123/a", "downloaded", ".html", version="r4711") \
+        == str(tmp_path / "archive/downloaded/123/a/.versions/r4711.html")
+    d.storage_policy = "dir"
+    assert d.path("123/a", "parsed", ".xhtml") \
+        == str(tmp_path / "parsed/123/a/index.xhtml")
+    assert d.path("123/a", "downloaded", None, "r1", "appendix.txt") \
+        == str(tmp_path /
+               "archive/downloaded/123/a/.versions/r1/appendix.txt")
+    with pytest.raises(AttachmentPolicyError):
+        DocumentStore(str(tmp_path)).path("x", "parsed", ".x",
+                                          attachment="a.txt")
+
+
+def test_archive_and_list_versions(tmp_path):
+    d = DocumentStore(str(tmp_path))
+    for version in ("r1", "r2"):
+        with d.open("123/a", "downloaded", ".html", "w") as f:
+            f.write(f"content {version}")
+        with d.open("123/a", "parsed", ".xhtml", "w") as f:
+            f.write(f"<x>{version}</x>")
+        d.archive("123/a", version)
+    # current files moved away
+    assert not os.path.exists(d.downloaded_path("123/a"))
+    # both versions listed, in order, once each
+    assert list(d.list_versions("123/a")) == ["r1", "r2"]
+    assert list(d.list_versions("123/a", "downloaded")) == ["r1", "r2"]
+    with open(d.downloaded_path("123/a", version="r1")) as f:
+        assert f.read() == "content r1"
+    # collision refused unless overwrite
+    with d.open("123/a", "downloaded", ".html", "w") as f:
+        f.write("content r2 again")
+    with pytest.raises(ArchivingError):
+        d.archive("123/a", "r2")
+    d.archive("123/a", "r2", overwrite=True)
+    with open(d.downloaded_path("123/a", version="r2")) as f:
+        assert f.read() == "content r2 again"
+
+
+def test_attachments(tmp_path):
+    d = DocumentStore(str(tmp_path), storage_policy="dir")
+    with d.open("123/a", "downloaded", ".html", "w") as f:
+        f.write("main")
+    with d.open("123/a", "downloaded", None, "w",
+                attachment="appendix.txt") as f:
+        f.write("extra")
+    assert list(d.list_attachments("123/a", "downloaded")) \
+        == ["appendix.txt"]
+    d.archive("123/a", "v1")
+    assert list(d.list_attachments("123/a", "downloaded", "v1")) \
+        == ["appendix.txt"]

@@ -87,3 +87,27 @@ def test_query_fields_pagination(ray_session):
     pa_ = query(ds, ["alpha", "beta"], require_all=True,
                 page_size=30).take_all()
     assert pa_ and all(int(r["uri"][1:]) % 2 == 1 for r in pa_)
+
+
+def test_fulltext_rows_faceted(ray_session, corpus_dir):
+    """Facet-declared schema drives the index columns; conflicting
+    repo declarations raise SchemaConflictError before any work."""
+    import pytest
+    import ray.data as rd
+    from ferenda_ray import ns
+    from ferenda_ray.functions.facets import Facet, SchemaConflictError
+    from ferenda_ray.stages.fulltext import fulltext_rows_faceted
+    src = rd.read_parquet(f"{corpus_dir}/sources.parquet")
+    facets = {"*": [Facet(ns.DCTERMS_ISSUED, "dcterms_issued",
+                          indexingtype="Datetime"),
+                    Facet(ns.DCTERMS + "author", "dcterms_author")]}
+    rows = fulltext_rows_faceted(src, facets).take_all()
+    assert rows and "dcterms_issued" in rows[0]
+    assert any(r["dcterms_issued"] for r in rows)  # populated from meta
+    # conflicting declarations across repos refuse up front
+    clash = {"r1": [Facet(ns.DCTERMS_ISSUED, "dcterms_issued",
+                          indexingtype="Datetime")],
+             "r2": [Facet(ns.DCTERMS_ISSUED, "dcterms_issued",
+                          indexingtype="Text")]}
+    with pytest.raises(SchemaConflictError):
+        fulltext_rows_faceted(src, clash)

@@ -98,3 +98,15 @@ def test_collation_key_as_facet(ray_session):
     by_sortkey = [r["uri"] for r in sorted(rows, key=lambda r: r["sortkey"])]
     assert by_sortkey == ["u3", "u1", "u4", "u0", "u2"]
     assert {r["value"] for r in rows} == {"a", "z", "å", "ä", "ö"}
+
+
+def test_sanitize_term():
+    from ferenda_ray.functions.scalars import sanitize_term
+    assert sanitize_term("  data   engineering ") == "data engineering"
+    assert sanitize_term(".hidden") is None
+    assert sanitize_term("/path") is None
+    assert sanitize_term("end.") is None
+    assert sanitize_term("x") is None                 # too short
+    assert sanitize_term("y" * 101) is None           # too long
+    assert sanitize_term("ok term,") is None
+    assert sanitize_term("ok term") == "ok term"
