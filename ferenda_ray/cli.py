@@ -93,6 +93,32 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_generate(args) -> int:
+    """The *generate* action: triples → XHTML+RDFa → HTML5 pages
+    (render + presentation transform in one streamed pass)."""
+    from ferenda_ray.stages.render import html5_stage, render_stage
+    import ray.data as rd
+    _ray()
+    pages = html5_stage(render_stage(rd.read_parquet(args.triples)),
+                        depth=args.depth)
+    pages.write_parquet(args.out)
+    print(json.dumps({"action": "generate", "out": args.out}))
+    return 0
+
+
+def cmd_feeds(args) -> int:
+    """news/Atom action: event stream → paged Atom feed files."""
+    from ferenda_ray.stages.feeds import write_atom_pages
+    import ray.data as rd
+    _ray()
+    manifest = write_atom_pages(rd.read_parquet(args.events), args.out,
+                                base_url=args.base_url,
+                                page_size=args.page_size).take_all()
+    print(json.dumps({"action": "feeds", "out": args.out,
+                      "pages": len(manifest)}))
+    return 0
+
+
 def cmd_toc(args) -> int:
     from ferenda_ray.functions.facets import DEFAULT_FACETS
     from ferenda_ray.pipelines.derived import faceted_data, toc_pagesets
@@ -150,6 +176,19 @@ def main(argv=None) -> int:
     p.add_argument("triples")
     p.add_argument("out")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("generate", help="triples -> HTML5 pages")
+    p.add_argument("triples")
+    p.add_argument("out")
+    p.add_argument("--depth", type=int, default=0)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("feeds", help="events -> paged Atom feeds")
+    p.add_argument("events")
+    p.add_argument("out")
+    p.add_argument("--base-url", default="https://example.org/")
+    p.add_argument("--page-size", type=int, default=100)
+    p.set_defaults(fn=cmd_feeds)
 
     p = sub.add_parser("toc", help="TOC pagesets per facet")
     p.add_argument("triples")

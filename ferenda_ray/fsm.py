@@ -82,18 +82,21 @@ class FSMParser:
         self.initial_constructor: Optional[Callable] = None
         self.reader: Optional[Peekable] = None
         self._state_stack: list = []
+        self._applicable_cache: dict = {}
         self.debug = False
 
     # --- configuration (mirrors set_recognizers / set_transitions) ---------
 
     def set_recognizers(self, *fns):
         self.recognizers = tuple(fns)
+        self._applicable_cache = {}
 
     def set_transitions(self, table: dict):
         """Keys ``(state, recognizer)``; state may be a tuple/list of
         states sharing the same transition (the reference expands these
         too, ``fsmparser.py:57-85``)."""
         self.transitions = {}
+        self._applicable_cache = {}
         for (state, symbol), value in table.items():
             if isinstance(state, (tuple, list)):
                 for s in state:
@@ -123,8 +126,14 @@ class FSMParser:
         except StopIteration:
             return None
         state = self._state_stack[-1]
-        applicable = [r for r in self.recognizers
-                      if (state, r) in self.transitions]
+        # per-state recognizer list is a pure function of the
+        # (recognizers, transitions) config — cached, not recomputed
+        # per chunk (this runs once per input line)
+        applicable = self._applicable_cache.get(state)
+        if applicable is None:
+            applicable = [r for r in self.recognizers
+                          if (state, r) in self.transitions]
+            self._applicable_cache[state] = applicable
         for r in applicable:
             if r(self):
                 return r

@@ -173,7 +173,14 @@ def label_propagation(edges, max_iter: int = 20):
     O(cluster diameter) rounds, each one ``groupby(node).min(label)``
     plus a join — all shuffles, no driver-side state.  Use when the
     sameAs edge set is too large to collect (the union-find path
-    assumes it fits on the driver)."""
+    assumes it fits on the driver).
+
+    RAY VERSION DEPENDENCY: the per-iteration ``_coalesce``
+    (count + repartition + materialize) exists solely to work around
+    Ray 2.49's hash-shuffle join failing on inputs with empty blocks
+    ("No match for key field reference…").  It costs one extra pass
+    over the label table per round; when the upstream join handles
+    empty blocks, delete ``_coalesce`` and chain the joins lazily."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
