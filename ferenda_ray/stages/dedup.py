@@ -170,8 +170,13 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
     co-locate; no all-pairs anywhere (the map_batches → explode →
     groupby shape of the MinHash-LSH recipe)."""
     rows = num_perm // bands
+    # materialize the signature table ONCE: three consumers read it
+    # (band explode, sig_a join side, sig_b join side) and Ray re-runs
+    # a shared lazy subtree per consumer — 3× the MinHash compute.
+    # The sig table is ~1 KB/doc (128×int64 + id), a deliberate small
+    # intermediate, not a full-corpus materialization.
     sigs = minhash_signatures(docs, num_perm, shingle_n, seed,
-                              text_col, id_col)
+                              text_col, id_col).materialize()
 
     # Shuffle ONLY (id, band, bhash) through the band exchange — NOT the
     # 128×int64 signature (which would be copied into every band row =
@@ -215,8 +220,9 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
             .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
     # coalesce: map_groups output carries empty blocks that hang/break
     # Ray 2.49's hash-shuffle join (same workaround as
-    # canonicalize.label_propagation)
-    cand = cand.repartition(4).materialize()
+    # canonicalize.label_propagation); repartition alone redistributes
+    # rows into non-empty blocks
+    cand = cand.repartition(4)
 
     # pack each 128×int64 signature into one binary value — arrow's
     # hash join can't carry list payload columns, and the pack is
@@ -237,9 +243,10 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
     sig_b = sigs.map_batches(_sig_packed("id_b", "sig_b"),
                              batch_format="pyarrow").repartition(4)
     joined = cand.join(sig_a, join_type="inner", on=("id_a",),
-                       num_partitions=8)
+                       num_partitions=4)
+    joined = joined.repartition(4)
     joined = joined.join(sig_b, join_type="inner", on=("id_b",),
-                         num_partitions=8)
+                         num_partitions=4)
 
     def _unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
         raw = b"".join(m.as_py() for m in col.combine_chunks())
