@@ -26,9 +26,22 @@ _LINK = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
-def iterlinks(html: str, base_url: str = "") -> list:
-    """All ``(absolute_url, link_text)`` pairs in document order."""
+def iterlinks(html: str, base_url: str = "", use_dom: bool = True) -> list:
+    """All ``(absolute_url, link_text)`` pairs in document order.
+
+    Default path parses a real DOM (``sources/soup.py`` — the
+    ``soup_from_basefile`` analogue) so nested markup inside ``<a>``
+    and attribute-order variance are handled; the regex fast path
+    remains for malformed tag soup."""
     out = []
+    if use_dom:
+        from ferenda_ray.sources.soup import soup_parse
+        for a in soup_parse(html).select("a[href]"):
+            href = a.attrs["href"]
+            text = " ".join(a.get_text(" ").split())
+            out.append((urljoin(base_url, href) if base_url else href,
+                        text))
+        return out
     for m in _LINK.finditer(html):
         href, text = m.group(1), re.sub(r"<[^>]+>", "", m.group(2)).strip()
         out.append((urljoin(base_url, href) if base_url else href, text))
