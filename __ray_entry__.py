@@ -5,6 +5,14 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
+Round-2 surface: 45 queries, 41 with DuckDB oracles.  The 4 rows-only
+entries are sketch/approximate BY DESIGN (MinHash estimate, SimHash,
+winnowing fingerprints, probe-limited LSH); each has an exactness
+property verified in pytest instead (recall vs brute force, candidate
+subset vs exact Jaccard), and the oracle-checked
+``docs_minhash_verified_dups`` / ``ivf_ann_topk`` (full-probe) cover
+the same code paths end-to-end.
+
 Naming discipline: every computed column is named identically in the
 Ray pipeline and the SQL; doubles are rounded identically on both
 sides (money 2, ratios 6, cosines 4) so parallel-summation ulp noise

@@ -156,3 +156,42 @@ def fetch(ds, transport_factory=None, concurrency=(1, 8),
         fn_constructor_kwargs={"transport_factory": transport_factory},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+def drop_tombstones(ds, content_col: str = "content",
+                    status_col: str = "fetch_status"):
+    """Explicit tombstone gate before parse: drop rows whose download
+    produced no usable content — empty bodies (the reference skips
+    zero-byte downloaded files, ``documentrepository.py:831``,
+    ``documentstore.py:604-607``) and ``error:*`` /``not_modified``
+    statuses.  Vectorized in-batch filter; the dropped rows stay in
+    the fetch output for bookkeeping (``tombstones`` view below)."""
+    import pyarrow.compute as pc
+
+    def keep(b: pa.Table) -> pa.Table:
+        ok_status = pc.invert(pc.or_(
+            pc.match_substring_regex(b.column(status_col), "^error:"),
+            pc.equal(b.column(status_col), "not_modified")))
+        nonempty = pc.greater(
+            pc.binary_length(b.column(content_col)), 0)
+        return b.filter(pc.and_(ok_status, nonempty))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def tombstones(ds, content_col: str = "content",
+               status_col: str = "fetch_status"):
+    """The complement of :func:`drop_tombstones` — rows parse must
+    skip, for status reporting."""
+    import pyarrow.compute as pc
+
+    def only(b: pa.Table) -> pa.Table:
+        bad = pc.or_(
+            pc.or_(
+                pc.match_substring_regex(b.column(status_col),
+                                         "^error:"),
+                pc.equal(b.column(status_col), "not_modified")),
+            pc.equal(pc.binary_length(b.column(content_col)), 0))
+        return b.filter(bad).select(["url", status_col])
+
+    return ds.map_batches(only, batch_format="pyarrow")

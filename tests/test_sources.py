@@ -197,3 +197,23 @@ def test_pdfreader_stub_and_injected_decoder():
     out = real(batch)
     assert out.column("text").to_pylist() == ["page1 text", "page2 text"]
     assert out.column("error").to_pylist() == [None, None]
+
+
+def test_tombstone_gate(ray_session):
+    """Empty-body / error / not_modified rows are tombstones: dropped
+    before parse, listed for status (documentrepository.py:831)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.sources.fetch import drop_tombstones, tombstones
+    t = pa.table({
+        "url": [f"u{i}" for i in range(5)],
+        "fetch_status": ["new", "updated", "error:404", "not_modified",
+                         "new"],
+        "content": pa.array([b"x", b"y", b"", b"", b""],
+                            pa.large_binary()),
+    })
+    ds = rd.from_arrow(t)
+    kept = drop_tombstones(ds).take_all()
+    assert [r["url"] for r in kept] == ["u0", "u1"]  # u4: empty body
+    dead = tombstones(ds).take_all()
+    assert {r["url"] for r in dead} == {"u2", "u3", "u4"}
