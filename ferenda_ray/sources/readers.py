@@ -1,13 +1,14 @@
-"""Binary-document readers — actor-pool plumbing with stubbed decode.
+"""Binary-document readers — actor-pool stages over wide rows.
 
 The reference shells out to external binaries per document
 (``pdftohtml``/``tesseract`` in ``ferenda/pdfreader.py:213,332``;
-``antiword`` in ``ferenda/wordreader.py``).  Those binaries don't
-exist in this container, so the DECODE step is a clearly-marked stub
-— but the Ray-side shape is real: a callable class per reader, binary
-payloads in ``large_binary`` columns, small batches (wide rows), one
-external-tool session per actor, per-row error capture instead of
-task failure (mirrors ``stages/multimodal.py``).
+``antiword`` in ``ferenda/wordreader.py``).  Only the RAW-binary →
+intermediate conversion needs those tools; the intermediate formats
+themselves (poppler pdf2xml, tesseract hOCR, OOXML) are plain XML and
+decode for real here via :mod:`.pdf2xml` / stdlib zipfile.  The Ray
+shape: a callable class per reader, binary payloads in
+``large_binary`` columns, small batches (wide rows), per-row error
+capture instead of task failure (mirrors ``stages/multimodal.py``).
 """
 
 from __future__ import annotations
@@ -16,21 +17,52 @@ import shutil
 
 import pyarrow as pa
 
+from . import pdf2xml as _p2x
+
+
+def sniff_pdf_payload(blob: bytes) -> str:
+    """Classify a payload: raw ``pdf``, poppler ``pdf2xml``
+    intermediate, tesseract ``hocr``, or ``unknown``."""
+    head = bytes(blob[:1024])
+    if head.startswith(b"%PDF"):
+        return "pdf"
+    if b"<pdf2xml" in head:
+        return "pdf2xml"
+    if b"ocr_page" in bytes(blob[:4096]) or b"ocr-system" in bytes(blob[:4096]):
+        return "hocr"
+    return "unknown"
+
+
+def decode_intermediate(blob: bytes) -> list:
+    """Intermediate XML bytes → list of page texts (real decode; the
+    parse semantics live in :mod:`.pdf2xml`)."""
+    kind = sniff_pdf_payload(blob)
+    if kind == "pdf2xml":
+        doc = _p2x.parse_pdf2xml(blob)
+    elif kind == "hocr":
+        doc = _p2x.parse_hocr(blob)
+    else:
+        raise ValueError(
+            "NotImplemented: raw %s decode needs pdftohtml/tesseract; "
+            "supply the pdf2xml or hOCR intermediate instead" % kind)
+    return [" ".join(str(b) for b in page) for page in doc]
+
 
 class PDFReader:
     """``map_batches`` actor: ``(doc_id, pdf: binary)`` →
     ``(doc_id, page_idx, text)``.
 
-    Decode requires the ``pdftohtml`` binary (``pdfreader.py:213``) —
-    absent here, so ``__call__`` emits one ``error`` row per document
-    unless a ``decoder`` callable (bytes → list[str] of page texts) is
-    injected (tests inject a deterministic fake)."""
+    Raw-PDF conversion requires the ``pdftohtml`` binary
+    (``pdfreader.py:213``) — absent here — but pdf2xml / hOCR
+    INTERMEDIATES decode for real via :func:`decode_intermediate`
+    (the default decoder).  Inject a ``decoder`` callable (bytes →
+    list[str] of page texts) to override."""
 
     def __init__(self, decoder=None, binary: str = "pdftohtml"):
         if decoder is None and shutil.which(binary) is None:
-            # STUB: no external binary in this environment.  Keep the
-            # actor constructible so the pipeline shape is testable.
-            decoder = None
+            # no external binary: intermediates decode for real, raw
+            # PDFs produce a per-row error
+            decoder = decode_intermediate
         self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -60,6 +92,57 @@ class PDFReader:
             "text": pa.array(texts, pa.large_string()),
             "error": pa.array(errs, pa.string()),
         })
+
+
+class PDFTextboxes:
+    """``map_batches`` actor: ``(doc_id, pdf: binary)`` → one row per
+    textbox (layout + font columns matching
+    ``stages/pdfanalyze.TEXTBOX_SCHEMA``), feeding the distributed
+    page-metrics analysis.  Intermediates (pdf2xml / hOCR) decode for
+    real; raw PDFs yield an error row."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows, errs = [], []
+        for doc_id, blob in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("pdf").to_pylist()):
+            try:
+                kind = sniff_pdf_payload(blob)
+                if kind == "pdf2xml":
+                    doc = _p2x.parse_pdf2xml(blob)
+                elif kind == "hocr":
+                    doc = _p2x.parse_hocr(blob)
+                else:
+                    raise ValueError("NotImplemented: raw %s decode "
+                                     "needs pdftohtml/tesseract" % kind)
+                rows.extend(_p2x.textbox_rows(doc_id, doc))
+            except Exception as e:
+                errs.append({"doc_id": doc_id, "error": str(e)})
+        cols = {"doc_id": pa.int64(), "page": pa.int64(),
+                "left": pa.int64(), "top": pa.int64(),
+                "right": pa.int64(), "bottom": pa.int64(),
+                "font_id": pa.int64(), "font_family": pa.string(),
+                "font_size": pa.int64(), "text": pa.large_string(),
+                "page_width": pa.int64(), "page_height": pa.int64()}
+        out = {name: pa.array([r.get(name) for r in rows], typ)
+               for name, typ in cols.items()}
+        out["error"] = pa.array([None] * len(rows), pa.string())
+        if errs:  # poison-pill rows keep the failure visible downstream
+            for name, typ in cols.items():
+                out[name] = pa.concat_arrays([
+                    out[name],
+                    pa.array([e.get(name) for e in errs], typ)])
+            out["error"] = pa.concat_arrays([
+                out["error"], pa.array([e["error"] for e in errs],
+                                       pa.string())])
+        return pa.table(out)
+
+
+def pdf_textboxes(ds, concurrency=(1, 4), batch_size: int = 8):
+    """Attach the textbox-extraction actor pool (small batches: rows
+    are whole documents)."""
+    return ds.map_batches(
+        PDFTextboxes, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 def read_pdfs(ds, decoder=None, concurrency=(1, 4), batch_size: int = 8):
