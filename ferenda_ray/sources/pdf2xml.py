@@ -417,6 +417,8 @@ def parse_pdf2xml(data: bytes, fontinfo: dict | None = None,
         data = bytes(out)
     root = ET.fromstring(data)
     assert root.tag == "pdf2xml", "unexpected root <%s>" % root.tag
+    if hasattr(decoder, "analyze_font"):
+        _analyze_font_encodings(root, fontinfo, decoder)
     doc = PDFDocument()
     for pageelement in root:
         if pageelement.tag != "page":
@@ -470,6 +472,29 @@ def parse_pdf2xml(data: bytes, fontinfo: dict | None = None,
                 after_footnote = False
         doc.append(page)
     return doc
+
+
+def _analyze_font_encodings(root, fontinfo, decoder):
+    """Feed ≤10 sample ``<text>`` elements per Custom-encoded font to
+    an auto-detecting decoder (``pdfreader.py:923-950``)."""
+    samples: dict = {}
+    for pageelement in root:
+        for e in pageelement:
+            if e.tag == "fontspec":
+                family = e.get("family")
+                if (fontinfo.get(family)
+                        and fontinfo[family].get("encoding") == "Custom"):
+                    samples[e.get("id")] = []
+            elif e.tag == "text" and e.get("font") in samples:
+                if len(samples[e.get("font")]) < 10:
+                    samples[e.get("font")].append(e)
+    for fontid, elems in samples.items():
+        try:
+            decoder.analyze_font(fontid, elems)
+        except Exception:
+            # undetectable: leave the font undecoded (reference logs
+            # and continues, pdfreader.py:949-950)
+            pass
 
 
 def _add_fontspec(element, fontinfo, fontspec, decoder=None):

@@ -268,6 +268,116 @@ def test_custom_encoding_fixture_survives():
     assert not doc.is_empty()
 
 
+# --- custom-encoding decoders — testPDFReader.Decoding ----------------------
+
+def _fontinfo(name, d=FIXDIR):
+    return parse_fontinfo(_fix(name, d).decode("utf8", "replace"))
+
+
+@needs_fixtures
+def test_1d_encoding():
+    # testPDFReader.Decoding.test_1d_encoding
+    from ferenda_ray.sources.pdfdecode import OffsetDecoder
+    doc = parse_pdf2xml(_fix("custom-encoding.xml"),
+                        fontinfo=_fontinfo("custom-encoding.xml.fontinfo"),
+                        decoder=OffsetDecoder())
+    tbs = list(doc.textboxes())
+    assert str(tbs[5]) == "Göran Persson"
+    assert str(tbs[6]) == "Bosse Ringholm"
+    assert str(tbs[7]) == "(Finansdepartementet)"
+
+
+@needs_fixtures
+def test_20_encoding():
+    # testPDFReader.Decoding.test_20_encoding
+    from ferenda_ray.sources.pdfdecode import OffsetDecoder20
+    doc = parse_pdf2xml(
+        _fix("prop_1997_98_44.xml"),
+        fontinfo=_fontinfo("prop_1997_98_44.xml.fontinfo"),
+        decoder=OffsetDecoder20(kommittenamn="Datalagskommittén"))
+    page = doc[0]
+    assert str(page[0]) == "Personuppgiftslag"       # unencoded
+    assert str(page[1]) == "Laila Freivalds"         # basic encoding
+    assert str(page[2]) == "Pierre Schori"
+    # footnote glueing inside an encoded box
+    assert str(page[3]) == "Härigenom föreskrivs1 följande."
+    assert page[3].width == 241 and page[3].right == 326
+    assert page[3][0] == "Härigenom föreskrivs"
+    assert page[3][1] == "1" and page[3][1].tag == "sup"
+    assert page[3][2] == " följande."
+    assert str(page[4]) == "Allmänna bestämmelser"
+    assert page[4].font["family"] == "Times.New.Roman.Fet0100"
+    assert page[4][0].tag is None
+    assert str(page[5]) == "Syftet med lagen"
+    assert page[5].font["family"] == "Times-Roman"   # italic font swapped
+    assert page[5][0].tag == "i"
+    # non-marked-up bold-then-normal textelement (encoded § boundary)
+    assert str(page[6]) == ("1 § Syftet med denna lag är att skydda "
+                            "människor mot att deras personli-")
+    assert page[6].font["family"] == "Times-Roman"
+    assert page[6][0] == "1 §" and page[6][0].tag == "b"
+    assert page[6][1].tag is None
+    assert str(page[8]) == ("Personuppgiftsansvarig Den som ensam eller "
+                            "tillsammans med andra")
+    assert page[8][0] == "Personuppgiftsansvarig " and page[8][0].tag == "i"
+    assert page[8][1].tag is None
+    # fixed-leader boundaries
+    assert str(page[14]) == ("Regeringens bedömning: En lagstiftning som "
+                             "reglerar själva hante-")
+    assert page[14][0] == "Regeringens bedömning:" and page[14][0].tag == "b"
+    assert str(page[16]) == ("Datalagskommitténs bedömning överensstämmer "
+                             "med regeringens.")
+    assert page[16][0] == "Datalagskommitténs bedömning"
+    assert page[16][0].tag == "b"
+    assert str(page[36]).startswith("Remissinstanserna: Kammarrätten i "
+                                    "Göteborg")
+    assert page[36][0] == "Remissinstanserna:" and page[36][0].tag == "b"
+    assert page[36][2] == "Kammarrätten i Göteborg "
+    assert page[36][2].tag == "i"
+    assert page[39][0] == "Landsorganisationen i Sverige (LO)"
+    assert page[39][0].tag == "i"
+
+
+@needs_fixtures
+def test_autodetect_encoding():
+    # testPDFReader.Decoding.test_autodetect_encoding
+    from ferenda_ray.sources.pdfdecode import DetectingDecoder
+    doc = parse_pdf2xml(
+        _fix("multiple-encodings.xml"),
+        fontinfo=_fontinfo("multiple-encodings.xml.fontinfo"),
+        decoder=DetectingDecoder())
+    page = doc[0]
+    assert str(page[0]) == ("Detta är helt vanlig icke-kodad text på "
+                            "svenska.")                       # no offset
+    assert str(page[1]) == ("mellan Konungariket Sveriges regering och "
+                            "Konungariket Danmarks")          # 0x1d
+    assert str(page[2]) == ("Skälen för regeringens bedömning och "
+                            "förslag")                        # 0x20
+
+
+def test_italic_superscript_unreliable_font():
+    # testPDFReader.ParseXML.test_italic_superscript_unreliable_font:
+    # fonts 2 and 7 are really the same family; the decoder's fontspec
+    # alias makes the footnote-marker heuristic see that
+    from ferenda_ray.sources.pdfdecode import OffsetDecoder
+    doc = _parse_frag("""
+<fontspec id="2" size="14" family="MAMMBB+TT5Eo00" color="#000000"/>
+<fontspec id="7" size="7" family="MBAAAC+TTA1o00" color="#000000"/>
+<text top="552" left="340" width="372" height="17" font="2">intressant om 50 år föreslås att projektet Kulturarw</text>
+<text top="549" left="712" width="5" height="13" font="7"><i>3</i></text>
+<text top="552" left="717" width="98" height="17" font="2"> får fortsätta </text>""",
+                      decoder=OffsetDecoder())
+    page = doc[0]
+    assert len(page) == 1
+    box = page[0]
+    assert (box.top, box.left, box.right, box.bottom, box.fontid) == \
+        (549, 340, 815, 569, 2)
+    assert [(str(e), e.tag) for e in box] == [
+        ("intressant om 50 år föreslås att projektet Kulturarw", None),
+        ("3", "is"),
+        (" får fortsätta ", None)]
+
+
 # --- hOCR (scanned/OCR path) — testPDFReader.test_ocr / test_fallback_ocr ---
 
 @needs_fixtures
