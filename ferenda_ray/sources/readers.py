@@ -33,19 +33,25 @@ def sniff_pdf_payload(blob: bytes) -> str:
     return "unknown"
 
 
-def decode_intermediate(blob: bytes) -> list:
-    """Intermediate XML bytes → list of page texts (real decode; the
-    parse semantics live in :mod:`.pdf2xml`)."""
+def decode_payload(blob: bytes):
+    """Any PDF payload → parsed :class:`~.pdf2xml.PDFDocument`:
+    pdf2xml / hOCR intermediates via their parsers, raw PDFs via the
+    pure-stdlib :mod:`.minipdf` extractor."""
     kind = sniff_pdf_payload(blob)
     if kind == "pdf2xml":
-        doc = _p2x.parse_pdf2xml(blob)
-    elif kind == "hocr":
-        doc = _p2x.parse_hocr(blob)
-    else:
-        raise ValueError(
-            "NotImplemented: raw %s decode needs pdftohtml/tesseract; "
-            "supply the pdf2xml or hOCR intermediate instead" % kind)
-    return [" ".join(str(b) for b in page) for page in doc]
+        return _p2x.parse_pdf2xml(blob)
+    if kind == "hocr":
+        return _p2x.parse_hocr(blob)
+    if kind == "pdf":
+        from .minipdf import extract_pdf
+        return extract_pdf(blob)
+    raise ValueError("NotImplemented: cannot sniff payload kind "
+                     "(expected %%PDF, pdf2xml or hOCR)")
+
+
+def decode_intermediate(blob: bytes) -> list:
+    """PDF payload bytes → list of page texts (real decode)."""
+    return [" ".join(str(b) for b in page) for page in decode_payload(blob)]
 
 
 class PDFReader:
@@ -106,15 +112,7 @@ class PDFTextboxes:
         for doc_id, blob in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("pdf").to_pylist()):
             try:
-                kind = sniff_pdf_payload(blob)
-                if kind == "pdf2xml":
-                    doc = _p2x.parse_pdf2xml(blob)
-                elif kind == "hocr":
-                    doc = _p2x.parse_hocr(blob)
-                else:
-                    raise ValueError("NotImplemented: raw %s decode "
-                                     "needs pdftohtml/tesseract" % kind)
-                rows.extend(_p2x.textbox_rows(doc_id, doc))
+                rows.extend(_p2x.textbox_rows(doc_id, decode_payload(blob)))
             except Exception as e:
                 errs.append({"doc_id": doc_id, "error": str(e)})
         cols = {"doc_id": pa.int64(), "page": pa.int64(),

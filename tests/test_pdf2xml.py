@@ -399,6 +399,61 @@ def test_hocr_ecma():
     assert _norm(doc[0][1]) == "EUROPEAN COMPUTER MANUFACTURERS ASSOCIATION"
 
 
+# --- raw-PDF extraction (pure-stdlib minipdf) -------------------------------
+
+PDFDIR = "/root/reference/test/files/pdfreader"
+
+
+@needs_fixtures
+def test_minipdf_sample():
+    from ferenda_ray.sources.minipdf import extract_pdf
+    doc = extract_pdf(_fix("sample.pdf", PDFDIR))
+    assert len(doc) == 1 and not doc.is_empty()
+    texts = [str(b) for b in doc[0]]
+    assert texts[0] == "Document title"
+    assert "This is a simple document in PDF format." in texts
+    # full text content matches the pdftohtml intermediate's words
+    want = {w for b in parse_pdf2xml(_fix("sample.xml"))[0]
+            for w in str(b).split()}
+    got = {w for t in texts for w in t.split()}
+    assert want == got
+
+
+@needs_fixtures
+def test_minipdf_scanned_is_empty():
+    # testPDFReader.test_fallback_ocr: the non-OCR parse of a scanned
+    # PDF yields no text
+    from ferenda_ray.sources.minipdf import extract_pdf
+    doc = extract_pdf(_fix("scanned-ecma-99.pdf", PDFDIR))
+    assert len(doc) == 2 and doc.is_empty()
+
+
+@needs_fixtures
+def test_minipdf_lzw_and_offset_decode():
+    # custom-encoding.pdf is LZW-compressed PDF 1.2 whose encoded
+    # boxes carry 0x1d-shifted bytes; OffsetDecoder recovers them
+    from ferenda_ray.sources.minipdf import extract_pdf
+    from ferenda_ray.sources.pdfdecode import OffsetDecoder
+    doc = extract_pdf(_fix("custom-encoding.pdf", PDFDIR))
+    assert len(doc) == 11 and not doc.is_empty()
+    texts = [str(b) for b in doc[0]]
+    assert "Regeringens proposition" in texts
+    assert "(Finansdepartementet)" in texts
+    dec = OffsetDecoder()
+    decoded = [dec.decode_string(t, dec.map) for t in texts]
+    assert "Göran Persson" in decoded
+    assert "Bosse Ringholm" in decoded
+
+
+@needs_fixtures
+def test_minipdf_objstm():
+    # lipsum.pdf is PDF 1.5 with object streams
+    from ferenda_ray.sources.minipdf import extract_pdf
+    doc = extract_pdf(_fix("lipsum.pdf", ANADIR))
+    assert len(doc) == 3
+    assert str(doc[0][0]).startswith("Lorem ipsum dolor sit amet")
+
+
 # --- pdfanalyze conformance over lipsum.xml (testPDFAnalyze) ----------------
 
 @needs_fixtures

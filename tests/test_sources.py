@@ -189,10 +189,12 @@ def test_paragraphs_stage(ray_session):
 
 
 def test_pdfreader_stub_and_injected_decoder():
+    # a malformed raw PDF yields a per-row error (real decode now runs
+    # via minipdf; unparseable input must not kill the task)
     batch = pa.table({"doc_id": [1], "pdf": [b"%PDF-fake"]})
     stub = PDFReader()
     out = stub(batch)
-    assert out.column("error")[0].as_py().startswith("NotImplemented")
+    assert out.column("error")[0].as_py()
     real = PDFReader(decoder=lambda blob: ["page1 text", "page2 text"])
     out = real(batch)
     assert out.column("text").to_pylist() == ["page1 text", "page2 text"]
