@@ -159,7 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
         "docs_simhash_pairs": docs.docs_simhash_pairs,      # rows-only
-        "docs_fingerprints": docs.docs_fingerprints,        # rows-only
+        "docs_fingerprints": docs.docs_fingerprints,
         "docs_language_id": docs.docs_language_id,
         # --- similarity (embeddings) ---
         "ann_topk": docs.ann_topk,
@@ -557,17 +557,51 @@ def oracle_sql() -> dict[str, str]:
         # token membership over whitespace-split lower() tokens,
         # first-profile-wins tie-break (en > de > fr > sv), 'und' at 0
         "docs_language_id": _LANG_ID_SQL,
+        # winnowing (k=5 grams, window=4) with the md5 k-gram hash:
+        # DuckDB's md5_number_lower == little-endian bytes 8:16 of the
+        # digest, masked to int63 — validated bit-identical to the
+        # engine's Fingerprinter(hash="md5")
+        "docs_fingerprints": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                     AS s
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+                     CAST(md5_number_lower(
+                            substr(s, CAST(t.i AS INTEGER) + 1, 5))
+                          & 9223372036854775807 AS BIGINT) AS h,
+                     length(s) - 4 AS g
+              FROM norm,
+                   UNNEST(range(0, greatest(length(s) - 4, 0))) AS t(i)
+            ), winmin AS (
+              SELECT doc_id, g, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS m
+              FROM grams
+            )
+            SELECT DISTINCT doc_id, m AS fp FROM winmin
+            WHERE g > 4 AND i <= g - 4
+            UNION
+            SELECT doc_id, min(h) AS fp FROM grams
+            WHERE g <= 4 GROUP BY doc_id
+            UNION
+            SELECT doc_id,
+                   CAST(md5_number_lower(s)
+                        & 9223372036854775807 AS BIGINT) AS fp
+            FROM norm WHERE length(s) > 0 AND length(s) < 5""",
         "kg_pipeline_synthetic": f"""
             SELECT subj, pred, obj_type, obj_value, obj_lang,
                    obj_datatype
             FROM read_parquet(
                 '{kg_cache}/expected_triples.parquet')""",
-        # docs_minhash_pairs / docs_simhash_pairs / docs_fingerprints /
-        # lsh_ann_topk: intentionally no SQL equivalent
-        # (sketch-estimate / rolling-hash / approximate-by-design) →
-        # driver records rows-only checks; their exactness properties
-        # are pytest-verified (recall vs brute force, subset vs exact
-        # jaccard).
+        # docs_minhash_pairs / docs_simhash_pairs / lsh_ann_topk:
+        # intentionally no SQL equivalent (sketch-estimate /
+        # approximate-by-design) → driver records rows-only checks;
+        # their exactness properties are pytest-verified (recall vs
+        # brute force, subset vs exact jaccard).
     }
 
 

@@ -328,11 +328,25 @@ def docs_simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
 
 def docs_fingerprints(sf_dir: str):
+    """Winnowing fingerprints with the md5 k-gram hash (bit-identical
+    to DuckDB's ``md5_number_lower``), exploded to one row per
+    fingerprint value so the driver's SQL oracle can hash-compare."""
+    import pyarrow as pa
+
     from ferenda_ray.stages.text_analysis import fingerprints
-    out = fingerprints(_read_docs(sf_dir, ["doc_id", "text"]))
-    return out.map_batches(
-        lambda b: b.select(["doc_id", "fp_digest", "fp_size"]),
-        batch_format="pyarrow")
+    out = fingerprints(_read_docs(sf_dir, ["doc_id", "text"]),
+                       hash="md5")
+
+    def explode(b):
+        ids, fps = [], []
+        for doc_id, fp in zip(b.column("doc_id").to_pylist(),
+                              b.column("fingerprint").to_pylist()):
+            ids.extend([doc_id] * len(fp))
+            fps.extend(fp)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.int64())})
+
+    return out.map_batches(explode, batch_format="pyarrow")
 
 
 def docs_language_id(sf_dir: str):

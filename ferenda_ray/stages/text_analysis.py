@@ -129,18 +129,31 @@ class Fingerprinter:
     + a 64-bit digest per doc."""
 
     def __init__(self, k: int = 5, window: int = 4,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 hash: str = "crc32"):
+        # crc32: fast scale path.  md5: bit-identical to DuckDB's
+        # md5_number_lower (little-endian bytes 8:16 of the digest,
+        # masked to int63) so the driver can oracle-check the stage.
         self.k = k
         self.window = window
         self.text_col = text_col
         self.id_col = id_col
+        if hash == "crc32":
+            self._h = lambda b: zlib.crc32(b)
+        elif hash == "md5":
+            import hashlib
+            self._h = lambda b: (int.from_bytes(
+                hashlib.md5(b).digest()[8:16], "little")
+                & 0x7FFFFFFFFFFFFFFF)
+        else:
+            raise ValueError("hash must be crc32 or md5")
 
     def fingerprint(self, text: str) -> list:
         s = " ".join(text.split()).lower()
         k = self.k
         if len(s) < k:
-            return [zlib.crc32(s.encode())] if s else []
-        hs = np.fromiter((zlib.crc32(s[i:i + k].encode())
+            return [self._h(s.encode())] if s else []
+        hs = np.fromiter((self._h(s[i:i + k].encode())
                           for i in range(len(s) - k + 1)),
                          dtype=np.int64)
         w = self.window
@@ -166,9 +179,10 @@ class Fingerprinter:
 
 def fingerprints(docs, k: int = 5, window: int = 4,
                  text_col: str = "text", id_col: str = "doc_id",
-                 concurrency=None):
+                 concurrency=None, hash: str = "crc32"):
     """State is tiny (window params): task-closure plan by default."""
-    kw = dict(k=k, window=window, text_col=text_col, id_col=id_col)
+    kw = dict(k=k, window=window, text_col=text_col, id_col=id_col,
+              hash=hash)
     if concurrency is None:
         return docs.map_batches(Fingerprinter(**kw),
                                 batch_format="pyarrow", batch_size=512)

@@ -71,3 +71,45 @@ def test_fingerprint_short_inputs():
     fp = ta.Fingerprinter()
     assert fp.fingerprint("") == []
     assert len(fp.fingerprint("ab")) == 1
+
+
+def test_fingerprint_md5_matches_duckdb():
+    """The md5 k-gram hash must equal DuckDB md5_number_lower masked
+    to int63 — that identity is what makes docs_fingerprints
+    oracle-checkable."""
+    import duckdb
+
+    fp = ta.Fingerprinter(hash="md5")
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "winnowing local algorithms for document fingerprinting",
+             "ab", "tiny"]
+    con = duckdb.connect()
+    for s in texts:
+        got = fp.fingerprint(s)
+        sql = """
+            WITH norm AS (SELECT ? AS s), grams AS (
+              SELECT CAST(t.i AS BIGINT) AS i,
+                     CAST(md5_number_lower(
+                            substr(s, CAST(t.i AS INTEGER) + 1, 5))
+                          & 9223372036854775807 AS BIGINT) AS h,
+                     length(s) - 4 AS g
+              FROM norm, UNNEST(range(0, greatest(length(s) - 4, 0)))
+                   AS t(i))
+            , winmin AS (
+              SELECT g, i, min(h) OVER (ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+              FROM grams)
+            SELECT DISTINCT m FROM winmin WHERE g > 4 AND i <= g - 4
+            UNION
+            SELECT min(h) FROM grams WHERE g <= 4 AND g > 0
+            UNION
+            SELECT CAST(md5_number_lower(s)
+                        & 9223372036854775807 AS BIGINT)
+            FROM norm WHERE length(s) > 0 AND length(s) < 5
+        """
+        # normalize the same way the Fingerprinter does
+        norm = " ".join(s.split()).lower()
+        want = sorted(int(r[0]) for r in
+                      con.execute(sql, [norm]).fetchall()
+                      if r[0] is not None)
+        assert got == want, s
