@@ -421,15 +421,28 @@ def _read_emb(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _query_matrix(emb, query_ids):
+    """Fetch the few query vectors WITHOUT collecting the table: the
+    id filter runs distributed, only ≤len(query_ids) rows reach the
+    driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ids = pa.array(list(query_ids))
+    picked = emb.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=ids)),
+        batch_format="pyarrow").take_all()
+    rows = {r["vec_id"]: r["embedding"] for r in picked}
+    return np.array([rows[q] for q in query_ids], dtype=np.float64)
+
+
 def ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
     """Brute-force cosine top-k for the vectors with the given ids
     (float64 math so the oracle's arithmetic matches)."""
     import numpy as np
     from ferenda_ray.stages.similarity import brute_topk
     emb = _read_emb(sf_dir).materialize()
-    rows = {r["vec_id"]: r["embedding"]
-            for r in emb.take_all() if r["vec_id"] in set(query_ids)}
-    Q = np.array([rows[q] for q in query_ids], dtype=np.float64)
+    Q = _query_matrix(emb, query_ids)
     from ferenda_ray.pipelines.relational import _round_cols
     out = brute_topk(emb, Q, k=k, query_ids=list(query_ids))
     return out.map_batches(lambda b: _round_cols(b, {"cosine": 4}),
@@ -462,9 +475,7 @@ def ivf_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
     from ferenda_ray.stages.similarity import ivf_topk
     from ferenda_ray.pipelines.relational import _round_cols
     emb = _read_emb(sf_dir).materialize()
-    rows = {r["vec_id"]: r["embedding"]
-            for r in emb.take_all() if r["vec_id"] in set(query_ids)}
-    Q = np.array([rows[q] for q in query_ids], dtype=np.float64)
+    Q = _query_matrix(emb, query_ids)
     out = ivf_topk(emb, Q, k=k, n_centroids=16, n_probe=16,
                    query_ids=list(query_ids), dtype=np.float64)
     return out.map_batches(lambda b: _round_cols(b, {"cosine": 4}),
@@ -477,8 +488,6 @@ def lsh_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
     import numpy as np
     from ferenda_ray.stages.similarity import lsh_topk
     emb = _read_emb(sf_dir).materialize()
-    rows = {r["vec_id"]: r["embedding"]
-            for r in emb.take_all() if r["vec_id"] in set(query_ids)}
-    Q = np.array([rows[q] for q in query_ids], dtype=np.float64)
+    Q = _query_matrix(emb, query_ids)
     return lsh_topk(emb, Q, k=k, n_planes=6, probe_hamming=2,
                     query_ids=list(query_ids))

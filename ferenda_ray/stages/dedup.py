@@ -67,21 +67,43 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
                        Count(alias_name="n_dups")))
 
 
-def distinct_docs(docs, text_col: str = "text", id_col: str = "doc_id"):
-    """Anti-join form: keep only the representative rows (the
-    ``groupby(key).first`` pattern of SURVEY.md §2.8)."""
+def distinct_docs(docs, text_col: str = "text", id_col: str = "doc_id",
+                  broadcast: bool = False, num_partitions: int = 8):
+    """Keep only the representative rows (the ``groupby(key).first``
+    pattern of SURVEY.md §2.8).
+
+    Default plan is a distributed semi-join (``Dataset.join`` on the
+    id) — the keep set is ~N ids for a mostly-unique corpus, so it
+    must NOT be collected to the driver.  ``broadcast=True`` opts into
+    the collected-ids filter for high-dup-rate inputs where the keep
+    set is known small (ships once via ``ray.put``)."""
     keep = exact_dedup(docs, text_col, id_col)
-    keep_ids = pa.array(sorted(r[id_col] for r in keep.take_all()))
+    if broadcast:
+        keep_ids = pa.array(sorted(r[id_col] for r in keep.take_all()))
 
-    class Filter:
-        def __init__(self, ref):
-            self.ids = resolve(ref)
+        class Filter:
+            def __init__(self, ref):
+                self.ids = resolve(ref)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b.column(id_col),
-                                     value_set=self.ids))
+            def __call__(self, b: pa.Table) -> pa.Table:
+                return b.filter(pc.is_in(b.column(id_col),
+                                         value_set=self.ids))
 
-    return stateful_map(docs, Filter, keep_ids)
+        return stateful_map(docs, Filter, keep_ids)
+    keep_ids = keep.map_batches(
+        lambda b: b.select([id_col]).rename_columns(["__keep_id"]),
+        batch_format="pyarrow")
+    # coalesce both sides: Ray 2.49 join breaks on empty blocks
+    joined = docs.repartition(num_partitions).join(
+        keep_ids.repartition(num_partitions), join_type="inner",
+        num_partitions=num_partitions, on=(id_col,),
+        right_on=("__keep_id",))
+    # Ray keeps or drops the right key depending on version — strip
+    # it defensively
+    return joined.map_batches(
+        lambda b: b.drop_columns(["__keep_id"])
+        if "__keep_id" in b.column_names else b,
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
