@@ -158,7 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
-        "docs_simhash_pairs": docs.docs_simhash_pairs,      # rows-only
+        "docs_simhash_pairs": docs.docs_simhash_pairs,
         "docs_fingerprints": docs.docs_fingerprints,
         "docs_language_id": docs.docs_language_id,
         # --- similarity (embeddings) ---
@@ -597,11 +597,43 @@ def oracle_sql() -> dict[str, str]:
                    obj_datatype
             FROM read_parquet(
                 '{kg_cache}/expected_triples.parquet')""",
-        # docs_minhash_pairs / docs_simhash_pairs / lsh_ann_topk:
-        # intentionally no SQL equivalent (sketch-estimate /
-        # approximate-by-design) → driver records rows-only checks;
-        # their exactness properties are pytest-verified (recall vs
-        # brute force, subset vs exact jaccard).
+        # 64-bit SimHash with the md5 token hash (md5_number_lower
+        # identity); band blocking has exact recall for hamming<=3
+        # (pigeonhole over 4 bands), so the pipeline's pair set equals
+        # this all-pairs SQL
+        "docs_simhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents
+            ), th AS (
+              SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+            ), bits AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (h >> bit) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM th, (SELECT unnest(range(0, 64)) AS bit) b
+              GROUP BY doc_id, bit
+            ), sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0
+                         THEN (CAST(1 AS UBIGINT)
+                               << CAST(bit AS INTEGER))
+                         ELSE 0 END) AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(CAST(a.simhash AS UBIGINT),
+                                      CAST(b.simhash AS UBIGINT)))
+                        AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(CAST(a.simhash AS UBIGINT),
+                                CAST(b.simhash AS UBIGINT))) <= 3""",
+        # docs_minhash_pairs / lsh_ann_topk: intentionally no SQL
+        # equivalent (sketch-estimate / approximate-by-design) →
+        # driver records rows-only checks; their exactness properties
+        # are pytest-verified (recall vs brute force, subset vs exact
+        # jaccard).
     }
 
 

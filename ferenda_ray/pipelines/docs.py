@@ -322,9 +322,12 @@ def docs_minhash_verified_dups(sf_dir: str):
 
 
 def docs_simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs with the md5 token hash: band blocking
+    has exact recall (pigeonhole), so the output equals the all-pairs
+    Hamming-distance set and the DuckDB oracle applies."""
     from ferenda_ray.stages.dedup import simhash_pairs
     return simhash_pairs(_read_docs(sf_dir, ["doc_id", "text"]),
-                         max_hamming=max_hamming)
+                         max_hamming=max_hamming, token_hash="md5")
 
 
 def docs_fingerprints(sf_dir: str):

@@ -310,20 +310,34 @@ def minhash_clusters(docs, threshold: float = 0.8, **kw) -> dict:
 # SimHash
 
 class SimHasher:
-    """64-bit SimHash over word hashes (vectorized bit counting)."""
+    """64-bit SimHash over word hashes (vectorized bit counting).
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    ``token_hash="md5"`` uses the lower 64 digest bits little-endian —
+    bit-identical to DuckDB's ``md5_number_lower`` — making the whole
+    SimHash (and the ≤max_hamming pair set, whose band blocking has
+    exact recall) SQL-oracle-checkable.  Default stays crc-based (3×
+    faster) for the scale path."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 token_hash: str = "crc"):
         self.text_col = text_col
         self.id_col = id_col
+        if token_hash == "crc":
+            self._th = lambda t: ((zlib.crc32(t.encode()) << 32)
+                                  | zlib.crc32(t[::-1].encode()))
+        elif token_hash == "md5":
+            import hashlib
+            self._th = lambda t: int.from_bytes(
+                hashlib.md5(t.encode()).digest()[8:16], "little")
+        else:
+            raise ValueError("token_hash must be crc or md5")
 
-    @staticmethod
-    def simhash64(text: str) -> int:
+    def simhash64(self, text: str) -> int:
         toks = text.split()
         if not toks:
             return 0
-        hs = np.fromiter(
-            ((zlib.crc32(t.encode()) << 32) | zlib.crc32(t[::-1].encode())
-             for t in toks), dtype=np.uint64, count=len(toks))
+        hs = np.fromiter((self._th(t) for t in toks),
+                         dtype=np.uint64, count=len(toks))
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
         vote = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         out = np.uint64(0)
@@ -340,7 +354,7 @@ class SimHasher:
 
 
 def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", token_hash: str = "crc"):
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` via
     band blocking, then exact verify.  The band count is DERIVED from
     ``max_hamming`` (bands = max_hamming + 1): by pigeonhole, a pair
@@ -358,7 +372,8 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
         hi = 64 if bi == bands - 1 else lo + width
         return (h >> lo) & ((1 << (hi - lo)) - 1)
 
-    sh = docs.map_batches(SimHasher(text_col=text_col, id_col=id_col),
+    sh = docs.map_batches(SimHasher(text_col=text_col, id_col=id_col,
+                                    token_hash=token_hash),
                           batch_format="pyarrow", batch_size=512)
 
     def explode(b: pa.Table) -> pa.Table:

@@ -85,9 +85,10 @@ def test_simhash_pairs(docs_ds):
 
 
 def test_simhash64_deterministic():
-    h1 = dedup.SimHasher.simhash64("one two three four")
-    h2 = dedup.SimHasher.simhash64("one two three four")
-    h3 = dedup.SimHasher.simhash64("one two three five")
+    sh = dedup.SimHasher()
+    h1 = sh.simhash64("one two three four")
+    h2 = sh.simhash64("one two three four")
+    h3 = sh.simhash64("one two three five")
     assert h1 == h2 != h3
     assert bin(h1 ^ h3).count("1") <= 32
 
