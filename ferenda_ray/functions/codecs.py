@@ -1,0 +1,291 @@
+"""Pure-stdlib/numpy media codecs for the multimodal stages.
+
+The container has no imaging or audio libraries, but several common
+formats are decodable with nothing beyond ``zlib``/``struct``/numpy:
+PNG (zlib inflate + per-row filters), BMP (uncompressed BI_RGB),
+netpbm P5/P6, and WAV PCM (stdlib ``wave``).  These make the
+multimodal decode stages REAL for those formats; JPEG and video stay
+honestly stubbed (they need libjpeg/ffmpeg).
+
+Everything here is per-payload pure functions — called from actor-pool
+``map_batches`` stages (``stages/multimodal.py``), never driver-side.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["sniff_media", "decode_image", "decode_png", "decode_bmp",
+           "decode_ppm", "decode_wav", "encode_png", "encode_wav",
+           "resize_nearest", "image_features", "audio_features",
+           "MediaDecodeError"]
+
+
+class MediaDecodeError(Exception):
+    pass
+
+
+def sniff_media(payload: bytes) -> str:
+    head = bytes(payload[:16])
+    if head.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if head.startswith(b"BM"):
+        return "bmp"
+    if head[:2] in (b"P5", b"P6"):
+        return "ppm"
+    if head.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return "wav"
+    if head.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+def _unfilter(raw: bytes, height: int, rowbytes: int, bpp: int) -> bytes:
+    out = bytearray()
+    prev = bytearray(rowbytes)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1:pos + 1 + rowbytes])
+        pos += 1 + rowbytes
+        if ft == 1:  # Sub
+            for x in range(bpp, rowbytes):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(rowbytes):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(rowbytes):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(rowbytes):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else \
+                    (b if pb_ <= pc_ else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ft != 0:
+            raise MediaDecodeError("bad PNG filter %d" % ft)
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8 (8-bit gray / palette / RGB / RGBA;
+    alpha is dropped, no interlace)."""
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise MediaDecodeError("not a PNG")
+    pos = 8
+    idat, plte = b"", None
+    w = h = depth = ctype = interlace = None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat += data
+        elif ctag == b"IEND":
+            break
+    if w is None:
+        raise MediaDecodeError("no IHDR")
+    if depth != 8 or interlace:
+        raise MediaDecodeError(
+            "unsupported PNG (depth=%s interlace=%s)" % (depth, interlace))
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise MediaDecodeError("unsupported color type %d" % ctype)
+    raw = zlib.decompress(idat)
+    rowbytes = w * channels
+    px = np.frombuffer(_unfilter(raw, h, rowbytes, channels),
+                       np.uint8).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise MediaDecodeError("palette PNG without PLTE")
+        return plte[px[..., 0]]
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:  # gray+alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3].copy()
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → PNG bytes (filter 0; for tests/fixtures)."""
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data +
+                struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# BMP / netpbm
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP → (H, W, 3) uint8."""
+    if payload[:2] != b"BM":
+        raise MediaDecodeError("not a BMP")
+    (off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack(
+        "<IiihHI", payload[14:34])
+    if comp != 0 or bpp not in (24, 32):
+        raise MediaDecodeError("unsupported BMP (bpp=%d comp=%d)"
+                               % (bpp, comp))
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    rows = []
+    for y in range(h):
+        line = payload[off + y * stride: off + y * stride + w * nbytes]
+        a = np.frombuffer(line, np.uint8).reshape(w, nbytes)
+        rows.append(a[:, 2::-1])  # BGR(A) → RGB
+    px = np.stack(rows)
+    return px[::-1] if flip else px
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 RGB) → (H, W, 3) uint8."""
+    f = io.BytesIO(payload)
+    magic = f.read(2)
+    if magic not in (b"P5", b"P6"):
+        raise MediaDecodeError("not a binary PGM/PPM")
+
+    def token():
+        t = b""
+        while True:
+            c = f.read(1)
+            if c in b" \t\r\n":
+                if t:
+                    return t
+            elif c == b"#":
+                while f.read(1) not in b"\r\n":
+                    pass
+            elif not c:
+                return t
+            else:
+                t += c
+
+    w, h, maxv = int(token()), int(token()), int(token())
+    if maxv > 255:
+        raise MediaDecodeError("16-bit netpbm unsupported")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(f.read(w * h * ch), np.uint8).reshape(h, w, ch)
+    return px if ch == 3 else np.repeat(px, 3, axis=2)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    kind = sniff_media(payload)
+    if kind == "png":
+        return decode_png(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)
+    if kind == "ppm":
+        return decode_ppm(payload)
+    raise MediaDecodeError(
+        "NotImplemented: %s decode requires external libraries "
+        "(PNG/BMP/netpbm decode natively)" % kind)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+
+def decode_wav(payload: bytes):
+    """WAV PCM → (samples ndarray float32 in [-1, 1], sample_rate).
+    Multi-channel audio is averaged to mono."""
+    import wave
+    try:
+        wf = wave.open(io.BytesIO(payload))
+    except Exception as e:
+        raise MediaDecodeError("bad WAV: %s" % e)
+    with wf:
+        n = wf.getnframes()
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        chans = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128) / 128.0
+    else:
+        raise MediaDecodeError("unsupported sample width %d" % width)
+    if chans > 1:
+        x = x[: (len(x) // chans) * chans].reshape(-1, chans).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float [-1,1] mono → 16-bit PCM WAV bytes (tests/fixtures)."""
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.clip(samples, -1, 1) * 32767)
+                       .astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# feature kernels (vectorized numpy — the per-batch hot path)
+
+def resize_nearest(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    ys = (np.arange(h) * px.shape[0] // h).clip(0, px.shape[0] - 1)
+    xs = (np.arange(w) * px.shape[1] // w).clip(0, px.shape[1] - 1)
+    return px[ys[:, None], xs[None, :]]
+
+
+def image_features(px: np.ndarray) -> dict:
+    lum = px.astype(np.float32).mean(axis=2)
+    return {
+        "width": int(px.shape[1]), "height": int(px.shape[0]),
+        "mean_r": round(float(px[..., 0].mean()), 4),
+        "mean_g": round(float(px[..., 1].mean()), 4),
+        "mean_b": round(float(px[..., 2].mean()), 4),
+        "luma_std": round(float(lum.std()), 4),
+    }
+
+
+def audio_features(x: np.ndarray, rate: int) -> dict:
+    if len(x) == 0:
+        return {"duration_ms": 0, "rms": 0.0, "zcr": 0.0,
+                "spectral_centroid_hz": 0.0}
+    rms = float(np.sqrt((x ** 2).mean()))
+    zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+    # power-weighted centroid: tonal content must dominate broadband
+    # noise (magnitude weighting lets flat noise swamp a pure tone)
+    pw = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), 1.0 / rate)
+    centroid = float((freqs * pw).sum() / pw.sum()) if pw.sum() else 0.0
+    return {
+        "duration_ms": int(len(x) * 1000 / rate),
+        "rms": round(rms, 6),
+        "zcr": round(zcr, 6),
+        "spectral_centroid_hz": round(centroid, 2),
+    }

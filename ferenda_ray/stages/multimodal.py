@@ -2,12 +2,12 @@
 
 Images / audio / video travel as Arrow ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample are
-actor-pool ``map_batches`` stages.  The decode kernels themselves are
-STUBBED (no imaging/audio libraries in this container): `DecodeImage`
-raises ``NotImplementedError`` unless given ``fake=True``, in which
-case a deterministic fake decoder (seeded from the payload sha256)
-produces stable pseudo-pixels — the Ray-side plumbing (schema, batch
-size, actor signature, output layout) is real and tested.
+actor-pool ``map_batches`` stages.  Decode is REAL for the formats the
+stdlib can handle — PNG / BMP / netpbm and WAV PCM via
+:mod:`ferenda_ray.functions.codecs` — while JPEG and video frame
+decode stay honestly stubbed (libjpeg/ffmpeg are absent): an
+unsupported format raises ``NotImplementedError`` unless ``fake=True``
+supplies the deterministic pseudo-decoder.
 
 Batch-size note (SURVEY.md "memory-aware"): binary payloads are wide —
 callers should use a small ``batch_size`` (64–512) so
@@ -22,6 +22,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ferenda_ray.functions import codecs
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),            # image | audio | video
@@ -35,28 +37,47 @@ MEDIA_SCHEMA = pa.schema([
 
 def make_media_table(n: int = 8, kind: str = "image",
                      seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows for tests/bench."""
+    """Deterministic REAL media rows for tests/bench: images are
+    actual PNGs (seeded pixels), audio rows actual PCM WAVs (seeded
+    sine + noise); video payloads stay opaque (no free codec)."""
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}:{kind}:{i}".encode()).digest() * 64
+        rng = np.random.default_rng(seed * 1000 + i)
+        if kind == "image":
+            px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            payload = codecs.encode_png(px)
+            w = h = 16
+            dur = None
+        elif kind == "audio":
+            dur = 1000 + i
+            rate = 8000
+            t = np.arange(int(rate * dur / 1000)) / rate
+            sig = (0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+                   + 0.05 * rng.standard_normal(len(t)))
+            payload = codecs.encode_wav(sig, rate)
+            w = h = None
+        else:  # video: opaque payload, stub decode
+            payload = hashlib.sha256(f"{seed}:{kind}:{i}".encode()
+                                     ).digest() * 64
+            w = h = 64
+            dur = 1000 + i
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
         rows["mime"].append({"image": "image/png", "audio": "audio/wav",
                              "video": "video/mp4"}[kind])
-        rows["width"].append(64 if kind != "audio" else None)
-        rows["height"].append(64 if kind != "audio" else None)
-        rows["duration_ms"].append(None if kind == "image" else 1000 + i)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
 class DecodeImage:
-    """Actor-pool stage: payload → pixel tensor → mean-channel features.
-
-    Real deployments plug a PIL/libvips decode into :meth:`_decode`;
-    this container has neither, so ``fake=True`` derives a
-    deterministic 8×8×3 uint8 array from the payload hash, and
-    ``fake=False`` raises ``NotImplementedError`` (clearly-marked stub).
+    """Actor-pool stage: payload → pixels → channel-mean features +
+    dimensions.  PNG/BMP/netpbm decode natively; other formats raise
+    ``NotImplementedError`` unless ``fake=True`` (deterministic
+    pseudo-pixels seeded from the payload hash).  Corrupt payloads of
+    a KNOWN format become per-row error rows (poison-pill isolation).
     """
 
     def __init__(self, fake: bool = False, thumb: int = 8):
@@ -64,38 +85,111 @@ class DecodeImage:
         self.thumb = thumb
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires PIL/libvips (not in this container); "
-                "pass fake=True for the deterministic test decoder")
-        h = hashlib.sha256(payload).digest()
-        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-        return rng.integers(0, 256, (self.thumb, self.thumb, 3),
-                            dtype=np.uint8)
+        kind = codecs.sniff_media(payload)
+        if kind in ("png", "bmp", "ppm"):
+            return codecs.decode_image(payload)
+        if self.fake:
+            h = hashlib.sha256(payload).digest()
+            rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+            return rng.integers(0, 256, (self.thumb, self.thumb, 3),
+                                dtype=np.uint8)
+        raise NotImplementedError(
+            "%s decode requires external libraries (PNG/BMP/netpbm "
+            "decode natively); pass fake=True for the deterministic "
+            "test decoder" % kind)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats, ok = [], []
+        feats, ok, ws, hs, errs = [], [], [], [], []
         for payload in batch.column("payload").to_pylist():
             try:
                 px = self._decode(payload)
                 feats.append([round(float(px[..., c].mean()), 4)
                               for c in range(3)])
+                ws.append(px.shape[1])
+                hs.append(px.shape[0])
                 ok.append(True)
+                errs.append(None)
             except NotImplementedError:
                 raise
-            except Exception:
+            except Exception as e:
                 feats.append(None)
+                ws.append(None)
+                hs.append(None)
                 ok.append(False)
+                errs.append(str(e))
         return pa.table({
             "media_id": batch.column("media_id"),
             "features": pa.array(feats, pa.list_(pa.float64())),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
             "decoded": pa.array(ok, pa.bool_()),
+            "error": pa.array(errs, pa.string()),
         })
+
+
+class DecodeAudio:
+    """Actor-pool stage: WAV payload → DSP features (RMS, zero-crossing
+    rate, spectral centroid, duration) — real numpy kernels."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": batch.column("media_id").to_pylist(),
+               "duration_ms": [], "rms": [], "zcr": [],
+               "spectral_centroid_hz": [], "decoded": [], "error": []}
+        for payload in batch.column("payload").to_pylist():
+            try:
+                x, rate = codecs.decode_wav(payload)
+                f = codecs.audio_features(x, rate)
+                for k in ("duration_ms", "rms", "zcr",
+                          "spectral_centroid_hz"):
+                    out[k].append(f[k])
+                out["decoded"].append(True)
+                out["error"].append(None)
+            except Exception as e:
+                for k in ("duration_ms", "rms", "zcr",
+                          "spectral_centroid_hz"):
+                    out[k].append(None)
+                out["decoded"].append(False)
+                out["error"].append(str(e))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "duration_ms": pa.array(out["duration_ms"], pa.int64()),
+            "rms": pa.array(out["rms"], pa.float64()),
+            "zcr": pa.array(out["zcr"], pa.float64()),
+            "spectral_centroid_hz": pa.array(out["spectral_centroid_hz"],
+                                             pa.float64()),
+            "decoded": pa.array(out["decoded"], pa.bool_()),
+            "error": pa.array(out["error"], pa.string()),
+        })
+
+
+class Thumbnail:
+    """Actor-pool stage: image payload → nearest-neighbor thumbnail,
+    re-encoded as PNG (decode → resize → encode, all native)."""
+
+    def __init__(self, size: int = 8):
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, thumbs, errs = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            ids.append(mid)
+            try:
+                px = codecs.decode_image(payload)
+                small = codecs.resize_nearest(px, self.size, self.size)
+                thumbs.append(codecs.encode_png(np.ascontiguousarray(small)))
+                errs.append(None)
+            except Exception as e:
+                thumbs.append(None)
+                errs.append(str(e))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "thumb_png": pa.array(thumbs, pa.large_binary()),
+                         "error": pa.array(errs, pa.string())})
 
 
 class SampleFrames:
     """Actor-pool stage: video payload → N deterministic frame offsets
-    (the frame-sampling layout; decode of each frame is the same stub)."""
+    (the frame-sampling layout; per-frame decode needs ffmpeg → stub)."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
@@ -117,6 +211,20 @@ def decode_images(media, fake: bool = False, concurrency=(1, 4),
     """Attach the image-decode actor pool (small batch: wide rows)."""
     return media.map_batches(
         DecodeImage, fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def decode_audio(media, concurrency=(1, 4), batch_size: int = 64):
+    return media.map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def thumbnails(media, size: int = 8, concurrency=(1, 4),
+               batch_size: int = 64):
+    return media.map_batches(
+        Thumbnail, fn_constructor_kwargs={"size": size},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
