@@ -134,6 +134,26 @@ def test_reference_vocabularies_parse():
     assert counts["skos.ttl"] == 252
 
 
+DATADIR = "/root/reference/test/files/datasets"
+
+
+@pytest.mark.skipif(not os.path.exists(DATADIR),
+                    reason="reference fixtures not available")
+def test_reference_dataset_fixtures_parse():
+    """Every Turtle / N-Triples fixture in the reference's datasets
+    corpus parses (the inputs of its triple-store integration suite)."""
+    seen = 0
+    for p in sorted(glob.glob(DATADIR + "/*.ttl")):
+        rows = parse_turtle(open(p, encoding="utf8").read())
+        assert rows, p
+        seen += len(rows)
+    for p in sorted(glob.glob(DATADIR + "/*.nt")):
+        rows = parse_ntriples(open(p, encoding="utf8").read())
+        assert rows, p
+        seen += len(rows)
+    assert seen > 3800  # incl. the 3700-triple rfc.nt corpus
+
+
 @needs_vocab
 def test_reference_commondata_spot_facts():
     rows = parse_turtle(
