@@ -126,16 +126,22 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
                            concurrency=(1, 4))
               .repartition(4))
 
-    def rev_proj(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_orderkey": b.column("l_orderkey"),
-            "rev": pc.multiply(b.column("l_extendedprice"),
-                               pc.subtract(pa.scalar(1.0),
-                                           b.column("l_discount")))})
+    def rev_pre(b: pa.Table) -> pa.Table:
+        # per-batch combiner: lineitem is clustered by orderkey, so a
+        # local groupby shrinks the join input ~4x with no shuffle;
+        # the post-join Sum re-merges any batch-boundary partials
+        import polars as pl
+        df = pl.from_arrow(b)
+        return (df.select(
+            pl.col("l_orderkey"),
+            (pl.col("l_extendedprice") * (1.0 - pl.col("l_discount")))
+            .alias("rev"))
+            .group_by("l_orderkey").agg(pl.col("rev").sum())
+            .to_arrow())
 
     li = (_read(sf_dir, "lineitem",
                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
-          .map_batches(rev_proj, batch_format="pyarrow",
+          .map_batches(rev_pre, batch_format="pyarrow",
                        batch_size=65536)
           .repartition(8))
     joined = li.join(orders, join_type="inner", num_partitions=8,
@@ -171,16 +177,20 @@ def nation_revenue(sf_dir: str):
               .select(["c_custkey", "n_name"]))
     ref = ray.put(c2name)
 
-    def rev_proj(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_orderkey": b.column("l_orderkey"),
-            "rev": pc.multiply(b.column("l_extendedprice"),
-                               pc.subtract(pa.scalar(1.0),
-                                           b.column("l_discount")))})
+    def rev_pre(b: pa.Table) -> pa.Table:
+        # per-batch combiner (see q3_top_orders.rev_pre)
+        import polars as pl
+        df = pl.from_arrow(b)
+        return (df.select(
+            pl.col("l_orderkey"),
+            (pl.col("l_extendedprice") * (1.0 - pl.col("l_discount")))
+            .alias("rev"))
+            .group_by("l_orderkey").agg(pl.col("rev").sum())
+            .to_arrow())
 
     li = (_read(sf_dir, "lineitem",
                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
-          .map_batches(rev_proj, batch_format="pyarrow", batch_size=65536)
+          .map_batches(rev_pre, batch_format="pyarrow", batch_size=65536)
           .repartition(8))
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey"]).repartition(4)
