@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_paged": docs.docs_search_paged,
         "docs_sample": docs.docs_sample,
         "docs_exact_dedup": docs.docs_exact_dedup,
+        "docs_distinct": docs.docs_distinct,
         "docs_token_count": docs.docs_token_count,
         "docs_quality": docs.docs_quality,
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
@@ -403,6 +404,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        "docs_distinct": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             GROUP BY text)""",
         "docs_search": r"""
             WITH s AS (
                 SELECT 'https://example.org/res/' || source || '/'

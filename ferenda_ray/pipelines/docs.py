@@ -321,6 +321,17 @@ def docs_minhash_verified_dups(sf_dir: str):
     return j.map_batches(verify, batch_format="pyarrow")
 
 
+def docs_distinct(sf_dir: str):
+    """Representative rows via the distributed semi-join dedup plan
+    (``distinct_docs`` default path: groupby-Min keep set ⋈ docs on
+    id, no driver-side id collection)."""
+    from ferenda_ray.stages.dedup import distinct_docs
+    out = distinct_docs(_read_docs(sf_dir))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "source", "n_chars"]),
+        batch_format="pyarrow")
+
+
 def docs_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup pairs with the md5 token hash: band blocking
     has exact recall (pigeonhole), so the output equals the all-pairs
