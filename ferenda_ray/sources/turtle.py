@@ -336,6 +336,30 @@ def parse_ntriples(text: str | bytes) -> list:
     return rows
 
 
+def to_nt_line(row: dict) -> str:
+    """Triple-row dict → one N-Triples line (inverse of
+    :func:`parse_ntriples`; bnode values keep their ``_:`` label)."""
+    def term_s(v):
+        return v if v.startswith("_:") else "<%s>" % v
+
+    def esc(s):
+        return (s.replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("\n", "\\n").replace("\r", "\\r")
+                 .replace("\t", "\\t"))
+
+    if row["obj_type"] == "uri":
+        o = "<%s>" % row["obj_value"]
+    elif row["obj_type"] == "bnode":
+        o = row["obj_value"]
+    else:
+        o = '"%s"' % esc(row["obj_value"])
+        if row.get("obj_lang"):
+            o += "@%s" % row["obj_lang"]
+        elif row.get("obj_datatype"):
+            o += "^^<%s>" % row["obj_datatype"]
+    return "%s <%s> %s ." % (term_s(row["subj"]), row["pred"], o)
+
+
 def turtle_table(texts, graph: str | None = None):
     """One or many Turtle documents → Arrow table in the TRIPLES
     layout (graph constant, lineage empty) — ready for ``ray.put``

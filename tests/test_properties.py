@@ -1,0 +1,166 @@
+# -*- coding: utf-8 -*-
+"""Property-based hardening (hypothesis) for the self-contained
+parsers: Turtle/N-Triples round-trips, PDF object tokenizer
+round-trips, fingerprint normalization invariants."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ferenda_ray.sources.turtle import (
+    parse_ntriples, parse_turtle, to_nt_line,
+)
+
+SETTINGS = dict(max_examples=60, deadline=None)
+
+# IRI-safe characters (no whitespace/angle brackets/quotes/controls)
+_IRI_CHARS = string.ascii_letters + string.digits + "/#._-~%?=&"
+iris = st.text(_IRI_CHARS, min_size=1, max_size=40).map(
+    lambda s: "http://x.test/" + s)
+# literal text: any printable unicode minus surrogates
+texts = st.text(
+    st.characters(blacklist_categories=("Cs", "Cc")), max_size=80)
+langs = st.one_of(st.none(), st.sampled_from(["en", "sv", "de", "pt-BR"]))
+
+
+@st.composite
+def triple_rows(draw):
+    lang = draw(langs)
+    dtype = None if lang else draw(st.one_of(st.none(), iris))
+    return {
+        "subj": draw(iris), "pred": draw(iris),
+        "obj_type": "literal", "obj_value": draw(texts),
+        "obj_lang": lang, "obj_datatype": dtype,
+    }
+
+
+@given(st.lists(triple_rows(), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_ntriples_roundtrip_property(rows):
+    text = "\n".join(to_nt_line(r) for r in rows)
+    back = parse_ntriples(text)
+    assert [(r["subj"], r["pred"], r["obj_value"],
+             r["obj_lang"], r["obj_datatype"]) for r in back] == \
+        [(r["subj"], r["pred"], r["obj_value"],
+          r["obj_lang"], r["obj_datatype"]) for r in rows]
+
+
+@given(texts, st.sampled_from(["en", "sv", None]))
+@settings(**SETTINGS)
+def test_turtle_literal_roundtrip(value, lang):
+    # serialize a literal with full escaping through the Turtle parser
+    esc = (value.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n").replace("\r", "\\r"))
+    tag = "@%s" % lang if lang else ""
+    doc = ('@prefix ex: <http://e/> .\n'
+           'ex:s ex:p "%s"%s .' % (esc, tag))
+    (row,) = parse_turtle(doc)
+    assert row["obj_value"] == value
+    assert row["obj_lang"] == lang
+
+
+@given(st.lists(st.tuples(iris, iris), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_turtle_uri_objects(pairs):
+    body = " ;\n  ".join("<%s> <%s>" % (p, o) for p, o in pairs)
+    doc = "<http://e/s> %s ." % body
+    rows = parse_turtle(doc)
+    assert [(r["pred"], r["obj_value"]) for r in rows] == pairs
+    assert all(r["obj_type"] == "uri" for r in rows)
+
+
+# --- PDF object tokenizer round-trip ---------------------------------------
+
+pdf_names = st.text(string.ascii_letters + string.digits, min_size=1,
+                    max_size=10)
+pdf_strings = st.binary(max_size=24)
+pdf_numbers = st.one_of(st.integers(-10**6, 10**6),
+                        st.floats(-1e6, 1e6, allow_nan=False,
+                                  allow_infinity=False, width=32))
+
+pdf_values = st.recursive(
+    st.one_of(pdf_names.map(lambda n: ("name", n)),
+              pdf_strings.map(lambda b: ("str", b)),
+              pdf_numbers.map(lambda n: ("num", n)),
+              st.booleans().map(lambda b: ("bool", b))),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4).map(lambda xs: ("arr", xs)),
+        st.dictionaries(pdf_names, children, max_size=4)
+        .map(lambda d: ("dict", d))),
+    max_leaves=12)
+
+
+def _ser(v):
+    kind, val = v
+    if kind == "name":
+        return "/" + val
+    if kind == "str":
+        return "<%s>" % val.hex()
+    if kind == "num":
+        # PDF syntax has no exponent notation — always fixed-point
+        return "%.6f" % val if isinstance(val, float) else str(val)
+    if kind == "bool":
+        return "true" if val else "false"
+    if kind == "arr":
+        return "[ %s ]" % " ".join(_ser(x) for x in val)
+    return "<< %s >>" % " ".join(
+        "/%s %s" % (k, _ser(x)) for k, x in val.items())
+
+
+def _norm(v):
+    kind, val = v
+    if kind == "name":
+        return str(val)
+    if kind == "str":
+        return bytes(val)
+    if kind == "num":
+        return round(float(val), 6) if isinstance(val, float) else val
+    if kind == "bool":
+        return val
+    if kind == "arr":
+        return [_norm(x) for x in val]
+    return {k: _norm(x) for k, x in val.items()}
+
+
+def _norm_parsed(v):
+    if isinstance(v, dict):
+        return {k: _norm_parsed(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_norm_parsed(x) for x in v]
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, str):
+        return str(v)
+    return v
+
+
+@given(pdf_values)
+@settings(**SETTINGS)
+def test_minipdf_object_roundtrip(value):
+    from ferenda_ray.sources.minipdf import _parse
+    data = _ser(value).encode("latin-1") + b" "
+    parsed, _ = _parse(data, 0)
+    assert _norm_parsed(parsed) == _norm(value)
+
+
+# --- fingerprint invariants -------------------------------------------------
+
+@given(st.text(string.ascii_lowercase + "  \t\n", min_size=1,
+               max_size=200))
+@settings(**SETTINGS)
+def test_fingerprint_whitespace_invariant(s):
+    from ferenda_ray.stages.text_analysis import Fingerprinter
+    fp = Fingerprinter()
+    a = fp.fingerprint(s)
+    b = fp.fingerprint(" ".join(s.split()))
+    assert a == b
+
+
+@given(st.text(string.printable, max_size=120))
+@settings(**SETTINGS)
+def test_simhash_bounded(s):
+    from ferenda_ray.stages.dedup import SimHasher
+    h = SimHasher().simhash64(s)
+    assert 0 <= h < (1 << 64)
+    assert h == SimHasher().simhash64(s)  # deterministic
