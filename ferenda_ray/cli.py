@@ -146,8 +146,42 @@ def cmd_status(args) -> int:
     return 0
 
 
+# config cascade defaults (overridable via ferenda.ini / FERENDA_* env
+# / --key=value, manager.py:351 semantics)
+CONFIG_DEFAULTS = {"buckets": 32, "format": "parquet",
+                   "page_size": 100, "base_url": "https://example.org/"}
+
+
+def load_config(argv=None):
+    """Assemble the layered config: Defaults < ferenda.ini < env <
+    argv (the ``ferenda-build.py`` cascade, ``manager.py:65,351``)."""
+    import os
+
+    from ferenda_ray.state.config import (
+        Commandline, Defaults, Environment, INIFile, LayeredConfig)
+    ini = None
+    for a in list(argv or []):
+        if a.startswith("--config="):
+            ini = a.split("=", 1)[1]
+        elif a == "--config":
+            i = argv.index(a)
+            ini = argv[i + 1] if i + 1 < len(argv) else None
+    if ini is None and os.path.exists("ferenda.ini"):
+        ini = "ferenda.ini"
+    sources = [Defaults(CONFIG_DEFAULTS)]
+    if ini:
+        sources.append(INIFile(ini))
+    sources.append(Environment())
+    sources.append(Commandline([a for a in (argv or [])
+                                if a.startswith("--")
+                                and not a.startswith("--config")]))
+    return LayeredConfig(*sources, cascade=True)
+
+
 def main(argv=None) -> int:
+    cfg = load_config(argv)
     ap = argparse.ArgumentParser(prog="ferenda_ray")
+    ap.add_argument("--config", help="ferenda.ini-style config file")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("corpus", help="generate the synthetic corpus")
@@ -159,8 +193,9 @@ def main(argv=None) -> int:
     p.add_argument("corpus")
     p.add_argument("out")
     p.add_argument("--sources", help="sources parquet (default: corpus dir)")
-    p.add_argument("--buckets", type=int, default=32)
-    p.add_argument("--format", default="parquet",
+    p.add_argument("--buckets", type=int,
+                   default=int(cfg.buckets))
+    p.add_argument("--format", default=str(cfg.format),
                    choices=["parquet", "nt", "both"])
     p.add_argument("--force", action="store_true",
                    help="ignore resume manifests")
@@ -186,8 +221,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("feeds", help="events -> paged Atom feeds")
     p.add_argument("events")
     p.add_argument("out")
-    p.add_argument("--base-url", default="https://example.org/")
-    p.add_argument("--page-size", type=int, default=100)
+    p.add_argument("--base-url", default=str(cfg.base_url))
+    p.add_argument("--page-size", type=int, default=int(cfg.page_size))
     p.set_defaults(fn=cmd_feeds)
 
     p = sub.add_parser("toc", help="TOC pagesets per facet")
