@@ -5,13 +5,12 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-2 surface: 45 queries, 41 with DuckDB oracles.  The 4 rows-only
-entries are sketch/approximate BY DESIGN (MinHash estimate, SimHash,
-winnowing fingerprints, probe-limited LSH); each has an exactness
-property verified in pytest instead (recall vs brute force, candidate
-subset vs exact Jaccard), and the oracle-checked
-``docs_minhash_verified_dups`` / ``ivf_ann_topk`` (full-probe) cover
-the same code paths end-to-end.
+Round-2 surface: 49 queries, 47 with DuckDB oracles.  The 2 rows-only
+entries are sketch/approximate BY DESIGN (MinHash estimate,
+probe-limited LSH ANN); each has an exactness property verified in
+pytest instead (recall vs brute force, candidate subset vs exact
+Jaccard), and the oracle-checked ``docs_minhash_verified_dups`` /
+``ivf_ann_topk`` (full-probe) cover the same code paths end-to-end.
 
 Naming discipline: every computed column is named identically in the
 Ray pipeline and the SQL; doubles are rounded identically on both
@@ -137,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_15m": events.hopping_15m_of_hour,
         "events_asof_hourly": events.asof_hourly_share,
         "events_range_pairs": events.range_pairs_5m,
+        "events_rolling_avg": events.rolling_user_avg,
+        "events_value_percentiles": events.value_percentiles,
         # --- KG over documents ---
         "doc_triples": docs.doc_triples,
         "doc_mentions": docs.doc_mentions,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup / text analysis ---
         "docs_search": docs.docs_search,
         "docs_search_paged": docs.docs_search_paged,
+        "docs_search_bm25": docs.docs_search_bm25,
         "docs_sample": docs.docs_sample,
         "docs_exact_dedup": docs.docs_exact_dedup,
         "docs_distinct": docs.docs_distinct,
@@ -392,6 +394,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.event_type, h.prev_hour_events
             FROM l ASOF LEFT JOIN hourly h
               ON l.event_type = h.event_type AND l.ts_us >= h.avail_us""",
+        "events_rolling_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+                   AS rolling_avg
+            FROM events""",
+        "events_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
         "events_range_pairs": """
             SELECT a.user_id,
                    least(a.event_id, b.event_id) AS id_a,
@@ -421,6 +436,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT uri, CAST(hits AS DOUBLE) AS score,
                    CAST(hits AS BIGINT) AS n_hits
             FROM s WHERE hits > 0
+            ORDER BY score DESC, uri LIMIT 10""",
+        "docs_search_bm25": r"""
+            WITH d AS (
+              SELECT 'https://example.org/res/' || source || '/'
+                         || doc_id AS uri,
+                     len(regexp_extract_all(text, '(?i)\bbatch\b'))
+                         AS tf0,
+                     len(regexp_extract_all(text, '(?i)\bstream\b'))
+                         AS tf1,
+                     len(regexp_extract_all(text, '(?i)\bvector\b'))
+                         AS tf2,
+                     len(regexp_extract_all(text, '\S+')) AS dl
+              FROM documents
+            ), s AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM d
+            ), scored AS (
+              SELECT uri, round(
+                  ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0)
+                    * (tf0 * 2.2)/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+                + ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+                    * (tf1 * 2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+                + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
+                    * (tf2 * 2.2)/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 4)
+                AS score
+              FROM d, s
+            )
+            SELECT uri, score FROM scored WHERE score > 0
             ORDER BY score DESC, uri LIMIT 10""",
         "docs_search_paged": r"""
             WITH s AS (

@@ -402,6 +402,28 @@ def docs_search(sf_dir: str, terms=("batch", "stream", "vector"),
     return search(index, list(terms), k=k)
 
 
+def docs_search_bm25(sf_dir: str, terms=("batch", "stream", "vector"),
+                     k: int = 10):
+    """Okapi BM25 ranking (k1=1.2, b=0.75) over the documents table —
+    exact-formula oracle in SQL (same idf/tf shape, double math,
+    round 4)."""
+    from ferenda_ray.stages.fulltext import search_bm25
+
+    def as_index(b: pa.Table) -> pa.Table:
+        import polars as pl
+        uri = pl.from_arrow(b.select(["source", "doc_id"])).select(
+            (pl.lit(DEFAULT_BASE + "res/") + pl.col("source") + pl.lit("/")
+             + pl.col("doc_id").cast(pl.String)).alias("uri"))["uri"]
+        return pa.table({
+            "uri": uri.to_arrow().cast(pa.string()),
+            "text": b.column("text").cast(pa.large_string()),
+        })
+
+    index = _read_docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        as_index, batch_format="pyarrow")
+    return search_bm25(index, list(terms), k=k)
+
+
 def docs_search_paged(sf_dir: str, terms=("batch", "stream"),
                       lang: str = "en", page: int = 1, page_size: int = 5):
     """Field-filtered, PAGINATED search — the full ``WSGIApp.query``

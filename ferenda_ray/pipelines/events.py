@@ -214,3 +214,47 @@ def event_type_share(sf_dir: str):
     return pa.table({"event_type": t.column("event_type"),
                      "n": t.column("count()"),
                      "share": share})
+
+
+def rolling_user_avg(sf_dir: str, window: int = 5):
+    """Per-user rolling mean of ``value`` over the current + preceding
+    ``window-1`` events (ts, event_id order) — the bounded-preceding
+    window-frame operator Ray Data lacks natively, expressed as ONE
+    shuffle on the natural key + a vectorized pandas group body."""
+    import pandas as pd
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        avg = g["value"].rolling(window, min_periods=1).mean()
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "rolling_avg": avg.round(4),
+        })
+
+    return (_read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+            .groupby("user_id")
+            .map_groups(roll, batch_format="pandas"))
+
+
+def value_percentiles(sf_dir: str):
+    """Exact per-type value percentiles (p50/p95, linear
+    interpolation — numpy percentile == SQL quantile_cont).  Exact
+    quantiles need the full group; the shuffle is on the tiny
+    event_type key with vectorized group bodies (at 100 TB swap in a
+    sketch via the salted-aggregate pattern in stages/windows)."""
+    import numpy as np
+    import pandas as pd
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [round(float(np.percentile(v, 50)), 6)],
+            "p95": [round(float(np.percentile(v, 95)), 6)],
+            "n": [len(v)],
+        })
+
+    return (_read_events(sf_dir, ["event_type", "value"])
+            .groupby("event_type")
+            .map_groups(pct, batch_format="pandas"))

@@ -224,3 +224,56 @@ def fulltext_rows_faceted(sources, repo_facets: dict,
 
     return sources.map_batches(emit, batch_format="pyarrow",
                                batch_size=256)
+
+
+def search_bm25(index, terms: list, k: int = 10, k1: float = 1.2,
+                b: float = 0.75):
+    """Okapi BM25 ranking over the index (the scoring the reference
+    delegates to Whoosh/Elasticsearch, ``fulltextindex.py`` backends).
+
+    Two passes: a partial-aggregate stats pass (per-batch (n, Σdl,
+    df_t) rows → tiny driver reduce — bounded by batch count, not
+    corpus size) and a vectorized scoring pass with the reduced
+    scalars in the task closure.  idf = ln((N-df+0.5)/(df+0.5)+1)
+    (Lucene's non-negative form), tf term with the (k1+1) numerator."""
+    import math
+
+    import polars as pl
+
+    pats = [rf"(?i)\b{t}\b" for t in terms]
+
+    def stats(bt: pa.Table) -> pa.Table:
+        df = pl.from_arrow(bt.select(["text"]))
+        row = {"n": [bt.num_rows],
+               "sum_dl": [int(df.select(
+                   pl.col("text").str.count_matches(r"\S+"))
+                   .sum().item() or 0)]}
+        for i, p in enumerate(pats):
+            row[f"df{i}"] = [int(df.select(
+                (pl.col("text").str.count_matches(p) > 0).cast(pl.Int64))
+                .sum().item() or 0)]
+        return pa.table(row)
+
+    parts = index.map_batches(stats, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    avgdl = (sum(r["sum_dl"] for r in parts) / n) if n else 1.0
+    dfs = [sum(r[f"df{i}"] for r in parts) for i in range(len(terms))]
+    idfs = [math.log((n - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+
+    def score(bt: pa.Table) -> pa.Table:
+        df = pl.from_arrow(bt.select(["uri", "text"]))
+        dl = df.select(pl.col("text").str.count_matches(r"\S+")
+                       .cast(pl.Float64).alias("dl"))["dl"]
+        expr = pl.lit(0.0)
+        for i, p in enumerate(pats):
+            tf = pl.col("text").str.count_matches(p).cast(pl.Float64)
+            expr = expr + pl.lit(idfs[i]) * (
+                tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * pl.col("dl") / avgdl)))
+        out = (df.with_columns(dl=dl)
+               .select(pl.col("uri"), expr.round(4).alias("score")))
+        return out.filter(pl.col("score") > 0).to_arrow()
+
+    scored = index.map_batches(score, batch_format="pyarrow")
+    return (scored.sort(["score", "uri"], descending=[True, False])
+            .limit(k))

@@ -111,3 +111,23 @@ def test_fulltext_rows_faceted(ray_session, corpus_dir):
                           indexingtype="Text")]}
     with pytest.raises(SchemaConflictError):
         fulltext_rows_faceted(src, clash)
+
+
+def test_search_bm25(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.stages.fulltext import search_bm25
+    idx = rd.from_arrow(pa.table({
+        "uri": ["u1", "u2", "u3"],
+        "text": pa.array(["spark spark batch job", "batch once here",
+                          "nothing relevant at all"], pa.large_string()),
+    }))
+    rows = search_bm25(idx, ["spark", "batch"], k=10).take_all()
+    assert [r["uri"] for r in rows] == ["u1", "u2"]  # u3 scores 0
+    # u1 matches both terms (one twice) → strictly higher score
+    assert rows[0]["score"] > rows[1]["score"] > 0
+    # idf of a term present in 2/3 docs, Lucene form, sanity bound
+    assert rows[0]["score"] < 2 * math.log(3 + 1) * 2.2
