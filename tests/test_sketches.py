@@ -1,0 +1,82 @@
+# -*- coding: utf-8 -*-
+"""Mergeable sketches: HLL count-distinct and quantile digests —
+accuracy bounds vs exact, merge associativity, Ray operator paths."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ferenda_ray.stages.sketches import (
+    HyperLogLog, QuantileDigest, hll_count_distinct, sketch_quantiles,
+)
+
+
+def test_hll_accuracy():
+    for n in (100, 5000, 50000):
+        h = HyperLogLog(p=12).add_many([f"item-{i}" for i in range(n)])
+        est = h.estimate()
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_merge_equals_union():
+    a = HyperLogLog(12).add_many([f"a{i}" for i in range(2000)])
+    b = HyperLogLog(12).add_many([f"b{i}" for i in range(2000)])
+    ab = HyperLogLog(12).add_many(
+        [f"a{i}" for i in range(2000)] + [f"b{i}" for i in range(2000)])
+    merged = HyperLogLog.loads(a.dumps()).merge(HyperLogLog.loads(b.dumps()))
+    assert merged.estimate() == ab.estimate()  # same registers exactly
+    # duplicates don't inflate
+    dup = HyperLogLog(12).add_many(["x"] * 10000 + ["y"] * 10000)
+    assert dup.estimate() < 10
+
+
+def test_quantile_digest_accuracy():
+    rng = np.random.default_rng(3)
+    xs = rng.exponential(10.0, 100_000)
+    d = QuantileDigest(k=256)
+    # stream in chunks (forces repeated compression)
+    for chunk in np.array_split(xs, 37):
+        d.add_many(chunk)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = float(np.quantile(xs, q))
+        got = d.quantile(q)
+        # rank error: the estimate's true rank is within 1% of q
+        rank = float((xs <= got).mean())
+        assert abs(rank - q) < 0.01, (q, exact, got, rank)
+
+
+def test_quantile_digest_merge():
+    rng = np.random.default_rng(4)
+    xs = rng.normal(0, 1, 40_000)
+    parts = np.array_split(xs, 8)
+    digests = [QuantileDigest(128).add_many(p) for p in parts]
+    acc = QuantileDigest.loads(digests[0].dumps())
+    for d in digests[1:]:
+        acc.merge(QuantileDigest.loads(d.dumps()))
+    med = acc.quantile(0.5)
+    assert abs(float((xs <= med).mean()) - 0.5) < 0.02
+
+
+def test_ray_hll_and_quantiles(ray_session):
+    import ray.data as rd
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["user_id", "event_type", "value"])
+    exact_users = len(set(t.column("user_id").to_pylist()))
+    est = hll_count_distinct(ds, "user_id")
+    assert abs(est - exact_users) / exact_users < 0.05
+    rows = {r["group"]: r for r in
+            sketch_quantiles(ds, "value", qs=(0.5,),
+                             group_col="event_type").take_all()}
+    import numpy as np
+    vals = t.to_pydict()
+    by_type = {}
+    for et, v in zip(vals["event_type"], vals["value"]):
+        by_type.setdefault(et, []).append(v)
+    for et, v in by_type.items():
+        exact = float(np.quantile(v, 0.5))
+        got = rows[et]["p50"]
+        rank = float((np.array(v) <= got).mean())
+        assert abs(rank - 0.5) < 0.05, (et, exact, got)
