@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-2 surface: 49 queries, 47 with DuckDB oracles.  The 2 rows-only
+Round-2 surface: 50 queries, 48 with DuckDB oracles.  The 2 rows-only
 entries are sketch/approximate BY DESIGN (MinHash estimate,
 probe-limited LSH ANN); each has an exactness property verified in
 pytest instead (recall vs brute force, candidate subset vs exact
@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search": docs.docs_search,
         "docs_search_paged": docs.docs_search_paged,
         "docs_search_bm25": docs.docs_search_bm25,
+        "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_sample": docs.docs_sample,
         "docs_exact_dedup": docs.docs_exact_dedup,
         "docs_distinct": docs.docs_distinct,
@@ -437,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(hits AS BIGINT) AS n_hits
             FROM s WHERE hits > 0
             ORDER BY score DESC, uri LIMIT 10""",
+        "doc_entity_pagerank": "WITH de AS (SELECT 'doc:' || doc_id AS d, 'ent:batch' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bbatch\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:shuffle' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bshuffle\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:spark' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bspark\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:stream' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bstream\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:vector' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bvector\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:window' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bwindow\\b')) > 0),\nedges AS (SELECT d AS src, e AS dst FROM de UNION ALL SELECT e, d FROM de),\ndeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),\nnodes AS (SELECT DISTINCT src AS node FROM edges),\nparams AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),\nr0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank FROM nodes)\n, r1 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r0 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r2 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r1 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r3 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r2 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r4 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r3 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r5 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r4 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r6 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r5 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r7 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r6 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r8 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r7 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r9 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r8 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r10 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r9 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\nSELECT node, round(rank, 6) AS rank FROM r10",
         "docs_search_bm25": r"""
             WITH d AS (
               SELECT 'https://example.org/res/' || source || '/'

@@ -402,6 +402,29 @@ def docs_search(sf_dir: str, terms=("batch", "stream", "vector"),
     return search(index, list(terms), k=k)
 
 
+def doc_entity_pagerank(sf_dir: str, damping: float = 0.85,
+                        iters: int = 10):
+    """PageRank over the symmetrized doc↔entity mention graph — the
+    iterative join+aggregate operator, oracle-checked via an unrolled
+    CTE chain (fixed iterations, float64, round 6)."""
+    from ferenda_ray.stages.graph import pagerank
+
+    def edges(b: pa.Table) -> pa.Table:
+        docs_ = ["doc:%d" % d for d in b.column("doc_id").to_pylist()]
+        ents = ["ent:%s" % a for a in b.column("alias").to_pylist()]
+        return pa.table({"src": pa.array(docs_ + ents, pa.string()),
+                         "dst": pa.array(ents + docs_, pa.string())})
+
+    e = doc_mentions(sf_dir).map_batches(edges, batch_format="pyarrow")
+    pr = pagerank(e, damping=damping, iters=iters,
+                  num_partitions=2, symmetric=True)
+    return pr.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "rank": pc.round(b.column("rank"), 6)}),
+        batch_format="pyarrow")
+
+
 def docs_search_bm25(sf_dir: str, terms=("batch", "stream", "vector"),
                      k: int = 10):
     """Okapi BM25 ranking (k1=1.2, b=0.75) over the documents table —

@@ -1,0 +1,53 @@
+# -*- coding: utf-8 -*-
+"""PageRank over edge Datasets — exact vs a numpy reference."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _numpy_pagerank(edges, iters=10, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = np.zeros(len(nodes))
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(iters):
+        nr = np.full(len(nodes), (1 - d) / len(nodes))
+        for s, t in edges:
+            nr[idx[t]] += d * r[idx[s]] / out[idx[s]]
+        r = nr
+    return {n: r[idx[n]] for n in nodes}
+
+
+def test_pagerank_matches_reference(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.graph import pagerank
+    rng = np.random.default_rng(11)
+    edges = sorted({(f"n{a}", f"n{b}")
+                    for a, b in rng.integers(0, 20, (80, 2)) if a != b})
+    ds = rd.from_arrow(pa.table({"src": [e[0] for e in edges],
+                                 "dst": [e[1] for e in edges]}))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(ds, iters=8, num_partitions=2).take_all()}
+    want = _numpy_pagerank(edges, iters=8)
+    assert set(got) == set(want)
+    assert all(abs(got[n] - want[n]) < 1e-12 for n in want)
+
+
+def test_pagerank_symmetric_fast_path(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.graph import pagerank
+    base = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    edges = sorted(set(base + [(t, s) for s, t in base]))
+    ds = rd.from_arrow(pa.table({"src": [e[0] for e in edges],
+                                 "dst": [e[1] for e in edges]}))
+    slow = {r["node"]: r["rank"]
+            for r in pagerank(ds, iters=6, num_partitions=2).take_all()}
+    fast = {r["node"]: r["rank"]
+            for r in pagerank(ds, iters=6, num_partitions=2,
+                              symmetric=True).take_all()}
+    assert slow == fast
+    assert abs(sum(fast.values()) - 1.0) < 1e-9
