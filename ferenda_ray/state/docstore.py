@@ -174,3 +174,93 @@ class DocumentStore:
         for name in sorted(os.listdir(d)):
             if not name.startswith("index") and not name.startswith("."):
                 yield name
+
+
+# ---------------------------------------------------------------------------
+# duration-based scheduling + patch authoring (devel-tool surface)
+
+def record_durations(store: DocumentStore, action: str,
+                     durations: dict) -> str:
+    """Merge per-basefile durations for ``action`` into
+    ``entries/.durations.json`` (the ``devel statusreport`` artifact,
+    ``ferenda/documentstore.py:542-547``)."""
+    import json
+    p = store.path(".durations", "entries", ".json")
+    data: dict = {}
+    if os.path.exists(p):
+        try:
+            with open(p) as fp:
+                data = json.load(fp)
+        except ValueError:
+            data = {}
+    data.setdefault(action, {}).update(
+        {k: float(v) for k, v in durations.items()})
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as fp:
+        json.dump(data, fp, sort_keys=True)
+    return p
+
+
+def ordered_by_duration(store: DocumentStore, action: str,
+                        basefiles) -> list:
+    """Longest-job-first ordering: basefiles with a recorded duration
+    for ``action`` first (descending), then the rest in given order —
+    the parallel-throughput heuristic of
+    ``documentstore.list_basefiles_for`` (``documentstore.py:542-562``)."""
+    import json
+    p = store.path(".durations", "entries", ".json")
+    durations: dict = {}
+    if os.path.exists(p):
+        try:
+            with open(p) as fp:
+                durations = json.load(fp).get(action, {})
+        except ValueError:
+            durations = {}
+    basefiles = list(basefiles)
+    known = [b for b in basefiles if b in durations]
+    known.sort(key=lambda b: durations[b], reverse=True)
+    rest = [b for b in basefiles if b not in durations]
+    return known + rest
+
+
+def make_patch(original: str, edited: str, description: str = "",
+               fromfile: str = "original", tofile: str = "edited") -> str:
+    """Unified diff from ``original`` to hand-edited ``edited`` — the
+    ``devel mkpatch`` flow (``ferenda/devel.py:919-1010``): the output
+    round-trips through ``stages/render.apply_patch``.  The
+    description travels separately (the reference's sidecar ``.desc``
+    file, ``documentrepository.py:1375``)."""
+    import difflib
+    lines = difflib.unified_diff(
+        original.split("\n"), edited.split("\n"),
+        fromfile=fromfile, tofile=tofile, lineterm="")
+    return "\n".join(lines)
+
+
+def store_patch(store: DocumentStore, basefile: str, patch: str,
+                description: str = "") -> tuple:
+    """Write the patch + sidecar description where
+    ``patch_if_needed`` will find them (``patches/`` maindir)."""
+    ppath = os.path.join(store.datadir, "patches",
+                         basefile_to_pathfrag(basefile) + ".patch")
+    os.makedirs(os.path.dirname(ppath), exist_ok=True)
+    with open(ppath, "w") as fp:
+        fp.write(patch)
+    dpath = ppath[:-6] + ".desc"
+    if description:
+        with open(dpath, "w") as fp:
+            fp.write(description)
+    return ppath, (dpath if description else None)
+
+
+def load_patch(store: DocumentStore, basefile: str) -> tuple:
+    """Return ``(patch_text, description)`` or ``(None, None)``."""
+    ppath = os.path.join(store.datadir, "patches",
+                         basefile_to_pathfrag(basefile) + ".patch")
+    if not os.path.exists(ppath):
+        return None, None
+    desc = None
+    dpath = ppath[:-6] + ".desc"
+    if os.path.exists(dpath):
+        desc = open(dpath).read()
+    return open(ppath).read(), desc

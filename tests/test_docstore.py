@@ -71,3 +71,32 @@ def test_attachments(tmp_path):
     d.archive("123/a", "v1")
     assert list(d.list_attachments("123/a", "downloaded", "v1")) \
         == ["appendix.txt"]
+
+
+def test_durations_ordering(tmp_path):
+    from ferenda_ray.state.docstore import (
+        DocumentStore, ordered_by_duration, record_durations)
+    store = DocumentStore(str(tmp_path))
+    record_durations(store, "parse", {"b": 2.0, "c": 9.0})
+    record_durations(store, "parse", {"a": 5.0})  # merges
+    out = ordered_by_duration(store, "parse", ["a", "b", "c", "d", "e"])
+    assert out == ["c", "a", "b", "d", "e"]  # longest-first, rest stable
+    # unknown action: original order
+    assert ordered_by_duration(store, "relate", ["x", "y"]) == ["x", "y"]
+
+
+def test_mkpatch_roundtrip(tmp_path):
+    from ferenda_ray.stages.render import apply_patch
+    from ferenda_ray.state.docstore import (
+        DocumentStore, load_patch, make_patch, store_patch)
+    store = DocumentStore(str(tmp_path))
+    original = "line one\nsensitive ssn 123\nline three\n"
+    edited = "line one\n[redacted]\nline three\n"
+    patch = make_patch(original, edited)
+    ppath, dpath = store_patch(store, "123/a", patch,
+                               "Removed sensitive personal information")
+    loaded, desc = load_patch(store, "123/a")
+    assert desc == "Removed sensitive personal information"
+    # the stored patch round-trips through the engine's patch stage
+    assert apply_patch(original, loaded) == edited
+    assert load_patch(store, "nope/x") == (None, None)
