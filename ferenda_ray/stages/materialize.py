@@ -192,10 +192,18 @@ def _bucket_writer(out_dir: str, fmt: str = "parquet",
         key7 = ["subj", "pred", "obj_type", "obj_value", "obj_lang",
                 "obj_datatype", "graph"]
         if dedup:
-            # min (src_repo, src_path) lineage wins, as in dedup_exact
-            df = (df.sort(key7 + ["src_repo", "src_path"])
-                    .unique(subset=key7, keep="first", maintain_order=True))
-        df = df.sort(SORT_KEY)
+            # ONE sort does both jobs: leading SORT_KEY gives the
+            # output order, the remaining key7 columns make key groups
+            # contiguous for unique(), and trailing lineage puts the
+            # min (src_repo, src_path) row first in each group (the
+            # dedup_exact rule)
+            df = (df.sort(SORT_KEY + ["obj_type", "obj_lang",
+                                      "obj_datatype", "graph",
+                                      "src_repo", "src_path"])
+                    .unique(subset=key7, keep="first",
+                            maintain_order=True))
+        else:
+            df = df.sort(SORT_KEY)
         data = df.to_arrow().cast(TRIPLES)
         # deterministic content fingerprint over the sort key columns
         joined = df.select(
