@@ -177,7 +177,10 @@ def _bucket_writer(out_dir: str, fmt: str = "parquet",
         t0 = time.perf_counter()
         bucket = group.column("bucket")[0].as_py()
         part = f"bucket={bucket:05d}"
-        group = group.drop_columns(["bucket"])
+        # the exchange delivers hundreds of small chunks per bucket;
+        # one defragment beats per-kernel chunk iteration (measured
+        # 30x on polars from_arrow)
+        group = group.drop_columns(["bucket"]).combine_chunks()
         if pred_vocab is not None:
             group = restore_batch(group, pred_vocab, graph_const)
         # decode any dictionary-encoded columns (post-exchange, local)
