@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-2 surface: 50 queries, 48 with DuckDB oracles.  The 2 rows-only
+Round-2 surface: 51 queries, 49 with DuckDB oracles.  The 2 rows-only
 entries are sketch/approximate BY DESIGN (MinHash estimate,
 probe-limited LSH ANN); each has an exactness property verified in
 pytest instead (recall vs brute force, candidate subset vs exact
@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_pairs": events.range_pairs_5m,
         "events_rolling_avg": events.rolling_user_avg,
         "events_value_percentiles": events.value_percentiles,
+        "events_hourly_active_users": events.hourly_active_users,
         # --- KG over documents ---
         "doc_triples": docs.doc_triples,
         "doc_mentions": docs.doc_mentions,
@@ -402,6 +403,10 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
                    AS rolling_avg
             FROM events""",
+        "events_hourly_active_users": """
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+                   count(DISTINCT user_id) AS active_users
+            FROM events GROUP BY hour""",
         "events_value_percentiles": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 6) AS p50,

@@ -258,3 +258,28 @@ def value_percentiles(sf_dir: str):
     return (_read_events(sf_dir, ["event_type", "value"])
             .groupby("event_type")
             .map_groups(pct, batch_format="pandas"))
+
+
+def hourly_active_users(sf_dir: str):
+    """Per-hour distinct-user count — windowed COUNT(DISTINCT):
+    per-batch partial dedup of (hour, user) pairs, one shuffle on the
+    pair key, then a per-hour set-size group body (the exact path; the
+    HLL sketch in ``stages/sketches`` is the 100-TB variant)."""
+    def pairs(b: pa.Table) -> pa.Table:
+        import polars as pl
+        hour = pc.divide(b.column("ts").cast(pa.int64()),
+                         _US_PER_HOUR).cast(pa.int64())
+        t = pa.table({"hour": hour, "user_id": b.column("user_id")})
+        # per-batch combiner: drop duplicate pairs before the shuffle
+        return pl.from_arrow(t).unique().to_arrow()
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        users = set(g.column("user_id").to_pylist())
+        return pa.table({"hour": [g.column("hour")[0].as_py()],
+                         "active_users": pa.array([len(users)],
+                                                  pa.int64())})
+
+    return (_read_events(sf_dir, ["ts", "user_id"])
+            .map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+            .groupby("hour")
+            .map_groups(count_distinct, batch_format="pyarrow"))
