@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-2 surface: 51 queries, 49 with DuckDB oracles.  The 2 rows-only
+Round-2 surface: 52 queries, 50 with DuckDB oracles.  The 2 rows-only
 entries are sketch/approximate BY DESIGN (MinHash estimate,
 probe-limited LSH ANN); each has an exactness property verified in
 pytest instead (recall vs brute force, candidate subset vs exact
@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_avg": events.rolling_user_avg,
         "events_value_percentiles": events.value_percentiles,
         "events_hourly_active_users": events.hourly_active_users,
+        "events_top_values_ties": events.top_values_with_ties,
         # --- KG over documents ---
         "doc_triples": docs.doc_triples,
         "doc_mentions": docs.doc_mentions,
@@ -403,6 +404,14 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
                    AS rolling_avg
             FROM events""",
+        "events_top_values_ties": """
+            WITH r AS (
+              SELECT event_type, event_id, value,
+                     rank() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC) AS rnk
+              FROM events)
+            SELECT event_type, event_id, value, rnk
+            FROM r WHERE rnk <= 5""",
         "events_hourly_active_users": """
             SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
                    count(DISTINCT user_id) AS active_users

@@ -283,3 +283,21 @@ def hourly_active_users(sf_dir: str):
             .map_batches(pairs, batch_format="pyarrow", batch_size=65536)
             .groupby("hour")
             .map_groups(count_distinct, batch_format="pyarrow"))
+
+
+def top_values_with_ties(sf_dir: str, k: int = 5):
+    """Top-k ``value`` rows per event_type INCLUDING ties — RANK()
+    semantics (row_number would drop tied rows arbitrarily); one
+    shuffle on the group key, vectorized pandas group body."""
+    import pandas as pd
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["value"].rank(method="min", ascending=False)
+        out = g[r <= k].copy()
+        out["rnk"] = r[r <= k].astype("int64")
+        return out[["event_type", "event_id", "value", "rnk"]] \
+            .sort_values(["rnk", "event_id"])
+
+    return (_read_events(sf_dir, ["event_id", "event_type", "value"])
+            .groupby("event_type")
+            .map_groups(topk, batch_format="pandas"))
