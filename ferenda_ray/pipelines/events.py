@@ -301,3 +301,64 @@ def top_values_with_ties(sf_dir: str, k: int = 5):
     return (_read_events(sf_dir, ["event_id", "event_type", "value"])
             .groupby("event_type")
             .map_groups(topk, batch_format="pandas"))
+
+
+def type_hour_rollup(sf_dir: str):
+    """ROLLUP(event_type, hour): detail rows + per-type subtotals +
+    grand total — expressed as one detail aggregation reused for both
+    subtotal levels (re-aggregate the small result, NOT the input —
+    the classic rollup-from-cube trick)."""
+    import polars as pl
+
+    def prep(b: pa.Table) -> pa.Table:
+        hour = pc.divide(b.column("ts").cast(pa.int64()),
+                         _US_PER_HOUR).cast(pa.int64())
+        return pa.table({"event_type": b.column("event_type"),
+                         "hour": hour})
+
+    from ray.data.aggregate import Count
+    detail = (_read_events(sf_dir, ["ts", "event_type"])
+              .map_batches(prep, batch_format="pyarrow",
+                           batch_size=65536)
+              .groupby(["event_type", "hour"])
+              .aggregate(Count(alias_name="n")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        per_type = (df.group_by("event_type").agg(pl.col("n").sum())
+                    .with_columns(hour=pl.lit(None, pl.Int64)))
+        grand = df.select(pl.col("n").sum()).with_columns(
+            event_type=pl.lit(None, pl.String),
+            hour=pl.lit(None, pl.Int64))
+        out = pl.concat([df, per_type.select(df.columns),
+                         grand.select(df.columns)])
+        return out.to_arrow()
+
+    # the rollup levels need ALL detail rows → one small materialize
+    # of the aggregated (not raw) table
+    import ray.data as rd
+    t = pa.concat_tables([pa.Table.from_pylist(detail.take_all())])
+    return rd.from_arrow(finalize(t))
+
+
+def value_histogram(sf_dir: str, bins: int = 10, lo: float = 0.0,
+                    hi: float = 100.0):
+    """Fixed-bin histogram of ``value`` per event_type: bin id
+    assigned per batch (vectorized floor), ONE groupby on
+    (type, bin) — no data-dependent passes."""
+    width = (hi - lo) / bins
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        binid = pc.cast(pc.floor(pc.divide(pc.subtract(v, lo), width)),
+                        pa.int64())
+        binid = pc.min_element_wise(pc.max_element_wise(binid, 0),
+                                    bins - 1)
+        return pa.table({"event_type": b.column("event_type"),
+                         "bin": binid})
+
+    from ray.data.aggregate import Count
+    return (_read_events(sf_dir, ["event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+            .groupby(["event_type", "bin"])
+            .aggregate(Count(alias_name="n")))
