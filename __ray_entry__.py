@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-2 surface: 54 queries, 52 with DuckDB oracles.  The 2 rows-only
+Round-2 surface: 55 queries, 53 with DuckDB oracles.  The 2 rows-only
 entries are sketch/approximate BY DESIGN (MinHash estimate,
 probe-limited LSH ANN); each has an exactness property verified in
 pytest instead (recall vs brute force, candidate subset vs exact
@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_active_users": events.hourly_active_users,
         "events_top_values_ties": events.top_values_with_ties,
         "events_type_hour_rollup": events.type_hour_rollup,
+        "events_value_hour_corr": events.value_hour_correlation,
         "events_value_histogram": events.value_histogram,
         # --- KG over documents ---
         "doc_triples": docs.doc_triples,
@@ -406,6 +407,12 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
                    AS rolling_avg
             FROM events""",
+        "events_value_hour_corr": """
+            SELECT event_type,
+                   round(corr(value,
+                        CAST((epoch_us(ts) // 3600000000) %% 24
+                             AS DOUBLE)), 6) AS corr_value_hour
+            FROM events GROUP BY event_type""".replace("%%", "%"),
         "events_type_hour_rollup": """
             SELECT event_type,
                    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,

@@ -362,3 +362,53 @@ def value_histogram(sf_dir: str, bins: int = 10, lo: float = 0.0,
             .map_batches(prep, batch_format="pyarrow", batch_size=65536)
             .groupby(["event_type", "bin"])
             .aggregate(Count(alias_name="n")))
+
+
+def value_hour_correlation(sf_dir: str):
+    """Pearson corr(value, hour-of-day) per event_type via the
+    partial-sums combiner: each batch emits (n, Σx, Σy, Σxy, Σx²,
+    Σy²) per type, one tiny groupby merges, closed form finishes —
+    the distributed-statistics shape (no second pass over the data)."""
+    import numpy as np
+    import polars as pl
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour_of_day = pc.cast(
+            pc.divide(pc.cast(b.column("ts").cast(pa.int64()),
+                              pa.int64()), _US_PER_HOUR), pa.int64())
+        hod = pc.cast(
+            pc.subtract(hour_of_day,
+                        pc.multiply(pc.divide(hour_of_day, 24), 24)),
+            pa.float64())
+        t = pa.table({"event_type": b.column("event_type"),
+                      "x": pc.cast(b.column("value"), pa.float64()),
+                      "y": hod})
+        df = pl.from_arrow(t)
+        return (df.group_by("event_type").agg(
+            n=pl.len().cast(pl.Float64),
+            sx=pl.col("x").sum(), sy=pl.col("y").sum(),
+            sxy=(pl.col("x") * pl.col("y")).sum(),
+            sxx=(pl.col("x") ** 2).sum(),
+            syy=(pl.col("y") ** 2).sum()).to_arrow())
+
+    def finalize(g: pa.Table) -> pa.Table:
+        import numpy as np
+        n = float(np.sum(g.column("n").to_numpy()))
+        sx = float(np.sum(g.column("sx").to_numpy()))
+        sy = float(np.sum(g.column("sy").to_numpy()))
+        sxy = float(np.sum(g.column("sxy").to_numpy()))
+        sxx = float(np.sum(g.column("sxx").to_numpy()))
+        syy = float(np.sum(g.column("syy").to_numpy()))
+        num = n * sxy - sx * sy
+        den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        corr = num / den if den else float("nan")
+        return pa.table({
+            "event_type": [g.column("event_type")[0].as_py()],
+            "corr_value_hour": pa.array([round(corr, 6)], pa.float64()),
+        })
+
+    return (_read_events(sf_dir, ["ts", "event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("event_type")
+            .map_groups(finalize, batch_format="pyarrow"))
