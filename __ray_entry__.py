@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-2 surface: 55 queries, 53 with DuckDB oracles.  The 2 rows-only
+Round-2 surface: 57 queries, 55 with DuckDB oracles.  The 2 rows-only
 entries are sketch/approximate BY DESIGN (MinHash estimate,
 probe-limited LSH ANN); each has an exactness property verified in
 pytest instead (recall vs brute force, candidate subset vs exact
@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_count": relational.order_priority_count,
         "customer_order_stats": relational.customer_order_stats,
         "supplier_acctbal_by_nation": relational.supplier_acctbal_by_nation,
+        "customers_without_orders": relational.customers_without_orders,
         # --- stream-shaped (events) ---
         "events_tumbling_hour": events.tumbling_hour,
         "events_sessionize": events.sessionize,
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_values_ties": events.top_values_with_ties,
         "events_type_hour_rollup": events.type_hour_rollup,
         "events_value_hour_corr": events.value_hour_correlation,
+        "events_latest_value_per_user": events.latest_value_per_user,
         "events_value_histogram": events.value_histogram,
         # --- KG over documents ---
         "doc_triples": docs.doc_triples,
@@ -407,6 +409,15 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
                    AS rolling_avg
             FROM events""",
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')""",
+        "events_latest_value_per_user": """
+            SELECT user_id, value AS latest_value FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1""",
         "events_value_hour_corr": """
             SELECT event_type,
                    round(corr(value,

@@ -412,3 +412,30 @@ def value_hour_correlation(sf_dir: str):
                          batch_size=65536)
             .groupby("event_type")
             .map_groups(finalize, batch_format="pyarrow"))
+
+
+def latest_value_per_user(sf_dir: str):
+    """ARG-MAX per group: each user's value at their latest event —
+    per-batch combiner keeps one candidate per (user, max ts) before
+    the shuffle, the group body finishes (SQL ``arg_max`` with a
+    deterministic event_id tie-break)."""
+    import pandas as pd
+
+    def combine(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).tail(1),
+            preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        last = g.iloc[-1]
+        return pd.DataFrame({"user_id": [last["user_id"]],
+                             "latest_value": [last["value"]]})
+
+    return (_read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("user_id")
+            .map_groups(finalize, batch_format="pandas"))

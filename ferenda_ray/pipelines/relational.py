@@ -307,3 +307,33 @@ def supplier_acctbal_by_nation(sf_dir: str):
                       Count(alias_name="n_suppliers")))
     return agg.map_batches(lambda b: _round_cols(b, {"avg_acctbal": 2}),
                            batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
+    """ANTI-JOIN: customers with no ``priority`` orders — left-outer
+    ``Dataset.join`` against the distinct matching custkeys, keep the
+    null side (no driver-side keysets; both sides shuffle once)."""
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name"]).repartition(4)
+    okeys = (_read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+             .map_batches(
+                 lambda b: b.filter(pc.equal(
+                     b.column("o_orderpriority"), priority))
+                 .select(["o_custkey"]),
+                 batch_format="pyarrow")
+             .groupby("o_custkey").count()
+             .map_batches(
+                 lambda b: b.select(["o_custkey"]).append_column(
+                     "__hit", pa.array([1] * b.num_rows, pa.int8())),
+                 batch_format="pyarrow").repartition(4))
+    j = cust.join(okeys, join_type="left_outer", num_partitions=4,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def keep_null(b: pa.Table) -> pa.Table:
+        # the join drops the right key; the marker column survives and
+        # is null exactly for non-matching left rows
+        mask = pc.is_null(b.column("__hit"))
+        return b.filter(mask).select(["c_custkey", "c_name"])
+
+    return j.map_batches(keep_null, batch_format="pyarrow")
