@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-2 surface: 57 queries, 55 with DuckDB oracles.  The 2 rows-only
+Round-2 surface: 58 queries, 56 with DuckDB oracles.  The 2 rows-only
 entries are sketch/approximate BY DESIGN (MinHash estimate,
 probe-limited LSH ANN); each has an exactness property verified in
 pytest instead (recall vs brute force, candidate subset vs exact
@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_triples": docs.doc_triples,
         "doc_mentions": docs.doc_mentions,
         "doc_facets": docs.doc_facets,
+        "doc_facets_long": docs.doc_facets_long,
         "language_stats": docs.language_stats,
         # --- derived (generate/toc/news/stats surface) ---
         "doc_toc_pages": docs.doc_toc_pages,
@@ -409,6 +410,20 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
                    AS rolling_avg
             FROM events""",
+        "doc_facets_long": """
+            WITH wide AS (
+              SELECT 'https://example.org/res/' || source || '/'
+                         || doc_id AS uri,
+                     CAST(doc_id AS VARCHAR) AS dcterms_identifier,
+                     lang AS dcterms_language,
+                     CAST(n_chars AS VARCHAR) AS dcterms_extent
+              FROM documents)
+            SELECT uri, 'dcterms_identifier' AS facet,
+                   dcterms_identifier AS value FROM wide
+            UNION ALL
+            SELECT uri, 'dcterms_language', dcterms_language FROM wide
+            UNION ALL
+            SELECT uri, 'dcterms_extent', dcterms_extent FROM wide""",
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (

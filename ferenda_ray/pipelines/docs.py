@@ -402,6 +402,25 @@ def docs_search(sf_dir: str, terms=("batch", "stream", "vector"),
     return search(index, list(terms), k=k)
 
 
+def doc_facets_long(sf_dir: str):
+    """UNPIVOT/melt of the faceted wide table back to long
+    ``(uri, facet, value)`` rows — vectorized per batch (one output
+    column-block per facet, concatenated)."""
+    wide = doc_facets(sf_dir)
+    facets = ["dcterms_identifier", "dcterms_language", "dcterms_extent"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(b)
+        out = pl.concat([
+            df.select(pl.col("uri"), pl.lit(f).alias("facet"),
+                      pl.col(f).cast(pl.String).alias("value"))
+            for f in facets])
+        return out.to_arrow()
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 def doc_entity_pagerank(sf_dir: str, damping: float = 0.85,
                         iters: int = 10):
     """PageRank over the symmetrized doc↔entity mention graph — the
