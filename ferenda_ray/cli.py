@@ -172,13 +172,30 @@ def load_config(argv=None):
     if ini:
         sources.append(INIFile(ini))
     sources.append(Environment())
-    sources.append(Commandline([a for a in (argv or [])
-                                if a.startswith("--")
-                                and not a.startswith("--config")]))
+    # normalise argparse-style "--key value" pairs to "--key=value" so
+    # a bare "--buckets 4" doesn't read as the boolean flag "True"
+    opts, toks = [], list(argv or [])
+    i = 0
+    while i < len(toks):
+        a = toks[i]
+        if a.startswith("--") and not a.startswith("--config"):
+            if "=" not in a and i + 1 < len(toks) \
+                    and not toks[i + 1].startswith("--"):
+                opts.append(f"{a}={toks[i + 1]}")
+                i += 1
+            else:
+                opts.append(a)
+        i += 1
+    sources.append(Commandline(opts))
     return LayeredConfig(*sources, cascade=True)
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        # real CLI entry: argparse would read sys.argv while
+        # load_config saw nothing — keep the two in lockstep so
+        # --config / --key=value cascade overrides work outside tests
+        argv = sys.argv[1:]
     cfg = load_config(argv)
     ap = argparse.ArgumentParser(prog="ferenda_ray")
     ap.add_argument("--config", help="ferenda.ini-style config file")

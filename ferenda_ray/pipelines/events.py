@@ -335,9 +335,13 @@ def type_hour_rollup(sf_dir: str):
         return out.to_arrow()
 
     # the rollup levels need ALL detail rows → one small materialize
-    # of the aggregated (not raw) table
+    # of the aggregated (not raw) table; explicit schema so an empty
+    # input still yields the three-column rollup shape
     import ray.data as rd
-    t = pa.concat_tables([pa.Table.from_pylist(detail.take_all())])
+    rollup_schema = pa.schema([("event_type", pa.string()),
+                               ("hour", pa.int64()),
+                               ("n", pa.int64())])
+    t = pa.Table.from_pylist(detail.take_all(), schema=rollup_schema)
     return rd.from_arrow(finalize(t))
 
 

@@ -65,22 +65,15 @@ class PDFReader:
     list[str] of page texts) to override."""
 
     def __init__(self, decoder=None, binary: str = "pdftohtml"):
-        if decoder is None and shutil.which(binary) is None:
-            # no external binary: intermediates decode for real, raw
-            # PDFs produce a per-row error
-            decoder = decode_intermediate
-        self.decoder = decoder
+        # intermediates always decode for real; the external binary is
+        # only ever a user-injected decoder's concern (a host that HAS
+        # pdftohtml must not silently disable the built-in decode)
+        self.decoder = decoder if decoder is not None else decode_intermediate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, texts, errs = [], [], [], []
         for doc_id, blob in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("pdf").to_pylist()):
-            if self.decoder is None:
-                ids.append(doc_id)
-                idxs.append(-1)
-                texts.append("")
-                errs.append("NotImplemented: pdftohtml unavailable")
-                continue
             try:
                 for i, page in enumerate(self.decoder(blob)):
                     ids.append(doc_id)
