@@ -71,22 +71,26 @@ def run_headline() -> dict:
 
     # best-of-N: host contention in this sandbox is one-sided (it only
     # SLOWS runs — identical code has measured 7.3 s and 52 s an hour
-    # apart while an external load average of ~9 came and went), so
-    # min is the faithful throughput estimator (BASELINE.md §3a)
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
-    best, triples = None, 0
+    # apart while an external load average of ~9 came and went; within
+    # ONE session reps have measured 8.1/8.8/15.3/13.2 s), so min is
+    # the faithful throughput estimator (BASELINE.md §3a)
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    best, runs, triples = None, [], 0
     for rep in range(max(reps, 1)):
         out_dir = f"/tmp/ferenda_ray_bench/out_{NUM_CPUS}"
         shutil.rmtree(out_dir, ignore_errors=True)
+        os.sync()  # flush the prior rep's ~800 MB of writeback OUTSIDE
+        # the timed region so rep N's dirty pages don't tax rep N+1
         t0 = time.perf_counter()
         manifest = run_kg(corpus, out_dir, aliases=aliases, sameas=sameas,
                           vocab=vocab, num_buckets=128, fmt="parquet",
                           link_concurrency=None)
         dt = time.perf_counter() - t0
+        runs.append(round(dt, 3))
         triples = sum(manifest.column("rows").to_pylist()) \
             if manifest.num_rows else 0
         best = dt if best is None else min(best, dt)
-    return {"sec": round(best, 3), "triples": triples,
+    return {"sec": round(best, 3), "runs_sec": runs, "triples": triples,
             "triples_per_sec": round(triples / best, 1)}
 
 
@@ -113,6 +117,25 @@ def run_queries() -> dict:
     return out
 
 
+def substrate_probe() -> float:
+    """~0.5 s pure-CPU multiprocessing probe (no Ray, no I/O): the
+    wall time of a FIXED embarrassingly-parallel hash workload at
+    NUM_CPUS procs.  At an idle box this measures ~0.35 s at 32 procs
+    (see BASELINE.md §3a control: 3.2M blocks = 0.66 s); anything much
+    above that quantifies external/SMT contention AT BENCH TIME, so
+    the recorded JSON carries its own noise evidence."""
+    import multiprocessing as mp
+    total = 1_600_000
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with mp.Pool(NUM_CPUS) as p:
+            p.map(_hash_work, [total // NUM_CPUS] * NUM_CPUS)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main():
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -127,6 +150,8 @@ def main():
     # vs 27 s with reservation off; at 32 CPUs: 16.5 s vs 11.8 s).
     ctx.op_resource_reservation_enabled = False
 
+    load0 = round(os.getloadavg()[0], 2)  # before we add our own load
+    probe = substrate_probe()
     headline = run_headline()
     queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
     result = {
@@ -139,6 +164,11 @@ def main():
         "bench_files": BENCH_FILES,
         "triples": headline["triples"],
         "triples_per_sec": headline["triples_per_sec"],
+        "runs_sec": headline["runs_sec"],
+        # machine-state evidence recorded WITH the number: pure-CPU
+        # probe wall (idle ≈ 0.35 s at 32 procs) + load avg at start
+        "substrate_probe_sec": probe,
+        "loadavg_1m_at_start": load0,
     }
     ray.shutdown()
     print(json.dumps(result))
