@@ -122,9 +122,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries, (3) the core inventory, (4) redundant events_* variants
     # demoted past position 50 — every demoted entry was driver-green
     # in round 1 and/or 2 and keeps its pytest coverage.
+    def kg_annotations(sf_dir: str):
+        """The reference's ``annotations.rq`` CONSTRUCT (per-document
+        annotation graph: isPartOf* closure + inbound-reference
+        resolution) over the synthetic-corpus golden triples, expressed
+        through the composable BGP operator (stages/bgp.py +
+        pipelines/derived.annotations_graph).  ORACLE-CHECKED against a
+        DuckDB recursive-CTE restatement of the same SPARQL."""
+        import os
+        import ray.data as rd
+        from ferenda_ray.corpus import CorpusSpec, write_corpus
+        from ferenda_ray.pipelines.derived import annotations_graph
+        n = 200 if "0.001" in sf_dir else (400 if "0.01" in sf_dir else 1200)
+        cache = f"/tmp/ferenda_ray_corpus_{n}"
+        if not os.path.exists(os.path.join(cache, "sources.parquet")):
+            write_corpus(CorpusSpec(n_files=n), cache)
+        tri = rd.read_parquet(os.path.join(cache, "expected_triples.parquet"))
+        return annotations_graph(tri)
+
     return {
         # --- flagship KG pipeline (synthetic corpus, golden-oracled) ---
         "kg_pipeline_synthetic": kg_pipeline_synthetic,
+        "kg_annotations": kg_annotations,
         # --- similarity (embeddings) — unverified in r2's window ---
         "ann_topk": docs.ann_topk,
         "ivf_ann_topk": docs.ivf_ann_topk,    # full-probe ⇒ exact, oracled
@@ -720,6 +739,62 @@ def oracle_sql() -> dict[str, str]:
                    obj_datatype
             FROM read_parquet(
                 '{kg_cache}/expected_triples.parquet')""",
+        # annotations.rq as a recursive CTE: isPartOf* closure (up),
+        # branch 1 = triples of every part; branch 2 = inbound
+        # references resolved through the commit-less ref key, emitting
+        # part isReferencedBy src + every triple of src
+        "kg_annotations": f"""
+            WITH RECURSIVE t AS (
+              SELECT subj, pred, obj_type, obj_value
+              FROM read_parquet('{kg_cache}/expected_triples.parquet')
+            ), docs AS (
+              SELECT DISTINCT subj AS anchor FROM t
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = 'http://purl.org/ontology/bibo/Document'
+            ), up AS (
+              SELECT anchor AS node, anchor FROM docs
+              UNION
+              SELECT t.subj AS node, up.anchor FROM t
+              JOIN up ON t.obj_value = up.node
+              WHERE t.pred = 'http://purl.org/dc/terms/isPartOf'
+            ), b1 AS (
+              SELECT up.anchor, t.subj, t.pred, t.obj_type, t.obj_value
+              FROM t JOIN up ON t.subj = up.node
+            ), dockeys AS (
+              SELECT anchor AS doc_uri,
+                     'https://example.org/ref/' || regexp_extract(
+                         anchor,
+                         '^https://example\\.org/res/(.*)@[0-9a-f]+$',
+                         1) AS ref_key
+              FROM docs
+            ), refs AS (
+              SELECT subj AS ref_src,
+                     regexp_replace(obj_value, '#S[0-9.]+$', '')
+                         AS ref_key,
+                     COALESCE(regexp_extract(obj_value,
+                                             '(#S[0-9.]+)$', 1), '')
+                         AS ref_frag
+              FROM t WHERE pred = 'http://purl.org/dc/terms/references'
+            ), resolved AS (
+              SELECT r.ref_src, d.doc_uri || r.ref_frag AS part
+              FROM refs r JOIN dockeys d USING (ref_key)
+            ), hit AS (
+              SELECT r.ref_src, r.part, up.anchor
+              FROM resolved r JOIN up ON r.part = up.node
+            ), b2a AS (
+              SELECT anchor, part AS subj,
+                     'http://purl.org/dc/terms/isReferencedBy' AS pred,
+                     'uri' AS obj_type, ref_src AS obj_value FROM hit
+            ), b2b AS (
+              SELECT DISTINCT h.anchor, t.subj, t.pred, t.obj_type,
+                     t.obj_value
+              FROM t JOIN (SELECT DISTINCT ref_src, anchor FROM hit) h
+              ON t.subj = h.ref_src
+            )
+            SELECT DISTINCT * FROM (
+              SELECT * FROM b1 UNION ALL SELECT * FROM b2a
+              UNION ALL SELECT * FROM b2b
+            )""",
         # 64-bit SimHash with the md5 token hash (md5_number_lower
         # identity); band blocking has exact recall for hamming<=3
         # (pigeonhole over 4 bands), so the pipeline's pair set equals

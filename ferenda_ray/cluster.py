@@ -1,0 +1,32 @@
+"""Cluster-derived sizing defaults.
+
+Every exchange (join / groupby / repartition) needs a partition count.
+Hardcoding 4/8 is a single-node tuning that underparallelizes a real
+cluster (round-2 verdict); deriving from ``ray.cluster_resources()``
+makes the same code span one laptop and 256 nodes.
+"""
+
+from __future__ import annotations
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """Total CPUs Ray knows about; ``default`` when Ray is not up
+    (pure-driver unit tests)."""
+    try:
+        import ray
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default)) or default
+    except Exception:
+        pass
+    return default
+
+
+def default_num_partitions(scale: float = 1.0, lo: int = 2,
+                           hi: int = 1024) -> int:
+    """Exchange partition count ≈ cluster CPUs × scale, clamped.
+
+    ``scale`` > 1 for skew-prone keys (more, smaller partitions),
+    < 1 for small side tables (fewer aggregator actors to spin up).
+    """
+    n = int(cluster_cpus() * scale)
+    return max(lo, min(hi, n))

@@ -384,3 +384,141 @@ def annotations(triples, target_prefix: str | None = None):
     return (triples.map_batches(proj, batch_format="pyarrow")
             .groupby("target_uri").map_groups(collect,
                                               batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# annotations.rq — the reference's per-document annotation CONSTRUCT
+# (ferenda/res/sparql/annotations.rq; documentrepository.py:2636-2692),
+# expressed through the composable BGP operator (stages/bgp.py)
+
+def annotations_graph(triples, base: str = DEFAULT_BASE,
+                      num_partitions: int | None = None):
+    """The reference's ``annotations.rq`` for EVERY document at once.
+
+    The SPARQL template (per document URI ``U``)::
+
+        CONSTRUCT { ?part dcterms:isReferencedBy ?s . ?s ?p ?o . }
+        WHERE { ?s ?p ?o .
+                { ?s dcterms:isPartOf* <U> . }
+                UNION
+                { ?part dcterms:isPartOf* <U> .
+                  ?s dcterms:references ?part . } }
+
+    restated for the whole corpus in one distributed plan — one
+    ``(anchor, subj, pred, obj_type, obj_value)`` row per annotation
+    triple, ``anchor`` = the document it annotates (running the
+    template per-URI on the driver would be the anti-pattern):
+
+    1. anchors: ``?d rdf:type bibo:Document`` (one BGP scan);
+    2. ``up = path_closure(isPartOf, anchors)`` — the ``isPartOf*``
+       property path, O(section depth) hash joins;
+    3. branch 1: triples whose subject ∈ ``up`` (hash join on subj);
+    4. reference resolution: ``dcterms:references`` objects live in
+       the commit-less ``{base}ref/{repo}/{path}[#S..]`` space (the
+       citation grammar's output); resolve them to concrete document
+       URIs by joining on the doc's ref key — the same inverse-ref
+       join as :func:`dependencies` (``relate_dependencies``,
+       documentrepository.py:2018-2080) but fragment-preserving;
+    5. branch 2: resolved ``(s, part)`` joined into ``up`` emits
+       ``part dcterms:isReferencedBy s`` plus every triple of ``s``;
+    6. DISTINCT over the 5 output columns (a CONSTRUCT result is a
+       graph).
+
+    Partitioning: every join hashes on a URI column with
+    ``cluster.default_num_partitions()`` partitions; the closure is
+    bounded by section depth (~3).
+    """
+    from ferenda_ray.cluster import default_num_partitions
+    from ferenda_ray.stages.bgp import Var, distinct, path_closure, scan
+    np_ = num_partitions or default_num_partitions()
+    half = max(2, np_ // 2)
+
+    # triples is consumed by five scans; materialize the (already
+    # canonical, compact) triple set once instead of re-running the
+    # upstream pipeline per scan.  On the 100-TB path read it back
+    # from the bucketed shards (read_materialized) instead.
+    triples = triples.materialize()
+
+    anchors = scan(triples, (Var("anchor"), ns.RDF_TYPE,
+                             ns.BIBO_DOCUMENT))
+    up = path_closure(triples, ns.DCTERMS_ISPARTOF, anchors=anchors,
+                      num_partitions=np_).materialize()
+
+    def five(b: pa.Table, extra: dict) -> pa.Table:
+        cols = {"subj": b.column("subj").cast(pa.string()),
+                "pred": b.column("pred").cast(pa.string()),
+                "obj_type": b.column("obj_type").cast(pa.string()),
+                "obj_value": b.column("obj_value").cast(pa.string())}
+        cols.update(extra)
+        return pa.table(cols)
+
+    plain = triples.map_batches(lambda b: five(b, {}),
+                                batch_format="pyarrow")
+    # branch 1: all triples of every part (and of the doc itself)
+    b1 = plain.repartition(half).join(
+        up.repartition(half), join_type="inner", num_partitions=np_,
+        on=("subj",), right_on=("node",))
+    b1 = b1.map_batches(
+        lambda b: b.select(["anchor", "subj", "pred", "obj_type",
+                            "obj_value"]), batch_format="pyarrow")
+
+    # reference resolution: ref key (commit-less) -> doc URI
+    def doc_keys(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b.column("pred"), ns.RDF_TYPE),
+                       pc.equal(b.column("obj_value").cast(pa.string()),
+                                ns.BIBO_DOCUMENT))
+        t = _doc_ref_key(b.filter(keep), base)
+        return t.filter(pc.is_valid(t.column("ref_key")))
+
+    dockeys = triples.map_batches(doc_keys, batch_format="pyarrow")
+
+    def ref_edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("pred"), ns.DCTERMS_REFERENCES))
+        obj = b.column("obj_value").cast(pa.string())
+        key = pc.replace_substring_regex(obj, "#S[0-9.]+$", "")
+        ext = pc.extract_regex(obj, r"(?P<frag>#S[0-9.]+)$")
+        frag = pc.fill_null(pc.struct_field(ext, "frag"), "")
+        return pa.table({"ref_src": b.column("subj").cast(pa.string()),
+                         "ref_key": key, "ref_frag": frag})
+
+    refs = triples.map_batches(ref_edges, batch_format="pyarrow")
+    resolved = refs.repartition(half).join(
+        dockeys.repartition(half), join_type="inner",
+        num_partitions=np_, on=("ref_key",))
+
+    def part_uri(b: pa.Table) -> pa.Table:
+        part = pc.binary_join_element_wise(
+            b.column("doc_uri").cast(pa.string()),
+            b.column("ref_frag").cast(pa.string()), "")
+        return pa.table({"ref_src": b.column("ref_src"), "part": part})
+
+    resolved = resolved.map_batches(part_uri, batch_format="pyarrow")
+    # (s, part) ∧ part isPartOf* anchor
+    hit = resolved.repartition(half).join(
+        up.repartition(half), join_type="inner", num_partitions=np_,
+        on=("part",), right_on=("node",))
+    # branch 2a: part dcterms:isReferencedBy s
+    b2a = hit.map_batches(
+        lambda b: pa.table({
+            "anchor": b.column("anchor").cast(pa.string()),
+            "subj": b.column("part").cast(pa.string()),
+            "pred": pa.array([ns.DCTERMS + "isReferencedBy"]
+                             * b.num_rows, pa.string()),
+            "obj_type": pa.array(["uri"] * b.num_rows, pa.string()),
+            "obj_value": b.column("ref_src").cast(pa.string())}),
+        batch_format="pyarrow")
+    # branch 2b: every triple of s
+    src_anchor = distinct(hit.map_batches(
+        lambda b: pa.table({"ref_src": b.column("ref_src"),
+                            "anchor": b.column("anchor")}),
+        batch_format="pyarrow"), ["ref_src", "anchor"])
+    b2b = plain.repartition(half).join(
+        src_anchor.repartition(half), join_type="inner",
+        num_partitions=np_, on=("subj",), right_on=("ref_src",))
+    b2b = b2b.map_batches(
+        lambda b: b.select(["anchor", "subj", "pred", "obj_type",
+                            "obj_value"]), batch_format="pyarrow")
+
+    out = b1.union(b2a).union(b2b)
+    return distinct(out, ["anchor", "subj", "pred", "obj_type",
+                          "obj_value"])

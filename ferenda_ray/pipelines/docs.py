@@ -207,13 +207,17 @@ def doc_stats(sf_dir: str, base: str = DEFAULT_BASE):
 def doc_annotations(sf_dir: str, base: str = DEFAULT_BASE):
     """Inbound-reference annotation groups (``construct_annotations``,
     documentrepository.py:2636-2712) over the mention triples: for each
-    linked entity, how many documents reference it."""
-    from ferenda_ray.pipelines.derived import annotations
-    out = annotations(_mention_triples(sf_dir, base),
-                      target_prefix=base + "entity/")
-    return out.map_batches(
-        lambda b: b.select(["target_uri", "n_inbound"]),
-        batch_format="pyarrow")
+    linked entity, how many documents reference it — expressed through
+    the composable BGP operator (``stages/bgp.py``): one pattern +
+    prefix filter + groupby count."""
+    from ray.data.aggregate import Count
+    from ferenda_ray.stages.bgp import match, v
+    sols = match(
+        _mention_triples(sf_dir, base),
+        [(v("subj"), ns.DCTERMS_SUBJECT, v("target_uri"))],
+        filters=[(v("target_uri"), "prefix", base + "entity/")])
+    return sols.groupby("target_uri").aggregate(
+        Count(alias_name="n_inbound"))
 
 
 def doc_toc_entries(sf_dir: str, base: str = DEFAULT_BASE):
