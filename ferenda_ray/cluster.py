@@ -30,3 +30,13 @@ def default_num_partitions(scale: float = 1.0, lo: int = 2,
     """
     n = int(cluster_cpus() * scale)
     return max(lo, min(hi, n))
+
+
+def coalesce_partitions(hi: int = 16) -> int:
+    """Partition count for the pre-join coalesce of SMALL/intermediate
+    relations (candidate pairs, ref edges).  Ray 2.49's hash join
+    raises on empty input blocks, so these repartitions must stay ≤
+    the relation's row count; cpus/4 capped at ``hi`` keeps blocks
+    non-empty for test-scale inputs while still spreading the join
+    probe at cluster scale."""
+    return max(2, min(hi, cluster_cpus() // 4))

@@ -295,7 +295,8 @@ def _doc_ref_key(batch: pa.Table, base: str) -> pa.Table:
                      "ref_key": pa.array(keys, pa.string())})
 
 
-def dependencies(triples, base: str = DEFAULT_BASE, num_partitions: int = 8):
+def dependencies(triples, base: str = DEFAULT_BASE,
+                 num_partitions: int | None = None):
     """Resolve ``dcterms:references`` object URIs to concrete document
     URIs: edge extraction → hash join on the commit-less ref key →
     ``(src_doc_uri, dst_doc_uri)`` rows.  The inverse-reference join of
@@ -321,9 +322,12 @@ def dependencies(triples, base: str = DEFAULT_BASE, num_partitions: int = 8):
         return pa.table({"src_doc_uri": src, "obj_key": obj})
 
     refs = triples.map_batches(refs_proj, batch_format="pyarrow")
+    from ferenda_ray.cluster import coalesce_partitions, default_num_partitions
+    num_partitions = num_partitions or default_num_partitions()
     # coalesce to dodge the empty-block join bug; modest sizes expected
-    refs = refs.repartition(4)
-    docs = docs.repartition(4)
+    co = coalesce_partitions()
+    refs = refs.repartition(co)
+    docs = docs.repartition(co)
     joined = refs.join(docs, join_type="inner",
                        num_partitions=num_partitions,
                        on=("obj_key",), right_on=("ref_key",))

@@ -294,10 +294,14 @@ def docs_minhash_verified_dups(sf_dir: str):
     1.0 BY CONSTRUCTION; the word-set-digest verify removes
     estimate-only false positives.  Returns ``(id_a, id_b)``."""
     import hashlib
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     default_num_partitions)
     from ferenda_ray.stages.dedup import minhash_lsh_pairs
+    co = coalesce_partitions()
+    np_ = default_num_partitions()
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     pairs = minhash_lsh_pairs(docs, threshold=1.0,
-                              shingle_n=1).repartition(2)
+                              shingle_n=1).repartition(co)
 
     def sha_side(idname, shaname):
         def prep(b: pa.Table) -> pa.Table:
@@ -309,14 +313,14 @@ def docs_minhash_verified_dups(sf_dir: str):
         return prep
 
     sa = docs.map_batches(sha_side("id_a", "sha_a"),
-                          batch_format="pyarrow").repartition(2)
+                          batch_format="pyarrow").repartition(co)
     sb = docs.map_batches(sha_side("id_b", "sha_b"),
-                          batch_format="pyarrow").repartition(2)
-    j = pairs.join(sa, join_type="inner", on=("id_a",), num_partitions=4)
+                          batch_format="pyarrow").repartition(co)
+    j = pairs.join(sa, join_type="inner", on=("id_a",), num_partitions=np_)
     # coalesce between joins: Ray 2.49's join chokes on the empty
     # blocks the previous join can emit
-    j = j.repartition(2)
-    j = j.join(sb, join_type="inner", on=("id_b",), num_partitions=4)
+    j = j.repartition(co)
+    j = j.join(sb, join_type="inner", on=("id_b",), num_partitions=np_)
 
     def verify(b: pa.Table) -> pa.Table:
         keep = pc.equal(b.column("sha_a"), b.column("sha_b"))
@@ -438,9 +442,10 @@ def doc_entity_pagerank(sf_dir: str, damping: float = 0.85,
         return pa.table({"src": pa.array(docs_ + ents, pa.string()),
                          "dst": pa.array(ents + docs_, pa.string())})
 
+    from ferenda_ray.cluster import coalesce_partitions
     e = doc_mentions(sf_dir).map_batches(edges, batch_format="pyarrow")
     pr = pagerank(e, damping=damping, iters=iters,
-                  num_partitions=2, symmetric=True)
+                  num_partitions=coalesce_partitions(), symmetric=True)
     return pr.map_batches(
         lambda b: pa.table({
             "node": b.column("node"),

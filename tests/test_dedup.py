@@ -142,3 +142,63 @@ def test_hash_sample_deterministic(ray_session, docs_ds):
     top = limit_per_group(docs_ds, "text", 1, "doc_id").take_all()
     texts = [r["text"] for r in top]
     assert len(texts) == len(set(texts))
+
+
+def test_hot_bucket_cap_minhash(ray_session):
+    """A degenerate bucket (5000 identical docs collide in EVERY band)
+    must complete in bounded time/memory: star emission caps pairs at
+    O(b) while keeping every member connected to the min-id hub."""
+    import time
+    import ray.data as rd
+    n = 5000
+    docs = rd.from_arrow(pa.table({
+        "doc_id": list(range(n)),
+        "text": ["same words everywhere for all docs"] * n}))
+    t0 = time.monotonic()
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9, shingle_n=1,
+                                    max_bucket=256).take_all()
+    elapsed = time.monotonic() - t0
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # star: exactly hub->member edges, not O(n^2)
+    assert got == {(0, i) for i in range(1, n)}
+    assert elapsed < 120
+
+
+def test_hot_bucket_cap_simhash(ray_session):
+    import ray.data as rd
+    n = 3000
+    docs = rd.from_arrow(pa.table({
+        "doc_id": list(range(n)),
+        "text": ["same words everywhere for all docs"] * n}))
+    pairs = dedup.simhash_pairs(docs, max_hamming=3,
+                                max_bucket=256).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, i) for i in range(1, n)}
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_under_cap_pairs_unchanged(docs_ds):
+    """Below the cap the vectorized kernel emits the identical all-pairs
+    set the Python loop did (oracle-corpus invariance)."""
+    a = {(r["id_a"], r["id_b"])
+         for r in dedup.minhash_lsh_pairs(docs_ds, threshold=0.6,
+                                          max_bucket=512).take_all()}
+    b = {(r["id_a"], r["id_b"])
+         for r in dedup.minhash_lsh_pairs(docs_ds, threshold=0.6,
+                                          max_bucket=2).take_all()}
+    # cap=2 forces star emission in any bucket with >2 members; the
+    # planted triple (0,10,11) must still stay hub-connected
+    assert (0, 10) in b and (0, 11) in b
+    assert a >= b - {(10, 11)}
+
+
+def test_jaccard_distributed_matches_broadcast(docs_ds):
+    """The prefix-filter plan must reproduce the O(N²) broadcast
+    baseline's exact pair set at several thresholds."""
+    for t in (0.3, 0.6, 0.9):
+        a = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+             for r in dedup.jaccard_pairs(docs_ds, threshold=t).take_all()}
+        b = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+             for r in dedup.jaccard_pairs_broadcast(
+                 docs_ds, threshold=t).take_all()}
+        assert a == b, f"threshold {t}: {set(a) ^ set(b)}"
