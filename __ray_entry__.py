@@ -620,12 +620,16 @@ def oracle_sql() -> dict[str, str]:
                          + 0.2 * (1 - least(punct_ratio, 0.2) / 0.2), 6)
                        AS quality
             FROM ratios""",
+        # doc_id < 1000 mirrors the documented max_docs cap in
+        # docs_jaccard_pairs (quadratic OUTPUT on the dense synthetic
+        # vocabulary; no effect at sf<=0.01 where the corpus is smaller)
         "docs_jaccard_pairs": r"""
             WITH w AS (
                 SELECT doc_id,
                        list_distinct(regexp_extract_all(text, '\S+'))
                            AS words
                 FROM documents
+                WHERE doc_id < 1000
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(CAST(len(list_intersect(a.words, b.words))

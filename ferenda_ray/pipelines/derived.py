@@ -322,8 +322,8 @@ def dependencies(triples, base: str = DEFAULT_BASE,
         return pa.table({"src_doc_uri": src, "obj_key": obj})
 
     refs = triples.map_batches(refs_proj, batch_format="pyarrow")
-    from ferenda_ray.cluster import coalesce_partitions, default_num_partitions
-    num_partitions = num_partitions or default_num_partitions()
+    from ferenda_ray.cluster import coalesce_partitions, join_partitions
+    num_partitions = num_partitions or join_partitions()
     # coalesce to dodge the empty-block join bug; modest sizes expected
     co = coalesce_partitions()
     refs = refs.repartition(co)
@@ -432,9 +432,9 @@ def annotations_graph(triples, base: str = DEFAULT_BASE,
     ``cluster.default_num_partitions()`` partitions; the closure is
     bounded by section depth (~3).
     """
-    from ferenda_ray.cluster import default_num_partitions
+    from ferenda_ray.cluster import join_partitions
     from ferenda_ray.stages.bgp import Var, distinct, path_closure, scan
-    np_ = num_partitions or default_num_partitions()
+    np_ = num_partitions or join_partitions()
     half = max(2, np_ // 2)
 
     # triples is consumed by five scans; materialize the (already

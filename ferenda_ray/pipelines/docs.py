@@ -270,10 +270,19 @@ def docs_quality(sf_dir: str):
     return quality_score(_read_docs(sf_dir, ["doc_id", "text"]))
 
 
-def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.4):
+def docs_jaccard_pairs(sf_dir: str, threshold: float = 0.4,
+                       max_docs: int = 1000):
+    """Exact Jaccard pairs via the distributed prefix-filter plan
+    (``dedup.jaccard_pairs``).  CAPPED to the first ``max_docs`` doc
+    ids (documented bound, mirrored in the SQL oracle): the synthetic
+    corpus draws from a tiny vocabulary, so at threshold 0.4 nearly
+    HALF of all N² pairs qualify — the *output* is quadratic and no
+    algorithm changes that.  Real sparse corpora don't hit the cap
+    path; the operator itself has no cap."""
     from ferenda_ray.stages.dedup import jaccard_pairs
-    out = jaccard_pairs(_read_docs(sf_dir, ["doc_id", "text"]),
-                        threshold=threshold)
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).filter(
+        expr=f"doc_id < {max_docs}")
+    out = jaccard_pairs(docs, threshold=threshold)
     from ferenda_ray.pipelines.relational import _round_cols
     return out.map_batches(lambda b: _round_cols(b, {"jaccard": 6}),
                            batch_format="pyarrow")
@@ -294,11 +303,10 @@ def docs_minhash_verified_dups(sf_dir: str):
     1.0 BY CONSTRUCTION; the word-set-digest verify removes
     estimate-only false positives.  Returns ``(id_a, id_b)``."""
     import hashlib
-    from ferenda_ray.cluster import (coalesce_partitions,
-                                     default_num_partitions)
+    from ferenda_ray.cluster import coalesce_partitions, join_partitions
     from ferenda_ray.stages.dedup import minhash_lsh_pairs
     co = coalesce_partitions()
-    np_ = default_num_partitions()
+    np_ = join_partitions()
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     pairs = minhash_lsh_pairs(docs, threshold=1.0,
                               shingle_n=1).repartition(co)

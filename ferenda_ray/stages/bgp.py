@@ -46,7 +46,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ferenda_ray.cluster import default_num_partitions
+from ferenda_ray.cluster import join_partitions
 
 
 class Var(str):
@@ -138,19 +138,30 @@ def _join(left, left_vars: set, right, right_vars: list,
 
 def distinct(ds, cols: list[str] | None = None):
     """Global DISTINCT over ``cols`` (default: all columns): per-batch
-    unique (combiner) then one groupby exchange projecting the keys."""
+    unique (combiner) then one groupby exchange.
+
+    When ``cols`` covers every column (the usual case — a solution
+    set IS its binding columns) the exchange is a VECTORIZED hash
+    aggregate; a per-group ``map_groups`` callback would cost one
+    Python call per distinct row.  Extra non-key columns fall back to
+    keep-first ``map_groups``."""
     import polars as pl
+    from ray.data.aggregate import Count
 
     def local(b: pa.Table) -> pa.Table:
         # polars round-trips string -> large_string; cast back so the
         # groupby exchange and any downstream join keep the input types
         return pl.from_arrow(b).unique().to_arrow().cast(b.schema)
 
+    pre = ds.map_batches(local, batch_format="pyarrow")
+    key = cols or list(pre.schema().names)
+    if set(key) == set(pre.schema().names):
+        return (pre.groupby(key).aggregate(Count(alias_name="__nb"))
+                .drop_columns(["__nb"]))
+
     def first(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    pre = ds.map_batches(local, batch_format="pyarrow")
-    key = cols or list(pre.schema().names)
     return pre.groupby(key).map_groups(first, batch_format="pyarrow")
 
 
@@ -171,7 +182,7 @@ def match(triples, patterns, *, optional=(), filters=(),
     patterns = list(patterns)
     if not patterns:
         raise ValueError("empty BGP")
-    np_ = num_partitions or default_num_partitions()
+    np_ = num_partitions or join_partitions()
     # greedy order: most-constant pattern first, then any pattern
     # sharing a variable with the bound set (most constants wins ties)
     def n_consts(pat):
@@ -266,7 +277,7 @@ def path_closure(triples, pred: str, *, anchors=None,
     Cycles terminate because the frontier is deduped against nothing —
     use ``max_iters`` as the cycle guard (raise for deep graphs).
     """
-    np_ = num_partitions or default_num_partitions()
+    np_ = num_partitions or join_partitions()
     edges = scan(triples, (Var("child"), pred, Var("parent")))
     if anchors is None:
         import ray.data as rd

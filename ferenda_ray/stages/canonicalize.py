@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 import polars as pl
 
 from ferenda_ray import ns
-from ferenda_ray.cluster import default_num_partitions
+from ferenda_ray.cluster import join_partitions
 from ferenda_ray.schema import TRIPLES
 from ferenda_ray.state.unionfind import canonical_map_from_edges
 
@@ -231,7 +231,7 @@ def label_propagation(edges, max_iter: int = 20):
                                 "label": b.column("label")}),
             batch_format="pyarrow")
         msgs = und.join(right, join_type="inner",
-                        num_partitions=default_num_partitions(),
+                        num_partitions=join_partitions(),
                         on=("nbr",), right_on=("lnode",))
         msgs = msgs.map_batches(_scrub, batch_format="pyarrow")
         new_labels = (msgs.union(labels)

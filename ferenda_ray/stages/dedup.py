@@ -94,8 +94,8 @@ def distinct_docs(docs, text_col: str = "text", id_col: str = "doc_id",
                                          value_set=self.ids))
 
         return stateful_map(docs, Filter, keep_ids)
-    from ferenda_ray.cluster import default_num_partitions
-    num_partitions = num_partitions or default_num_partitions(0.5)
+    from ferenda_ray.cluster import join_partitions
+    num_partitions = num_partitions or join_partitions()
     keep_ids = keep.map_batches(
         lambda b: b.select([id_col]).rename_columns(["__keep_id"]),
         batch_format="pyarrow")
@@ -253,18 +253,21 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
 
     cand = (exploded.groupby(["band", "bhash"])
             .map_groups(bucket_pairs, batch_format="pyarrow"))
-    # a pair can surface from several bands → dedup, then re-attach the
-    # two signatures and estimate Jaccard (fraction of equal perms)
+    # a pair can surface from several bands → dedup via a VECTORIZED
+    # hash aggregate (a per-group ``map_groups`` lambda is one Python
+    # call per pair — 100k+ candidates made it the pipeline bottleneck),
+    # then re-attach the two signatures and estimate Jaccard
+    from ray.data.aggregate import Count as _Count
     cand = (cand.groupby(["id_a", "id_b"])
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+            .aggregate(_Count(alias_name="__nb"))
+            .drop_columns(["__nb"]))
     # coalesce: map_groups output carries empty blocks that hang/break
     # Ray 2.49's hash-shuffle join (same workaround as
     # canonicalize.label_propagation); repartition alone redistributes
     # rows into non-empty blocks
-    from ferenda_ray.cluster import (coalesce_partitions,
-                                     default_num_partitions)
+    from ferenda_ray.cluster import coalesce_partitions, join_partitions
     co = coalesce_partitions()
-    np_join = default_num_partitions()
+    np_join = join_partitions()
     cand = cand.repartition(co)
 
     # pack each 128×int64 signature into one binary value — arrow's
@@ -440,11 +443,14 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
                          "id_b": pa.array(ids[ys][keep], pa.int64()),
                          "hamming": pa.array(d[keep], pa.int64())})
 
+    from ray.data.aggregate import Min as _Min
     pairs = (sh.map_batches(explode, batch_format="pyarrow")
              .groupby(["band", "key"])
              .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # cross-band dedup: vectorized aggregate (hamming identical in
+    # every band, Min is a no-op choice), not per-pair map_groups
     return (pairs.groupby(["id_a", "id_b"])
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+            .aggregate(_Min("hamming", alias_name="hamming")))
 
 
 # ---------------------------------------------------------------------------
@@ -470,12 +476,11 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
 
     Every step is a ``map_batches``/``groupby``/``join`` — nothing
     corpus-sized ever rides the driver."""
-    from ferenda_ray.cluster import (coalesce_partitions,
-                                     default_num_partitions)
+    from ferenda_ray.cluster import coalesce_partitions, join_partitions
     from ray.data.aggregate import Count
     import math
     co = coalesce_partitions()
-    np_join = default_num_partitions()
+    np_join = join_partitions()
 
     def to_sets(b: pa.Table) -> pa.Table:
         wkeys = [" ".join(sorted(set(t.split())))
@@ -528,7 +533,8 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
     cand = (prefixes.groupby("tok").map_groups(
         posting_pairs, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .aggregate(Count(alias_name="__nb"))
+        .drop_columns(["__nb"])
         .repartition(co))
 
     wa = sets_ds.map_batches(
