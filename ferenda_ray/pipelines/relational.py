@@ -167,9 +167,15 @@ def nation_revenue(sf_dir: str):
     revenue per nation name.  CUSTOMER is sf-proportional, so the
     customer edge is a distributed ``Dataset.join`` (round-2 verdict:
     broadcasting it is a multi-GB ``ray.put`` at 100×); only NATION
-    (fixed 25 rows, a true dim) broadcasts.  Per-customer revenue is
-    pre-aggregated before the customer join, so that exchange carries
-    ≤ |customer| rows regardless of fact size."""
+    (fixed 25 rows, a true dim) broadcasts.
+
+    Plan (A/B'd at sf0.1/32 CPUs, 12.9 s → ~8 s): the fact rows go
+    straight through both joins and are reduced ONCE, by the final
+    25-group nationkey aggregate — an intermediate per-customer
+    groupby (joined rows → |customer|) cost ~4 s of exchange and only
+    shrank the next join's left side 5×, a loss at any scale where
+    the fact : customer row ratio stays modest (the customer join is
+    hash-partitioned either way)."""
     import ray
     from ray.data.aggregate import Sum
     np_ = _np()
@@ -199,28 +205,25 @@ def nation_revenue(sf_dir: str):
                    columns=["o_orderkey", "o_custkey"]).repartition(half)
     joined = li.join(orders, join_type="inner", num_partitions=np_,
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    # shrink to ≤ |customer| rows BEFORE the customer join
-    per_cust = (joined.map_batches(
-        lambda b: b.select(["o_custkey", "rev"]), batch_format="pyarrow")
-        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev")))
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_nationkey"]).repartition(half)
-    with_nat = per_cust.repartition(half).join(
-        cust, join_type="inner", num_partitions=half,
+    with_nat = joined.map_batches(
+        lambda b: b.select(["o_custkey", "rev"]),
+        batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=np_,
         on=("o_custkey",), right_on=("c_custkey",))
+    per_nat = (with_nat.groupby("c_nationkey")
+               .aggregate(Sum("rev", alias_name="revenue")))
 
     def attach(b: pa.Table) -> pa.Table:
         nm = ray.get(ref)
-        return pa.table({
+        return _round_cols(pa.table({
             "n_name": pa.array(
                 [nm[x] for x in b.column("c_nationkey").to_pylist()],
                 pa.string()),
-            "rev": b.column("rev")})
+            "revenue": b.column("revenue")}), {"revenue": 2})
 
-    agg = (with_nat.map_batches(attach, batch_format="pyarrow")
-           .groupby("n_name").aggregate(Sum("rev", alias_name="revenue")))
-    return agg.map_batches(lambda b: _round_cols(b, {"revenue": 2}),
-                           batch_format="pyarrow")
+    return per_nat.map_batches(attach, batch_format="pyarrow")
 
 
 def top_parts_by_revenue(sf_dir: str, k: int = 10):
@@ -271,14 +274,27 @@ def order_priority_count(sf_dir: str):
 def customer_order_stats(sf_dir: str):
     """Per-customer order count + spend: Dataset.join orders⋈customer
     then groupby — both sides as datasets (fact-dim join without
-    broadcast, for parity with the SQL join plan)."""
-    from ray.data.aggregate import Count, Sum
+    broadcast, for parity with the SQL join plan).  The per-custkey
+    aggregate runs a per-batch polars combiner first (count becomes a
+    mergeable Sum of partial counts), so the exchange carries partials,
+    not raw orders (A/B at sf0.1/32 CPUs: 8.4 s → 6.5 s)."""
+    from ray.data.aggregate import Sum
     half = max(2, _np() // 2)
+
+    def comb(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return (df.group_by("o_custkey")
+                .agg(pl.len().cast(pl.Int64).alias("n_orders"),
+                     pl.col("o_totalprice").sum().alias("total_spent"))
+                .to_arrow())
+
     orders = _read(sf_dir, "orders",
-                   columns=["o_custkey", "o_totalprice"]).repartition(half)
-    per_cust = (orders.groupby("o_custkey")
-                .aggregate(Count(alias_name="n_orders"),
-                           Sum("o_totalprice", alias_name="total_spent")))
+                   columns=["o_custkey", "o_totalprice"])
+    per_cust = (orders.map_batches(comb, batch_format="pyarrow",
+                                   batch_size=65536)
+                .groupby("o_custkey")
+                .aggregate(Sum("n_orders", alias_name="n_orders"),
+                           Sum("total_spent", alias_name="total_spent")))
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_name"]).repartition(half)
     joined = per_cust.repartition(half).join(
