@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
         "docs_simhash_pairs": docs.docs_simhash_pairs,
+        "docs_legal_refs": docs.docs_legal_refs,
         # --- stream-shaped (events): representative core ---
         "events_tumbling_hour": events.tumbling_hour,
         "events_sessionize": events.sessionize,
@@ -831,6 +832,23 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(CAST(a.simhash AS UBIGINT),
                                 CAST(b.simhash AS UBIGINT))) <= 3""",
+        # the LegalRef grammar runs on a deterministic per-doc
+        # citation ("enligt {K} kap. {P} § {law}"); the oracle
+        # reconstructs its structured output with arithmetic
+        "docs_legal_refs": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN '1962:700'
+                                     WHEN 1 THEN '1942:740'
+                                     ELSE '1974:152' END AS law,
+                     CAST(1 + doc_id % 17 AS VARCHAR) AS chapter,
+                     CAST(1 + doc_id % 29 AS VARCHAR) AS section
+              FROM documents
+            )
+            SELECT doc_id, law, chapter, section,
+                   'https://lagen.nu/' || law || '#K' || chapter
+                     || 'P' || section AS uri
+            FROM base""",
         # docs_minhash_pairs / lsh_ann_topk: intentionally no SQL
         # equivalent (sketch-estimate / approximate-by-design) →
         # driver records rows-only checks; their exactness properties

@@ -357,6 +357,59 @@ def docs_simhash_pairs(sf_dir: str, max_hamming: int = 3):
                          max_hamming=max_hamming, token_hash="md5")
 
 
+#: named statutes cycled through the synthesized citation column of
+#: ``docs_legal_refs`` (name -> SFS number via legalref.KNOWN_LAWS)
+_CITE_LAWS = [("brottsbalken", "1962:700"),
+              ("rättegångsbalken", "1942:740"),
+              ("regeringsformen", "1974:152")]
+
+
+def docs_legal_refs(sf_dir: str):
+    """Structured statute-citation extraction (the LegalRef grammar,
+    ``ferenda_ray/legalref.py``) as a distributed actor-pool stage.
+
+    The synthetic corpus has no Swedish statute citations, so each doc
+    synthesizes one DETERMINISTIC compound reference from its doc_id
+    ("enligt {K} kap. {P} § {law}") and runs the real parser on it;
+    the DuckDB oracle reconstructs the expected structured output
+    (law / chapter / section / minted URI) with arithmetic + CASE.
+    Parser state (compiled grammar tables) lives per actor in
+    ``__init__`` — the FSM/CitationParser broadcast pattern
+    (SURVEY.md §2.4)."""
+
+    class CiteExtract:
+        def __init__(self):
+            from ferenda_ray.legalref import LegalRefParser, Link
+            self.parser = LegalRefParser()
+            self.Link = Link
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "law": [], "chapter": [],
+                   "section": [], "uri": []}
+            for i in b.column("doc_id").to_pylist():
+                name, _ = _CITE_LAWS[i % 3]
+                text = (f"enligt {1 + i % 17} kap. "
+                        f"{1 + i % 29} § {name}")
+                for n in self.parser.parse(text):
+                    if not isinstance(n, self.Link):
+                        continue
+                    out["doc_id"].append(i)
+                    out["law"].append(n.attrs["law"])
+                    out["chapter"].append(n.attrs["chapter"])
+                    out["section"].append(n.attrs["section"])
+                    out["uri"].append(n.uri)
+            return pa.table({
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "law": pa.array(out["law"], pa.string()),
+                "chapter": pa.array(out["chapter"], pa.string()),
+                "section": pa.array(out["section"], pa.string()),
+                "uri": pa.array(out["uri"], pa.string())})
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        CiteExtract, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8))
+
+
 def docs_fingerprints(sf_dir: str):
     """Winnowing fingerprints with the md5 k-gram hash (bit-identical
     to DuckDB's ``md5_number_lower``), exploded to one row per
