@@ -42,11 +42,28 @@ def join_partitions(lo: int = 4, hi: int = 1024) -> int:
     return default_num_partitions(0.25, lo=lo, hi=hi)
 
 
+def ray_join_handles_empty_blocks() -> bool:
+    """Ray 2.49's hash-shuffle join raises ``No match for key field
+    reference`` when either input carries empty blocks (the reason
+    for every pre-join coalesce/repartition in this package).  Gate
+    the workaround on the Ray version so an upgraded cluster can
+    drop the extra pass; flip the ceiling once a fixed release is
+    verified."""
+    import ray
+    parts = tuple(int(x) for x in ray.__version__.split(".")[:2])
+    # every released version up to and including 2.49 is affected;
+    # treat >= 2.50 as unverified-but-likely-fixed (re-check on
+    # upgrade: tests/test_canonicalize.py::test_label_propagation
+    # fails fast if not)
+    return parts >= (2, 50)
+
+
 def coalesce_partitions(hi: int = 16) -> int:
     """Partition count for the pre-join coalesce of SMALL/intermediate
     relations (candidate pairs, ref edges).  Ray 2.49's hash join
-    raises on empty input blocks, so these repartitions must stay ≤
-    the relation's row count; cpus/4 capped at ``hi`` keeps blocks
-    non-empty for test-scale inputs while still spreading the join
-    probe at cluster scale."""
+    raises on empty input blocks (see
+    :func:`ray_join_handles_empty_blocks`), so these repartitions
+    must stay ≤ the relation's row count; cpus/4 capped at ``hi``
+    keeps blocks non-empty for test-scale inputs while still
+    spreading the join probe at cluster scale."""
     return max(2, min(hi, cluster_cpus() // 4))

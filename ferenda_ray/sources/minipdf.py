@@ -478,6 +478,10 @@ def _matmul(a, b):
 
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 _OP = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+# PDF whitespace / delimiter classes (PDF 32000-1:2008 §7.2.2-7.2.3)
+_PDF_WS = [b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "]
+_PDF_DELIM = [b"(", b")", b"<", b">", b"[", b"]", b"{", b"}",
+              b"/", b"%"]
 
 
 def _content_tokens(data: bytes):
@@ -502,8 +506,24 @@ def _content_tokens(data: bytes):
             op = m.group(0)
             i = m.end()
             if op == b"BI":  # inline image: skip to EI
-                j = data.find(b"EI", i)
-                i = n if j < 0 else j + 2
+                # 'EI' can occur inside the binary image payload;
+                # accept it only when delimited by whitespace/EOF on
+                # both sides, else the tokenizer desynchronizes and
+                # corrupts the rest of the page's text
+                j = i
+                while True:
+                    j = data.find(b"EI", j)
+                    if j < 0:
+                        i = n
+                        break
+                    before_ok = j == 0 or data[j - 1:j] in _PDF_WS
+                    after = data[j + 2:j + 3]
+                    after_ok = after == b"" or after in _PDF_WS \
+                        or after in _PDF_DELIM
+                    if before_ok and after_ok:
+                        i = j + 2
+                        break
+                    j += 2
                 continue
             yield ("op", op.decode("latin-1"))
 

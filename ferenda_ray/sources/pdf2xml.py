@@ -185,6 +185,12 @@ class Page(CompoundElement):
         for box in self.boundingbox(top, left, bottom, right):
             box.top -= top
             box.left -= left
+            # CONFORMANCE QUIRK: right/bottom shift by the crop-box
+            # right/bottom (not left/top), leaving kept boxes with
+            # non-positive extents — this reproduces the reference's
+            # own bug (pdfreader.py:1258-1261) byte-for-byte; use
+            # left+width / top+height downstream if real extents are
+            # needed after a crop.
             box.right -= right
             box.bottom -= bottom
             kept.append(box)

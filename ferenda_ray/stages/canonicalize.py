@@ -209,7 +209,12 @@ def label_propagation(edges, max_iter: int = 20):
         # Ray 2.49's hash-shuffle join breaks when an input contains
         # empty blocks ("No match for key field reference ... on right
         # side"); coalesce to a block count safely below the row count
-        # so no block is empty.
+        # so no block is empty.  Costs a count()+materialize() pass per
+        # round, O(diameter) times — skipped entirely once the Ray
+        # version gate reports the join fixed.
+        from ferenda_ray.cluster import ray_join_handles_empty_blocks
+        if ray_join_handles_empty_blocks():
+            return ds
         n = ds.count()
         return ds.repartition(max(1, min(16, (n or 1) // 64 + 1))).materialize()
 

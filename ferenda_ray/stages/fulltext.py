@@ -78,16 +78,132 @@ def fulltext_rows(sources, base: str = DEFAULT_BASE):
                                batch_size=256)
 
 
-def write_fulltext(rows, out_dir: str):
+def _bucket_of(basefile: str, num_buckets: int) -> int:
+    """Deterministic bucket for a basefile (md5, stable across
+    processes — Python ``hash()`` is salted)."""
+    import hashlib
+    return int(hashlib.md5(basefile.encode()).hexdigest()[:8],
+               16) % num_buckets
+
+
+def write_fulltext(rows, out_dir: str, num_buckets: int | None = None):
     """Index sink: partitioned Parquet by ``repo`` (the per-repo index
-    slices the reference merges at query time, ``wsgiapp.py:289-296``)."""
-    rows.write_parquet(out_dir, partition_cols=["repo"])
+    slices the reference merges at query time, ``wsgiapp.py:289-296``).
+
+    With ``num_buckets`` the layout adds a ``bucket`` partition level
+    (``repo=X/bucket=N``) keyed by basefile hash — the granularity
+    unit of :func:`upsert_fulltext`: re-indexing one document
+    rewrites ONE bucket, not the repo partition."""
+    if num_buckets:
+        nb = num_buckets
+
+        def add_bucket(b: pa.Table) -> pa.Table:
+            return b.append_column("bucket", pa.array(
+                [_bucket_of(x, nb)
+                 for x in b.column("basefile").to_pylist()],
+                pa.int64()))
+
+        rows = rows.map_batches(add_bucket, batch_format="pyarrow")
+        rows.write_parquet(out_dir, partition_cols=["repo", "bucket"])
+    else:
+        rows.write_parquet(out_dir, partition_cols=["repo"])
     return out_dir
 
 
 def read_fulltext(index_dir: str):
     import ray.data as rd
     return rd.read_parquet(index_dir)
+
+
+def upsert_fulltext(index_dir: str, new_rows, deletes=(),
+                    num_buckets: int = 16):
+    """Doc-granular index maintenance — the
+    ``fulltextindex.update/commit/destroy`` surface
+    (``fulltextindex.py:96-151``) on the bucketed Parquet layout.
+
+    * ``new_rows``: rows (pa.Table or small Dataset) for CHANGED
+      documents — every existing row of each basefile present here is
+      replaced by the new rows (doc + section rows move together).
+    * ``deletes``: iterable of ``(repo, basefile)`` to drop entirely.
+
+    Only the buckets containing affected basefiles are rewritten —
+    one Ray task per affected ``repo=X/bucket=N`` partition, each
+    doing read → anti-filter → append → atomic tmp+rename.  At 100 TB
+    this touches O(changed docs) buckets, never the full index."""
+    import os
+    import uuid
+
+    import ray
+
+    if not isinstance(new_rows, pa.Table):
+        new_rows = pa.Table.from_pylist(new_rows.take_all())
+    if "bucket" in new_rows.column_names:
+        new_rows = new_rows.drop_columns(["bucket"])
+
+    # group new rows + deletes by affected (repo, bucket)
+    affected: dict[tuple, dict] = {}
+    if new_rows.num_rows:
+        repos = new_rows.column("repo").to_pylist()
+        bases = new_rows.column("basefile").to_pylist()
+        for i, (r, bf) in enumerate(zip(repos, bases)):
+            key = (r, _bucket_of(bf, num_buckets))
+            slot = affected.setdefault(key, {"rows": [], "drop": set()})
+            slot["rows"].append(i)
+            slot["drop"].add(bf)
+    for r, bf in deletes:
+        key = (r, _bucket_of(bf, num_buckets))
+        slot = affected.setdefault(key, {"rows": [], "drop": set()})
+        slot["drop"].add(bf)
+
+    body = new_rows.drop_columns(["repo"])
+    body_ref = ray.put(body)
+
+    @ray.remote
+    def rewrite(part_dir, row_idx, drop, body):
+        # body arrives plasma-shared: Ray auto-resolves the ObjectRef
+        # argument, so every task reads ONE copy zero-copy
+        import pyarrow.parquet as pq
+        fresh = body.take(row_idx) if row_idx else body.slice(0, 0)
+        olds = []
+        if os.path.isdir(part_dir):
+            olds = [os.path.join(part_dir, f)
+                    for f in sorted(os.listdir(part_dir))
+                    if f.endswith(".parquet")]
+        keep = [pq.read_table(f) for f in olds]
+        if keep:
+            import pyarrow.compute as pc
+            existing = pa.concat_tables(keep,
+                                        promote_options="default")
+            mask = pc.invert(pc.is_in(
+                existing.column("basefile"),
+                value_set=pa.array(sorted(drop), pa.string())))
+            existing = existing.filter(mask)
+            fresh = fresh.cast(pa.schema(
+                [existing.schema.field(n)
+                 for n in fresh.column_names]))
+            merged = pa.concat_tables(
+                [existing.select(fresh.column_names), fresh],
+                promote_options="default")
+        else:
+            merged = fresh
+        os.makedirs(part_dir, exist_ok=True)
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(part_dir, f".part-{token}.tmp")
+        final = os.path.join(part_dir, f"part-{token}.parquet")
+        pq.write_table(merged, tmp)
+        os.rename(tmp, final)          # atomic publish
+        for f in olds:
+            os.remove(f)
+        return merged.num_rows
+
+    futures = []
+    for (repo, bucket), slot in affected.items():
+        part_dir = os.path.join(index_dir, f"repo={repo}",
+                                f"bucket={bucket}")
+        futures.append(rewrite.remote(part_dir, slot["rows"],
+                                      slot["drop"], body_ref))
+    return {"buckets_rewritten": len(futures),
+            "rows_after": sum(ray.get(futures))}
 
 
 def search(index, terms: list, k: int = 10, title_boost: float = 2.0):

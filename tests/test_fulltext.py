@@ -131,3 +131,66 @@ def test_search_bm25(ray_session):
     assert rows[0]["score"] > rows[1]["score"] > 0
     # idf of a term present in 2/3 docs, Lucene form, sanity bound
     assert rows[0]["score"] < 2 * math.log(3 + 1) * 2.2
+
+
+def test_upsert_doc_granular(index, tmp_path):
+    """fulltextindex.update/commit/destroy analogue: re-index ONE
+    document by rewriting only its hash bucket (fulltextindex.py:
+    96-151); untouched buckets keep their files byte-identical."""
+    import os
+
+    from ferenda_ray.stages.fulltext import upsert_fulltext
+
+    out = str(tmp_path / "ft_bucketed")
+    write_fulltext(index, out, num_buckets=4)
+    before = read_fulltext(out)
+    n0 = before.count()
+
+    def snapshot():
+        snap = {}
+        for root, _, files in os.walk(out):
+            for f in files:
+                p = os.path.join(root, f)
+                snap[p] = os.path.getsize(p), open(p, "rb").read(64)
+        return snap
+
+    target = before.take(1)[0]
+    repo, basefile = target["repo"], target["basefile"]
+    old_rows = [r for r in before.take_all()
+                if r["basefile"] == basefile]
+    assert old_rows
+
+    snap0 = snapshot()
+    new = pa.table({
+        "uri": pa.array([old_rows[0]["uri"]], pa.string()),
+        "repo": pa.array([repo], pa.string()),
+        "basefile": pa.array([basefile], pa.string()),
+        "title": pa.array(["REINDEXED TITLE"], pa.string()),
+        "lang": pa.array([old_rows[0]["lang"]], pa.string()),
+        "text": pa.array(["replacement body zzyzx"],
+                         pa.large_string()),
+    })
+    res = upsert_fulltext(out, new, num_buckets=4)
+    assert res["buckets_rewritten"] == 1
+
+    after = read_fulltext(out).take_all()
+    mine = [r for r in after if r["basefile"] == basefile]
+    assert len(mine) == 1                      # doc+section rows replaced
+    assert mine[0]["title"] == "REINDEXED TITLE"
+    assert len(after) == n0 - len(old_rows) + 1
+
+    # untouched buckets byte-identical
+    snap1 = snapshot()
+    changed_dirs = {os.path.dirname(p)
+                    for p in (set(snap0) ^ set(snap1))}
+    assert len(changed_dirs) == 1
+    for p in set(snap0) & set(snap1):
+        assert snap0[p] == snap1[p]
+
+    # destroy: delete the doc entirely
+    res = upsert_fulltext(out, new.slice(0, 0),
+                          deletes=[(repo, basefile)], num_buckets=4)
+    assert res["buckets_rewritten"] == 1
+    remaining = read_fulltext(out).take_all()
+    assert not [r for r in remaining if r["basefile"] == basefile]
+    assert len(remaining) == n0 - len(old_rows)

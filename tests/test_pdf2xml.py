@@ -531,3 +531,21 @@ def test_analyzer_metrics():
         "rightmargin": 780,
         "rightmargin_even": 760,
     }
+
+
+def test_content_tokens_inline_image_embedded_EI():
+    """'EI' bytes inside an inline-image payload must not terminate
+    the BI..EI skip (PDF 32000-1 §7.8.2: the real EI is delimited);
+    otherwise the tokenizer desynchronizes mid-stream."""
+    from ferenda_ray.sources.minipdf import _content_tokens
+    payload = b"\x01\x02EI\x03\x04"          # fake 'EI' inside binary
+    data = (b"BT /F1 12 Tf (before) Tj ET "
+            b"BI /W 2 /H 2 ID " + payload + b" EI\n"
+            b"BT (after) Tj ET")
+    toks = list(_content_tokens(data))
+    ops = [t for k, t in toks if k == "op"]
+    # both text blocks survive; no operator soup from image bytes
+    assert ops.count("BT") == 2 and ops.count("Tj") == 2
+    shows = [t for k, t in toks if k == "operand" and
+             isinstance(t, bytes)]
+    assert b"before" in shows and b"after" in shows
