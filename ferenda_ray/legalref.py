@@ -798,3 +798,200 @@ class LegalRefParser:
         for r in refs:
             if r.attrs.get("law") is None:
                 r.attrs["law"] = law
+
+
+# ===========================================================================
+# FORARBETEN: preparatory-works references (prop./SOU/Ds/bet./rskr.,
+# page refs, avsnitt refs, celex numbers).  Reference grammar:
+# ferenda/sources/legal/se/legalref.py (FORARBETEN role) with the
+# test corpus test/files/legalref/Regpubl/*.txt; re-derived from the
+# fixtures as regex productions.
+
+_RE_F_PROP = re.compile(
+    r"[Pp]rop\.[ \r\n\xa0]*(\d{4}(?:/\d{2,4})?)[ \r\n\xa0]*:"
+    r"[ \r\n\xa0]*([A-Z][ \r\n\xa0]?)?(\d+)")
+_RE_F_PROP_NR = re.compile(
+    r"[Pp]rop\.[ \r\n\xa0]+nr[ \r\n\xa0]+(\d+)/(\d{4})")
+_RE_F_PROP_YRNR = re.compile(
+    r"[Pp]rop\.[ \r\n\xa0]+(\d{4})[ \r\n\xa0]+nr[ \r\n\xa0]+(\d+)")
+_RE_F_APROP = re.compile(r"a\.[ \r\n\xa0]+prop\.")
+_RE_F_SOU = re.compile(r"SOU[ \r\n\xa0]+(\d{4}):(\d+)")
+_RE_F_DS = re.compile(r"Ds[ \r\n\xa0]+(\d{4}):(\d+)")
+_RE_F_BET = re.compile(r"bet\.[ \r\n\xa0]+(\d{4}/\d{2,4}):([A-Za-z]+\d+)")
+_RE_F_RSKR = re.compile(r"rskr\.[ \r\n\xa0]+(\d{4}/\d{2,4}):(\d+)")
+_RE_F_CELEX = re.compile(r"(3\d{4}[LRDE]\d{4}|3\d{2}[LRDE]\d{4})(?!\d)")
+_RE_F_PAGE = re.compile(r",?[ \r\n\xa0]+s\.[ \r\n\xa0]*(\d+)")
+_RE_F_PAGESEP = re.compile(
+    r"(?:[ \r\n\xa0]*-[ \r\n\xa0]*|,[ \r\n\xa0]+(?:och[ \r\n\xa0]+)?"
+    r"|[ \r\n\xa0]+och[ \r\n\xa0]+)")
+_RE_F_NUM = re.compile(r"(\d+)(?![\d.])")
+_RE_F_AVSNITT = re.compile(r"avsnitt[ \r\n\xa0]+(\d+(?:\.\d+)*)")
+_RE_F_SECNUM = re.compile(r"(\d+(?:\.\d+)+)")
+_RE_F_BETANK = re.compile(
+    r"[ \r\n\xa0]+i[ \r\n\xa0]+kommitténs[ \r\n\xa0]+betänkande")
+
+_RE_F_START = re.compile(
+    r"[Pp]rop\.|SOU[ \r\n\xa0]+\d|Ds[ \r\n\xa0]+\d|bet\.[ \r\n\xa0]+\d"
+    r"|rskr\.[ \r\n\xa0]+\d|a\.[ \r\n\xa0]+prop\.|avsnitt[ \r\n\xa0]+\d"
+    r"|3\d{2,4}[LRDE]\d{4}")
+
+
+class ForarbetenParser:
+    """FORARBETEN-role parser: references to Swedish preparatory
+    works.  ``lastref`` feeds "a. prop."; BASE attrs (type/year/no/
+    kommittensbetankande) feed "avsnitt" references."""
+
+    def __init__(self, base: str = "https://lagen.nu/"):
+        self.base = base
+        self.lastref: tuple | None = None   # (doctype, ordinal)
+
+    def parse(self, text: str, base_attrs: dict | None = None):
+        base_attrs = base_attrs or {}
+        refs: list[_Ref] = []
+        pos = 0
+        while True:
+            m = _RE_F_START.search(text, pos)
+            if not m:
+                break
+            end = self._one(text, m.start(), refs, base_attrs)
+            pos = end if end > m.start() else m.start() + 1
+        nodes = []
+        last = 0
+        for r in sorted(refs, key=lambda r: r.start):
+            if r.start < last:
+                continue
+            if r.start > last:
+                nodes.append(text[last:r.start])
+            nodes.append(Link(text[r.start:r.end], r.attrs["uri"],
+                              r.attrs))
+            last = r.end
+        if last < len(text) or not nodes:
+            nodes.append(text[last:])
+        return [n for n in nodes if isinstance(n, Link) or n != ""]
+
+    def parse_to_serialized(self, text, base_attrs=None) -> str:
+        return serialize(self.parse(text, base_attrs))
+
+    # -- helpers ------------------------------------------------------
+
+    def _uri(self, doctype, ordinal, page=None, section=None):
+        u = f"{self.base}{doctype}/{ordinal}"
+        if page is not None:
+            u += f"#sid{page}"
+        elif section is not None:
+            u += "#S" + section.replace(".", "-")
+        return u
+
+    def _one(self, s, i, refs, base_attrs):
+        cur = _Cursor(s, i)
+        # --- document references -----------------------------------
+        doc = None
+        m = cur.match(_RE_F_PROP_NR)
+        if m:
+            doc = ("prop", f"{m.group(2)}:{m.group(1)}")
+        if doc is None:
+            m = cur.match(_RE_F_PROP_YRNR)
+            if m:
+                doc = ("prop", f"{m.group(1)}:{m.group(2)}")
+        if doc is None:
+            m = cur.match(_RE_F_PROP)
+            if m:
+                series = (m.group(2) or "").strip() or ""
+                if series == "A":     # A is the default series: drop
+                    series = ""
+                doc = ("prop", f"{m.group(1)}:{series}{m.group(3)}")
+        if doc is None:
+            m = cur.match(_RE_F_SOU)
+            if m:
+                doc = ("sou", f"{m.group(1)}:{m.group(2)}")
+        if doc is None:
+            m = cur.match(_RE_F_DS)
+            if m:
+                doc = ("ds", f"{m.group(1)}:{m.group(2)}")
+        if doc is None:
+            m = cur.match(_RE_F_BET)
+            if m:
+                doc = ("bet", f"{m.group(1)}:{m.group(2)}")
+        if doc is None:
+            m = cur.match(_RE_F_RSKR)
+            if m:
+                doc = ("rskr", f"{m.group(1)}:{m.group(2)}")
+        if doc is None:
+            m = cur.match(_RE_F_APROP)
+            if m and self.lastref:
+                doc = self.lastref
+        if doc is not None:
+            self.lastref = doc
+            return self._pages(s, i, cur, doc, refs)
+        # --- celex -------------------------------------------------
+        m = cur.match(_RE_F_CELEX)
+        if m:
+            num = m.group(1)
+            if len(num) == 8:          # 392L0100 -> 31992L0100
+                num = num[0] + "19" + num[1:]
+            refs.append(_Ref(i, cur.i, {
+                "celex": num,
+                "uri": f"{self.base}ext/celex/{num}"}))
+            return cur.i
+        # --- avsnitt (needs BASE attrs to resolve the target doc) --
+        m = cur.match(_RE_F_AVSNITT)
+        if m and base_attrs.get("year") and base_attrs.get("no"):
+            return self._avsnitt(s, i, cur, m, refs, base_attrs)
+        return cur.i if cur.i > i else i + 1
+
+    def _pages(self, s, start, cur, doc, refs):
+        """Optional ', s. N' merged into the doc link; further list
+        elements (ranges / och / commas) become separate #sidN
+        links."""
+        save = cur.i
+        m = cur.match(_RE_F_PAGE)
+        if not m:
+            cur.i = save
+            refs.append(_Ref(start, cur.i,
+                             {"doctype": doc[0], "ordinal": doc[1],
+                              "uri": self._uri(*doc)}))
+            return cur.i
+        refs.append(_Ref(start, cur.i,
+                         {"doctype": doc[0], "ordinal": doc[1],
+                          "page": m.group(1),
+                          "uri": self._uri(*doc, page=m.group(1))}))
+        while True:
+            save = cur.i
+            if not cur.match(_RE_F_PAGESEP):
+                break
+            pm = cur.match(_RE_F_NUM)
+            if not pm:
+                cur.i = save
+                break
+            refs.append(_Ref(pm.start(), pm.end(),
+                             {"doctype": doc[0], "ordinal": doc[1],
+                              "page": pm.group(1),
+                              "uri": self._uri(*doc,
+                                               page=pm.group(1))}))
+        return cur.i
+
+    def _avsnitt(self, s, start, cur, m, refs, base_attrs):
+        """'avsnitt 8.2.2 [, 12.2.8 och 12.2.12] [i kommitténs
+        betänkande]' — the suffix retargets every link in the list to
+        the committee report (SOU) named by the BASE attrs."""
+        secs = [[start, cur.i, m.group(1)]]
+        while True:
+            save = cur.i
+            if not cur.match(_RE_F_PAGESEP):
+                break
+            sm = cur.match(_RE_F_SECNUM)
+            if not sm:
+                cur.i = save
+                break
+            secs.append([sm.start(), sm.end(), sm.group(1)])
+        bm = cur.match(_RE_F_BETANK)
+        if bm and base_attrs.get("kommittensbetankande"):
+            doc = ("sou", base_attrs["kommittensbetankande"])
+            secs[-1][1] = cur.i     # suffix merges into the LAST link
+        else:
+            doc = ("prop", f"{base_attrs['year']}:{base_attrs['no']}")
+        for st, en, sec in secs:
+            refs.append(_Ref(st, en, {
+                "doctype": doc[0], "ordinal": doc[1], "section": sec,
+                "uri": self._uri(*doc, section=sec)}))
+        return cur.i

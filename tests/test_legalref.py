@@ -17,8 +17,8 @@ import re
 import pytest
 
 from ferenda_ray.legalref import (KNOWN_ABBREVS, KNOWN_LAWS,
-                                  LegalRefParser, Link, mint_uri,
-                                  serialize)
+                                  ForarbetenParser, LegalRefParser,
+                                  Link, mint_uri, serialize)
 
 FIXROOT = "/root/reference/test/files/legalref"
 
@@ -85,6 +85,38 @@ def test_sfs(fname):
 def test_short(fname):
     run_fixture(os.path.join(FIXROOT, "Short", fname), mode="lagrum",
                 short=True)
+
+
+def run_forarbeten_fixture(path):
+    """Same driver shape as run_fixture but for the FORARBETEN role
+    (reference integrationLegalRef.py:42-89 with LegalRef(FORARBETEN));
+    BASE: carries prop year/no + kommittensbetankande attrs."""
+    with codecs.open(path, encoding="windows-1252") as fp:
+        testdata = fp.read()
+    parts = re.split(r"\r?\n\r?\n", testdata, 1)
+    if len(parts) == 1:
+        testdata, want = parts[0], ""
+    else:
+        testdata, want = parts
+    want = want.replace("\r\n", "\n").strip()
+    paras = re.split(r"\r?\n---\r?\n", testdata)
+    p = ForarbetenParser()
+    got_paras = []
+    for para in paras:
+        base = {}
+        if para.startswith("BASE:"):
+            b = para.split("\n")[0].split(":", 1)[1]
+            base = ast.literal_eval(b)
+            para = para.split("\n", 1)[1]
+        got_paras.append(p.parse_to_serialized(para, base)
+                         .replace("\r\n", "\n").strip())
+    got = "\n---\n".join(got_paras).strip()
+    assert got == want, f"{os.path.basename(path)}:\n{got}\nWANT:\n{want}"
+
+
+@pytest.mark.parametrize("fname", _params("Regpubl"))
+def test_regpubl(fname):
+    run_forarbeten_fixture(os.path.join(FIXROOT, "Regpubl", fname))
 
 
 # -- unit surface ----------------------------------------------------------
