@@ -995,3 +995,113 @@ class ForarbetenParser:
                 "doctype": doc[0], "ordinal": doc[1], "section": sec,
                 "uri": self._uri(*doc, section=sec)}))
         return cur.i
+
+
+# ===========================================================================
+# RATTSFALL: Swedish court-case references (NJA/RÅ/AD/RH/MÖD/...).
+# Grammar re-derived from the reference's
+# ferenda/sources/legal/se/res/ebnf/rattsfall.ebnf and
+# legalref.py rattsfall_format_uri (:1376-1391), conformance corpus
+# test/files/legalref/DV/*.txt.
+
+#: DomstolRefID alternation, longest-first (PMÖD before MD etc.);
+#: NJA is separate (only takes the s./not separators, never colon).
+_RE_R_COURT = re.compile(
+    r"(?<![A-Za-zÅÄÖåäö])(PMÖD|MMD|MIG|MÖD|HFD|NJA|RÅ|AD|RH|RK|MD)")
+_RE_R_YEAR = re.compile(r"[ \r\n\xa0]+(\d{4})")
+#: Separator ::= ((ws/-)('ref'/'nr') '.'? ws?) / (ws? (:|-) ws?)
+_RE_R_SEP_WORD = re.compile(
+    r"(?:[ \r\n\xa0]+|-)(?:ref|nr)\.?[ \r\n\xa0]*")
+_RE_R_SEP_PUNCT = re.compile(r"[ \r\n\xa0]*[:-][ \r\n\xa0]*")
+_RE_R_NJASEP = re.compile(r"[ \r\n\xa0]+s\.?[ \r\n\xa0]*")
+_RE_R_NOTSEP = re.compile(r"[ \r\n\xa0]+not\.?[ \r\n\xa0]*")
+_RE_R_NR = re.compile(r"(\d+)(?!\d)")
+
+_COURT_SLUG = {c: (c.lower().replace("å", "a").replace("ö", "o"))
+               for c in ("PMÖD", "MMD", "MIG", "MÖD", "HFD", "NJA",
+                         "RÅ", "AD", "RH", "RK", "MD")}
+
+
+class RattsfallParser:
+    """RATTSFALL-role parser: court-case references to lagen.nu
+    ``/dom/`` URIs (referat ``dom/ra/1986:116``, NJA page form
+    ``dom/nja/1998s14``, notis ``dom/hfd/2013/not/3``)."""
+
+    def __init__(self, base: str = "https://lagen.nu/"):
+        self.base = base
+
+    def parse(self, text: str, base_attrs: dict | None = None):
+        refs: list[_Ref] = []
+        pos = 0
+        while True:
+            m = _RE_R_COURT.search(text, pos)
+            if not m:
+                break
+            end = self._one(text, m, refs)
+            pos = end if end > m.start() else m.start() + 1
+        nodes = []
+        last = 0
+        for r in refs:
+            if r.start > last:
+                nodes.append(text[last:r.start])
+            nodes.append(Link(text[r.start:r.end], r.attrs["uri"],
+                              r.attrs))
+            last = r.end
+        if last < len(text) or not nodes:
+            nodes.append(text[last:])
+        return [n for n in nodes if isinstance(n, Link) or n != ""]
+
+    def parse_to_serialized(self, text, base_attrs=None) -> str:
+        return serialize(self.parse(text, base_attrs))
+
+    def _one(self, s, m, refs):
+        court = m.group(1)
+        cur = _Cursor(s, m.end())
+        ym = cur.match(_RE_R_YEAR)
+        if not ym:
+            return cur.i
+        year = ym.group(1)
+        slug = _COURT_SLUG[court]
+        if court == "NJA":
+            save = cur.i
+            if cur.match(_RE_R_NJASEP):
+                nm = cur.match(_RE_R_NR)
+                if nm:
+                    refs.append(_Ref(m.start(), cur.i, {
+                        "court": court, "year": year,
+                        "page": nm.group(1),
+                        "uri": f"{self.base}dom/nja/{year}s{nm.group(1)}"}))
+                    return cur.i
+            cur.i = save
+            if cur.match(_RE_R_NOTSEP):
+                nm = cur.match(_RE_R_NR)
+                if nm:
+                    refs.append(_Ref(m.start(), cur.i, {
+                        "court": court, "year": year,
+                        "notnr": nm.group(1),
+                        "uri": f"{self.base}dom/nja/{year}/not/"
+                               f"{nm.group(1)}"}))
+                    return cur.i
+            return cur.i
+        # referat (word separator tried before the punct one, as in the
+        # EBNF: 'AD 2005-nr 115' must bind the hyphen to 'nr')
+        save = cur.i
+        if cur.match(_RE_R_SEP_WORD) or cur.match(_RE_R_SEP_PUNCT):
+            nm = cur.match(_RE_R_NR)
+            if nm:
+                refs.append(_Ref(m.start(), cur.i, {
+                    "court": court, "year": year, "no": nm.group(1),
+                    "uri": f"{self.base}dom/{slug}/{year}:"
+                           f"{nm.group(1)}"}))
+                return cur.i
+        cur.i = save
+        if cur.match(_RE_R_NOTSEP):
+            nm = cur.match(_RE_R_NR)
+            if nm:
+                refs.append(_Ref(m.start(), cur.i, {
+                    "court": court, "year": year,
+                    "notnr": nm.group(1),
+                    "uri": f"{self.base}dom/{slug}/{year}/not/"
+                           f"{nm.group(1)}"}))
+                return cur.i
+        return cur.i

@@ -18,7 +18,8 @@ import pytest
 
 from ferenda_ray.legalref import (KNOWN_ABBREVS, KNOWN_LAWS,
                                   ForarbetenParser, LegalRefParser,
-                                  Link, mint_uri, serialize)
+                                  Link, RattsfallParser, mint_uri,
+                                  serialize)
 
 FIXROOT = "/root/reference/test/files/legalref"
 
@@ -87,9 +88,10 @@ def test_short(fname):
                 short=True)
 
 
-def run_forarbeten_fixture(path):
-    """Same driver shape as run_fixture but for the FORARBETEN role
-    (reference integrationLegalRef.py:42-89 with LegalRef(FORARBETEN));
+def run_role_fixture(path, parser):
+    """Same driver shape as run_fixture but for role parsers with a
+    ``parse_to_serialized(text, base_attrs)`` surface (reference
+    integrationLegalRef.py:42-89 with LegalRef(FORARBETEN/RATTSFALL));
     BASE: carries prop year/no + kommittensbetankande attrs."""
     with codecs.open(path, encoding="windows-1252") as fp:
         testdata = fp.read()
@@ -100,7 +102,7 @@ def run_forarbeten_fixture(path):
         testdata, want = parts
     want = want.replace("\r\n", "\n").strip()
     paras = re.split(r"\r?\n---\r?\n", testdata)
-    p = ForarbetenParser()
+    p = parser
     got_paras = []
     for para in paras:
         base = {}
@@ -116,7 +118,14 @@ def run_forarbeten_fixture(path):
 
 @pytest.mark.parametrize("fname", _params("Regpubl"))
 def test_regpubl(fname):
-    run_forarbeten_fixture(os.path.join(FIXROOT, "Regpubl", fname))
+    run_role_fixture(os.path.join(FIXROOT, "Regpubl", fname),
+                     ForarbetenParser())
+
+
+@pytest.mark.parametrize("fname", _params("DV"))
+def test_dv(fname):
+    run_role_fixture(os.path.join(FIXROOT, "DV", fname),
+                     RattsfallParser())
 
 
 # -- unit surface ----------------------------------------------------------
