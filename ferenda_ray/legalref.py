@@ -1105,3 +1105,314 @@ class RattsfallParser:
                            f"{nm.group(1)}"}))
                 return cur.i
         return cur.i
+
+
+# ===========================================================================
+# EULAGSTIFTNING: EU directives / regulations -> CELEX URIs.  Grammar
+# re-derived from the reference's res/ebnf/eulag.ebnf + the CELEX
+# construction in legalref.py eulag_format_uri (:1316-1374, incl. the
+# post-2015 year/serial swap guarded by the 'av den <datum>' year);
+# conformance corpus test/files/legalref/EGLag/*.txt.
+
+_EU_WS = r"[ \r\n\xa0]+"
+_RE_EU_START = re.compile(
+    r"artikel" + _EU_WS + r"|rådets" + _EU_WS
+    + r"|Europaparlamentets" + _EU_WS + r"|kommissionens" + _EU_WS
+    + r"|(?<![\d/])\d{1,4}/\d{1,4}/(?:EEG|EG|EU)(?![A-Za-zÅÄÖåäö])"
+    + r"|\((?:EEG|EG|EU)\)")
+_RE_EU_ARTIKEL = re.compile(
+    r"artikel" + _EU_WS + r"(\d+)(?:\.(\d+))?")
+_RE_EU_IWORD = re.compile(_EU_WS + "i" + _EU_WS)
+_RE_EU_INST = re.compile(
+    r"(?:Europaparlamentets" + _EU_WS + "och" + _EU_WS + r"rådets"
+    + r"|rådets|kommissionens)")
+_RE_EU_AKTTYP = re.compile(_EU_WS + r"(direktiv|förordning)" + _EU_WS)
+_RE_EU_DIREKTIV = re.compile(
+    r"(\d{1,4})/(\d{1,4})/(EEG|EG|EU)(?![A-Za-zÅÄÖåäö])")
+_RE_EU_FORORDNING = re.compile(
+    r"\((EEG|EG|EU)\)(?:" + _EU_WS + r"nr)?" + _EU_WS
+    + r"(\d{1,4})/(\d{1,4})(?!\d)")
+_RE_EU_AVDATUM = re.compile(
+    _EU_WS + "av" + _EU_WS + "den" + _EU_WS + r"\d{1,2}" + _EU_WS
+    + r"(?:januari|februari|mars|april|maj|juni|juli|augusti"
+    + r"|september|oktober|november|december)" + _EU_WS + r"(\d{4})")
+
+
+class EULagParser:
+    """EULAGSTIFTNING-role parser: EU directive / regulation
+    references minted as ``ext/celex/{celex}[#artikel]`` URIs."""
+
+    def __init__(self, base: str = "https://lagen.nu/"):
+        self.base = base
+
+    def parse(self, text: str, base_attrs: dict | None = None):
+        refs: list[_Ref] = []
+        pos = 0
+        while True:
+            m = _RE_EU_START.search(text, pos)
+            if not m:
+                break
+            end = self._one(text, m.start(), refs)
+            pos = end if end > m.start() else m.start() + 1
+        nodes = []
+        last = 0
+        for r in refs:
+            if r.start > last:
+                nodes.append(text[last:r.start])
+            nodes.append(Link(text[r.start:r.end], r.attrs["uri"],
+                              r.attrs))
+            last = r.end
+        if last < len(text) or not nodes:
+            nodes.append(text[last:])
+        return [n for n in nodes if isinstance(n, Link) or n != ""]
+
+    def parse_to_serialized(self, text, base_attrs=None) -> str:
+        return serialize(self.parse(text, base_attrs))
+
+    # -- helpers ------------------------------------------------------
+
+    def _celex(self, akttyp, ar, lopnummer, datum_year):
+        """eulag_format_uri's CELEX construction, incl. the post-2015
+        serial/year swap (only when the AvDatum year confirms it)."""
+        if int(lopnummer) > 2014 and datum_year > 2014:
+            ar, lopnummer = lopnummer, ar
+        if len(ar) == 2:
+            ar = "19" + ar
+        form = {"direktiv": "L", "förordning": "R"}[akttyp]
+        return "3%s%s%04d" % (ar, form, int(lopnummer))
+
+    def _rattsakt(self, s, i):
+        """RattsaktRef -> (end, akttyp, ar, lopnr, datum_year) or
+        None.  Institution form carries the akttyp word and optional
+        AvDatum inside the span; the bare numeric forms don't."""
+        cur = _Cursor(s, i)
+        m = cur.match(_RE_EU_INST)
+        if m:
+            am = cur.match(_RE_EU_AKTTYP)
+            if not am:
+                return None
+            akttyp = am.group(1)
+            if akttyp == "direktiv":
+                dm = cur.match(_RE_EU_DIREKTIV)
+                if not dm:
+                    return None
+                ar, lopnr = dm.group(1), dm.group(2)
+            else:
+                fm = cur.match(_RE_EU_FORORDNING)
+                if not fm:
+                    return None
+                lopnr, ar = fm.group(2), fm.group(3)
+            year = 0
+            save = cur.i
+            tm = cur.match(_RE_EU_AVDATUM)
+            if tm:
+                year = int(tm.group(1))
+            else:
+                cur.i = save
+            return cur.i, akttyp, ar, lopnr, year
+        m = cur.match(_RE_EU_DIREKTIV)
+        if m:
+            return cur.i, "direktiv", m.group(1), m.group(2), 0
+        m = cur.match(_RE_EU_FORORDNING)
+        if m:
+            return cur.i, "förordning", m.group(3), m.group(2), 0
+        return None
+
+    def _one(self, s, i, refs):
+        am = _RE_EU_ARTIKEL.match(s, i)
+        if am:
+            # ArtikelRattsaktRef: 'artikel N[.M] i <rattsakt>'
+            cur = _Cursor(s, am.end())
+            if cur.match(_RE_EU_IWORD):
+                r = self._rattsakt(s, cur.i)
+                if r:
+                    end, akttyp, ar, lopnr, year = r
+                    celex = self._celex(akttyp, ar, lopnr, year)
+                    frag = am.group(1) + (
+                        "." + am.group(2) if am.group(2) else "")
+                    refs.append(_Ref(i, end, {
+                        "celex": celex, "artikel": frag,
+                        "uri": f"{self.base}ext/celex/{celex}"
+                               f"#{frag}"}))
+                    return end
+            # bare ArtikelRef: no celex context -> no link
+            # (eulag_format_uri returns None, legalref.py:1355-1360)
+            return am.end()
+        r = self._rattsakt(s, i)
+        if r:
+            end, akttyp, ar, lopnr, year = r
+            celex = self._celex(akttyp, ar, lopnr, year)
+            refs.append(_Ref(i, end, {
+                "celex": celex,
+                "uri": f"{self.base}ext/celex/{celex}"}))
+            return end
+        return i
+
+
+# ===========================================================================
+# MYNDIGHETSBESLUT: agency decisions (ARN/JO/JK diarienummer).
+# Grammar re-derived from the reference's res/ebnf/avg.ebnf and the
+# myndighetsbeslut_format_uri date-vs-dnr check (legalref.py:1419-1446);
+# conformance corpus test/files/legalref/Avg/*.txt.  Only the
+# diarienummer itself is linked; preambles ("JO 2013/14 s. 392, dnr",
+# "Justitiekanslerns beslut den ...") license the match but stay text.
+
+_AVG_DATUM = (r"\d{1,2}" + _EU_WS
+              + r"(?:januari|februari|mars|april|maj|juni|juli"
+              + r"|augusti|september|oktober|november|december)"
+              + _EU_WS + r"\d{4}")
+_RE_AVG_START = re.compile(
+    r"avgörande" + _EU_WS + r"\d{4}-\d{2}-\d{2};[ \xa0]"
+    + r"|ARN:s" + _EU_WS + r"änr[ \xa0]"
+    + r"|JO" + _EU_WS + r"\d{4}/\d{2,4}" + _EU_WS + r"s\.[ \xa0]\d+"
+    + r"|JO:s" + _EU_WS + "beslut" + _EU_WS + "den" + _EU_WS
+    + _AVG_DATUM
+    + r"|[Dd]nr[ \xa0]|ärende" + _EU_WS + r"nr[ \xa0]")
+_RE_AVG_COMMA_DNR = re.compile(r",[ \xa0][Dd]nr[ \xa0]")
+_RE_AVG_CONN = re.compile(r"(?:;[ \xa0]|,[ \xa0]|[ \xa0]och[ \xa0])")
+_RE_ARN_ID = re.compile(r"(\d{4}-\d{4,})(?!\d)")
+_RE_JO_ID = re.compile(r"(\d+-\d{4})(?![\d-])")
+_RE_JK_ID = re.compile(r"(\d+)-(\d{2})-(\d+)(?![\d-])")
+
+
+class AvgParser:
+    """MYNDIGHETSBESLUT-role parser: ARN/JO/JK decision references
+    minted as ``avg/{arn,jo,jk}/{diarienr}`` URIs."""
+
+    def __init__(self, base: str = "https://lagen.nu/"):
+        self.base = base
+
+    def parse(self, text: str, base_attrs: dict | None = None):
+        refs: list[_Ref] = []
+        pos = 0
+        while True:
+            m = _RE_AVG_START.search(text, pos)
+            if not m:
+                break
+            end = self._one(text, m, refs)
+            pos = end if end > m.start() else m.start() + 1
+        nodes = []
+        last = 0
+        for r in sorted(refs, key=lambda r: r.start):
+            if r.start > last:
+                nodes.append(text[last:r.start])
+            if r.attrs.get("uri"):      # drop-span: consumed, no text
+                nodes.append(Link(text[r.start:r.end],
+                                  r.attrs["uri"], r.attrs))
+            last = r.end
+        if last < len(text) or not nodes:
+            nodes.append(text[last:])
+        return [n for n in nodes if isinstance(n, Link) or n != ""]
+
+    def parse_to_serialized(self, text, base_attrs=None) -> str:
+        return serialize(self.parse(text, base_attrs))
+
+    # -- helpers ------------------------------------------------------
+
+    def _idlist(self, cur, rx, myndighet, refs, check=None):
+        """(RefID, Connector)* RefID with backtracking on a trailing
+        connector; ids failing ``check`` are consumed but unlinked
+        (the reference's date-vs-dnr rule returns None)."""
+        n = 0
+        while True:
+            m = cur.match(rx)
+            if not m:
+                break
+            n += 1
+            if check is None or check(m):
+                refs.append(_Ref(m.start(), m.end(), {
+                    "myndighet": myndighet, "diarienr": m.group(0),
+                    "uri": f"{self.base}avg/{myndighet}/"
+                           f"{m.group(0)}"}))
+            save = cur.i
+            if not cur.match(_RE_AVG_CONN):
+                break
+            if not cur.peek(rx):
+                cur.i = save
+                break
+        return n
+
+    @staticmethod
+    def _jk_not_date(m):
+        ordinal, year, cat = (int(m.group(1)), int(m.group(2)),
+                              int(m.group(3)))
+        return not (1980 <= ordinal <= 2099 and 1 <= year <= 12
+                    and cat <= 31)
+
+    def _one(self, s, m, refs):
+        tok = m.group(0)
+        cur = _Cursor(s, m.end())
+        if tok.startswith(("avgörande", "ARN:s")):
+            self._idlist(cur, _RE_ARN_ID, "arn", refs)
+            return cur.i
+        if tok.startswith("JO"):
+            if not cur.match(_RE_AVG_COMMA_DNR):
+                return cur.i
+            self._idlist(cur, _RE_JO_ID, "jo", refs)
+            return cur.i
+        # 'dnr ' / 'Dnr ' / 'ärende nr ': JK ids (NNN-ÅÅ-TT); a JO-
+        # shaped id here without a JO preamble is UnknownAvgRefs ->
+        # consumed, no link (avg.ebnf UnknownAvgRefs; no myndighet
+        # attr -> format_uri returns None)
+        if cur.peek(_RE_JK_ID):
+            self._idlist(cur, _RE_JK_ID, "jk", refs,
+                         check=self._jk_not_date)
+            if tok.startswith("ärende"):
+                # the reference swallows the licensing 'ärende nr '
+                # token from the output (integrationLegalRef jk-basic
+                # golden) — emit it as a drop-span
+                refs.append(_Ref(m.start(), m.end(), {"uri": None}))
+            return cur.i
+        if cur.peek(_RE_JO_ID):
+            self._idlist(cur, _RE_JO_ID, None, [])
+            return cur.i
+        return cur.i
+
+
+# ===========================================================================
+# EGRATTSFALL: EU court case references ("Case C-176/09") -> CELEX.
+# Grammar from the reference's res/ebnf/euratt.ebnf + the celex
+# construction in legalref.py eurattsfall_format_uri (:1394-1416).
+# The reference's own ECJ fixtures are in its broken-test list
+# (integrationLegalRef.py:151-153, they use U+2011 non-breaking
+# hyphens); this parser accepts both hyphen forms.
+
+_RE_ECJ = re.compile(
+    r"(?:Case[ \r\n\xa0]+)?([CTF])[-‑](\d+)/(\d{2,4})(?!\d)")
+
+_ECJ_DESCRIPTOR = {"C": "J",   # Judgment of the Court
+                   "T": "A",   # Court of First Instance
+                   "F": "W"}   # Civil Service Tribunal
+
+
+class EURattsfallParser:
+    """EGRATTSFALL-role parser: EU court cases as CELEX URIs
+    (``Case C-176/09`` -> ``ext/celex/62009CJ0176``)."""
+
+    def __init__(self, base: str = "https://lagen.nu/"):
+        self.base = base
+
+    def parse(self, text: str, base_attrs: dict | None = None):
+        nodes, last = [], 0
+        for m in _RE_ECJ.finditer(text):
+            if m.start() < last:
+                continue
+            year = m.group(3)
+            if len(year) == 2:
+                year = ("20" if int(year) < 54 else "19") + year
+            celex = "6%s C %s %04d" % (year,
+                                       _ECJ_DESCRIPTOR[m.group(1)],
+                                       int(m.group(2)))
+            celex = celex.replace(" ", "")
+            if m.start() > last:
+                nodes.append(text[last:m.start()])
+            nodes.append(Link(m.group(0),
+                              f"{self.base}ext/celex/{celex}",
+                              {"celex": celex}))
+            last = m.end()
+        if last < len(text) or not nodes:
+            nodes.append(text[last:])
+        return [n for n in nodes if isinstance(n, Link) or n != ""]
+
+    def parse_to_serialized(self, text, base_attrs=None) -> str:
+        return serialize(self.parse(text, base_attrs))
