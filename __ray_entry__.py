@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
         "docs_simhash_pairs": docs.docs_simhash_pairs,
         "docs_legal_refs": docs.docs_legal_refs,
+        "docs_citation_roles": docs.docs_citation_roles,
         # --- stream-shaped (events): representative core ---
         "events_tumbling_hour": events.tumbling_hour,
         "events_sessionize": events.sessionize,
@@ -849,6 +850,28 @@ def oracle_sql() -> dict[str, str]:
                    'https://lagen.nu/' || law || '#K' || chapter
                      || 'P' || section AS uri
             FROM base""",
+        # the four role parsers (rattsfall/forarbeten/eulag/avg) run
+        # on a deterministic per-doc citation picked by doc_id % 4;
+        # the oracle mints the same URI with arithmetic + CASE
+        "docs_citation_roles": """
+            SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS role,
+              CASE doc_id % 4
+                WHEN 0 THEN 'https://lagen.nu/dom/nja/'
+                  || (1990 + doc_id % 30) || 's' || (10 + doc_id % 90)
+                WHEN 1 THEN 'https://lagen.nu/prop/'
+                  || (1990 + doc_id % 30) || '/'
+                  || lpad(CAST((1991 + doc_id % 30) % 100 AS VARCHAR),
+                          2, '0')
+                  || ':' || (1 + doc_id % 200)
+                WHEN 2 THEN 'https://lagen.nu/ext/celex/3'
+                  || (1970 + doc_id % 30) || 'L'
+                  || lpad(CAST(1 + doc_id % 600 AS VARCHAR), 4, '0')
+                ELSE 'https://lagen.nu/avg/jk/'
+                  || (100 + doc_id % 800) || '-'
+                  || lpad(CAST(doc_id % 99 AS VARCHAR), 2, '0')
+                  || '-40'
+              END AS uri
+            FROM documents""",
         # docs_minhash_pairs / lsh_ann_topk: intentionally no SQL
         # equivalent (sketch-estimate / approximate-by-design) →
         # driver records rows-only checks; their exactness properties

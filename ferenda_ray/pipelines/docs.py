@@ -410,6 +410,53 @@ def docs_legal_refs(sf_dir: str):
         concurrency=(1, 8))
 
 
+def docs_citation_roles(sf_dir: str):
+    """The four non-LAGRUM citation roles (rattsfall / forarbeten /
+    eulag / myndighetsbeslut, reference
+    ``sources/legal/se/legalref.py`` roles 4-8) as one distributed
+    actor-pool stage.  Like ``docs_legal_refs``, each doc synthesizes
+    one DETERMINISTIC reference from its doc_id — role = doc_id % 4 —
+    and runs the real role parser on it; the DuckDB oracle
+    reconstructs the minted URI with arithmetic + CASE."""
+
+    class RoleExtract:
+        def __init__(self):
+            from ferenda_ray.legalref import (AvgParser, EULagParser,
+                                              ForarbetenParser, Link,
+                                              RattsfallParser)
+            self.parsers = (RattsfallParser(), ForarbetenParser(),
+                            EULagParser(), AvgParser())
+            self.Link = Link
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, roles, uris = [], [], []
+            for i in b.column("doc_id").to_pylist():
+                role = i % 4
+                if role == 0:
+                    text = f"se NJA {1990 + i % 30} s. {10 + i % 90}"
+                elif role == 1:
+                    y = 1990 + i % 30
+                    text = f"prop. {y}/{(y + 1) % 100:02d}:{1 + i % 200}"
+                elif role == 2:
+                    text = (f"rådets direktiv {70 + i % 30}/"
+                            f"{1 + i % 600}/EG")
+                else:
+                    text = f"dnr {100 + i % 800}-{i % 99:02d}-40"
+                for n in self.parsers[role].parse(text):
+                    if isinstance(n, self.Link) and n.uri:
+                        ids.append(i)
+                        roles.append(role)
+                        uris.append(n.uri)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "role": pa.array(roles, pa.int64()),
+                "uri": pa.array(uris, pa.string())})
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        RoleExtract, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8))
+
+
 def docs_fingerprints(sf_dir: str):
     """Winnowing fingerprints with the md5 k-gram hash (bit-identical
     to DuckDB's ``md5_number_lower``), exploded to one row per
