@@ -1,0 +1,182 @@
+"""Template-driven presentation transform with pluggable engines.
+
+Reference surface: ``ferenda/transformer.py:25-100`` (``Transformer``
+front class — engine registry, ``transform(indata, depth, parameters,
+uritransform)``), ``:196-330`` (the XSLT engine: template dir setup,
+depth-adjusted asset links, string params) and ``:332-333`` (the
+``JinjaTransform`` engine — an empty stub in the reference).
+
+This engine re-expresses the hook Ray-Data-first and without lxml
+(absent in this environment):
+
+* ``Html5Transform`` — the fixed XHTML+RDFa → HTML5 pass
+  (:func:`ferenda_ray.stages.render.xhtml_to_html5`), the default.
+* ``JinjaTransform`` — a REAL template engine (jinja2 is available
+  here; the reference never implemented its own).  Templates are
+  passed as a ``{name: source}`` mapping — the ResourceLoader-style
+  "get all templates into one place" step
+  (``transformer.py:234-240``) — and compiled ONCE per engine, so an
+  actor-pool stage pays the compile per actor, not per batch.
+* ``Transformer`` — engine registry + the ``uritransform`` post-pass
+  (link rewriting via :func:`ferenda_ray.stages.render.transform_links`,
+  mirroring ``transformer.py:101-160``).
+* :func:`transform_stage` — the per-repo pluggable hook: a Dataset
+  stage where each row's ``repo`` column selects that repo's
+  configured template, engines prebuilt in actor ``__init__``.
+
+The template context mirrors the params the reference's templates
+see: ``content`` (the parsed document), ``title`` / ``doc_uri``
+(extracted from the RDFa head), ``assetroot`` (``"../" * depth`` —
+the depth mechanism of ``transformer.py:243-261``) plus any caller
+``parameters`` (e.g. the annotations Grit XML, which in the reference
+travels as ``annotationfile``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ferenda_ray.stages.render import (_RDFA_SCOPE, distill_xhtml,
+                                       transform_links, xhtml_to_html5)
+
+
+class TransformError(Exception):
+    """Template failed to parse or apply (errors.TransformError)."""
+
+
+def _doc_meta(xhtml: str):
+    """(doc_uri, title) from the RDFa head — the same extraction
+    :func:`xhtml_to_html5` performs."""
+    import html as _html
+    doc_uri = None
+    m = _RDFA_SCOPE.search(xhtml)
+    if m:
+        doc_uri = _html.unescape(m.group(2))
+    title = None
+    for s, p, ot, ov, _, _ in distill_xhtml(xhtml):
+        if s == doc_uri and p.endswith("title"):
+            title = ov
+            break
+    return doc_uri, title
+
+
+class Html5Transform:
+    """Default engine: the fixed HTML5 presentation pass."""
+
+    def __init__(self, template: str | None = None,
+                 templates: dict | None = None):
+        self.template = template    # unused; parity of signature
+
+    def transform(self, xhtml: str, depth: int = 0,
+                  parameters: dict | None = None) -> str:
+        parameters = parameters or {}
+        kwargs = {}
+        if "stylesheets" in parameters:
+            kwargs["stylesheets"] = tuple(parameters["stylesheets"])
+        if "scripts" in parameters:
+            kwargs["scripts"] = tuple(parameters["scripts"])
+        return xhtml_to_html5(xhtml, depth=depth, **kwargs)
+
+
+class JinjaTransform:
+    """Jinja2 engine: user-supplied per-repo templates.
+
+    ``templates`` maps template name → source (main + supporting —
+    ``{% include %}`` / ``{% extends %}`` resolve against the same
+    mapping, the engine-side analogue of the reference's temp
+    template dir)."""
+
+    def __init__(self, template: str, templates: dict[str, str]):
+        try:
+            import jinja2
+        except ImportError as e:          # pragma: no cover
+            raise TransformError("jinja2 unavailable") from e
+        if template not in templates:
+            raise TransformError(f"main template {template!r} not in "
+                                 f"templates mapping")
+        env = jinja2.Environment(
+            loader=jinja2.DictLoader(templates),
+            autoescape=False, keep_trailing_newline=True)
+        try:
+            self._template = env.get_template(template)
+        except jinja2.TemplateError as e:
+            raise TransformError(str(e)) from e
+
+    def transform(self, xhtml: str, depth: int = 0,
+                  parameters: dict | None = None) -> str:
+        doc_uri, title = _doc_meta(xhtml)
+        ctx = dict(parameters or {})
+        ctx.setdefault("assetroot", "../" * depth)
+        ctx.update(content=xhtml, doc_uri=doc_uri or "",
+                   title=title or doc_uri or "")
+        try:
+            return self._template.render(**ctx)
+        except Exception as e:
+            raise TransformError(str(e)) from e
+
+
+class Transformer:
+    """Front class: engine selection + uritransform post-pass
+    (``ferenda/transformer.py:55-70, 101-160``)."""
+
+    ENGINES = {"HTML5": Html5Transform, "JINJA": JinjaTransform}
+
+    def __init__(self, transformertype: str = "HTML5",
+                 template: str | None = None,
+                 templates: dict[str, str] | None = None):
+        try:
+            cls = self.ENGINES[transformertype]
+        except KeyError:
+            raise TransformError(
+                f"unknown transformertype {transformertype!r}")
+        self.t = cls(template, templates or {})
+
+    def transform(self, indata: str, depth: int = 0,
+                  parameters: dict | None = None,
+                  uritransform=None) -> str:
+        out = self.t.transform(indata, depth=depth,
+                               parameters=parameters)
+        if uritransform is not None:
+            out = transform_links(out, uritransform)
+        return out
+
+
+def transform_stage(pages, repo_specs: dict[str, dict] | None = None,
+                    default: dict | None = None,
+                    repo_col: str = "repo", html_col: str = "xhtml",
+                    out_col: str = "html5", depth: int = 0,
+                    parameters: dict | None = None,
+                    uritransform=None, concurrency=(1, 8)):
+    """Per-repo pluggable template hook as a Dataset stage.
+
+    ``repo_specs`` maps a repo alias to ``Transformer`` kwargs
+    (``{"transformertype": "JINJA", "template": ..., "templates":
+    {...}}``); rows whose ``repo_col`` has no entry use ``default``
+    (the fixed HTML5 pass when omitted).  All engines — including
+    compiled Jinja templates — are built once per actor in
+    ``__init__``; ``__call__`` only renders.
+    """
+    repo_specs = repo_specs or {}
+    default = default or {"transformertype": "HTML5"}
+
+    class Apply:
+        def __init__(self):
+            self.engines = {alias: Transformer(**spec)
+                            for alias, spec in repo_specs.items()}
+            self.default = Transformer(**default)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            repos = (b.column(repo_col).to_pylist()
+                     if repo_col in b.column_names
+                     else [None] * b.num_rows)
+            out = [
+                self.engines.get(repo, self.default).transform(
+                    xhtml, depth=depth, parameters=parameters,
+                    uritransform=uritransform)
+                for repo, xhtml in zip(
+                    repos, b.column(html_col).to_pylist())]
+            return b.append_column(
+                out_col, pa.array(out, pa.large_string()))
+
+    return pages.map_batches(Apply, batch_format="pyarrow",
+                             concurrency=concurrency)
