@@ -170,3 +170,22 @@ def link(triples, aliases, base: str = DEFAULT_BASE, concurrency=None,
         concurrency=concurrency or (1, 8),
         num_cpus=num_cpus,
     )
+
+
+def ambiguity_report(aliases, base: str = DEFAULT_BASE) -> pa.Table:
+    """Audit surface for the deterministic-ambiguity rule: one row per
+    alias with >1 candidate URI — ``(alias, n_candidates,
+    chosen_uri)``.  The linker silently resolves such aliases to the
+    lexicographically smallest candidate (``EntityLinker.first_uri``);
+    the reference instead *raises* on ambiguity
+    (``documentrepository.py:500-548`` via ``lookup_resource``), so
+    this report is how an operator finds the aliases where the two
+    behaviours diverge."""
+    linker = EntityLinker(aliases, base=base)
+    rows = [(a, len(us), us[0])
+            for a, us in sorted(linker.alias_map.items())
+            if len(us) > 1]
+    return pa.table({
+        "alias": pa.array([r[0] for r in rows], pa.string()),
+        "n_candidates": pa.array([r[1] for r in rows], pa.int64()),
+        "chosen_uri": pa.array([r[2] for r in rows], pa.string())})

@@ -92,3 +92,14 @@ def test_empty_alias_table():
     assert lk.entities_in("anything") == []
     out = lk(_mention_batch(["text"]))
     assert out.num_rows == 0
+
+
+def test_ambiguity_report():
+    import pyarrow as pa
+    from ferenda_ray.stages.link import ambiguity_report
+    aliases = pa.table({
+        "alias": ["foo", "foo", "bar"],
+        "entity_uri": ["https://x/b", "https://x/a", "https://x/c"]})
+    rep = ambiguity_report(aliases)
+    assert rep.to_pylist() == [
+        {"alias": "foo", "n_candidates": 2, "chosen_uri": "https://x/a"}]
