@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct": docs.docs_distinct,
         "docs_token_count": docs.docs_token_count,
         "docs_quality": docs.docs_quality,
+        "docs_repetition": docs.docs_repetition,
+        "docs_decontaminate": docs.docs_decontaminate,
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
@@ -622,6 +624,63 @@ def oracle_sql() -> dict[str, str]:
                          + 0.2 * (1 - least(punct_ratio, 0.2) / 0.2), 6)
                        AS quality
             FROM ratios""",
+        # Gopher-style repetition gates: fractions rounded half-away-
+        # from-zero to 6 digits, 'passes' computed on unrounded values
+        # in both engines
+        "docs_repetition": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '\s+'),
+                                   x -> x != '') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       1.0 - len(list_distinct(toks))
+                           / CAST(greatest(len(toks), 1) AS DOUBLE)
+                           AS dw,
+                       1.0 - len(list_distinct(lines))
+                           / CAST(greatest(len(lines), 1) AS DOUBLE)
+                           AS dl
+                FROM t
+            )
+            SELECT doc_id, n_words, n_lines,
+                   floor(dw * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+                   floor(dl * 1e6 + 0.5) / 1e6 AS dup_line_frac,
+                   (dl < 0.3 AND dw < 0.7 AND n_words >= 5) AS passes
+            FROM s""",
+        # decontamination: every 50th doc is the 'benchmark'; its
+        # leading 8-gram is the probe; n_hits counts DISTINCT probe
+        # grams per doc
+        "docs_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), bench AS (
+                SELECT DISTINCT array_to_string(w[1:8], ' ') AS gram
+                FROM toks WHERE doc_id % 50 = 0 AND len(w) >= 8
+            ), grams AS (
+                SELECT doc_id,
+                       unnest([array_to_string(w[i:i+7], ' ')
+                               for i in generate_series(
+                                   1, greatest(len(w) - 7, 0))]) AS gram
+                FROM toks
+            ), hits AS (
+                SELECT g.doc_id,
+                       count(DISTINCT g.gram) AS n_hits
+                FROM grams g JOIN bench b ON g.gram = b.gram
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)""",
         # doc_id < 1000 mirrors the documented max_docs cap in
         # docs_jaccard_pairs (quadratic OUTPUT on the dense synthetic
         # vocabulary; no effect at sf<=0.01 where the corpus is smaller)

@@ -686,3 +686,28 @@ def lsh_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
     Q = _query_matrix(emb, query_ids)
     return lsh_topk(emb, Q, k=k, n_planes=6, probe_hamming=2,
                     query_ids=list(query_ids))
+
+
+def docs_repetition(sf_dir: str):
+    """Gopher-style repetition filters (dup-line / dup-word fractions
+    + pass flag) over the documents table."""
+    from ferenda_ray.stages.text_analysis import repetition_stats
+    return repetition_stats(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+def docs_decontaminate(sf_dir: str, n: int = 8):
+    """Benchmark decontamination over the documents table: every 50th
+    doc plays the held-out benchmark; its leading 8-gram is the probe.
+    The probe set (small side) is collected and broadcast; the scan is
+    distributed."""
+    from ferenda_ray.stages.text_analysis import (benchmark_ngrams,
+                                                  decontaminate)
+    def every_50th(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            (b.column("doc_id").to_numpy() % 50) == 0))
+
+    bench_docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        every_50th, batch_format="pyarrow")
+    grams = benchmark_ngrams(bench_docs, n=n).take_all()
+    return decontaminate(_read_docs(sf_dir, ["doc_id", "text"]),
+                         [r["gram"] for r in grams], n=n)

@@ -189,3 +189,114 @@ def fingerprints(docs, k: int = 5, window: int = 4,
     return docs.map_batches(
         Fingerprinter, fn_constructor_kwargs=kw,
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+
+
+def repetition_stats(docs, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_dup_line_frac: float = 0.3,
+                     max_dup_word_frac: float = 0.7,
+                     min_words: int = 5):
+    """Repetition-based quality filters in the MassiveText/Gopher
+    style (Rae et al. 2021, arXiv:2112.11446 §A1.1 — duplicate-line
+    and duplicate-n-gram fractions as LLM-training-data gates), as one
+    vectorized polars pass:
+
+    * ``dup_word_frac``  = 1 − distinct words / words
+    * ``dup_line_frac``  = 1 − distinct lines / lines
+    * ``passes``         = all thresholds met (tunable)
+
+    Fractions are emitted rounded half-away-from-zero to 6 digits
+    (DuckDB ROUND semantics) so the driver's value-hash compares
+    bit-identically; the ``passes`` flag is computed on the unrounded
+    values in BOTH engines."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        toks = (pl.col(text_col).str.to_lowercase()
+                .str.extract_all(r"\S+"))
+        lines = pl.col(text_col).str.split("\n")
+        n_words = toks.list.len().cast(pl.Int64)
+        n_lines = lines.list.len().cast(pl.Int64)
+        dup_word = (1.0 - toks.list.n_unique()
+                    / pl.max_horizontal(n_words, 1))
+        dup_line = (1.0 - lines.list.n_unique()
+                    / pl.max_horizontal(n_lines, 1))
+        out = df.select(
+            pl.col(id_col),
+            n_words.alias("n_words"),
+            n_lines.alias("n_lines"),
+            _rha(dup_word, 6).alias("dup_word_frac"),
+            _rha(dup_line, 6).alias("dup_line_frac"),
+            ((dup_line < max_dup_line_frac)
+             & (dup_word < max_dup_word_frac)
+             & (n_words >= min_words)).alias("passes"))
+        return out.to_arrow()
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def benchmark_ngrams(docs, n: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """The leading whitespace-token ``n``-gram of each benchmark doc
+    (lowercased, single-space joined) — the contamination probe set.
+    Docs shorter than ``n`` tokens contribute nothing."""
+
+    def first_gram(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        toks = (pl.col(text_col).str.to_lowercase()
+                .str.extract_all(r"\S+"))
+        out = (df.select(pl.col(id_col),
+                         toks.list.slice(0, n).list.join(" ")
+                         .alias("gram"),
+                         toks.list.len().alias("_n"))
+               .filter(pl.col("_n") >= n).drop("_n"))
+        return out.to_arrow()
+
+    return docs.map_batches(first_gram, batch_format="pyarrow")
+
+
+def decontaminate(docs, bench_grams, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  concurrency=None):
+    """Benchmark decontamination: flag every doc whose whitespace
+    ``n``-gram set intersects the benchmark probe set — the standard
+    LLM-training-data hygiene pass (e.g. GPT-3, Brown et al. 2020
+    arXiv:2005.14165 §C: 13-gram overlap removal).
+
+    ``bench_grams`` is the SMALL side (one gram per benchmark doc): it
+    is broadcast once — closed over for task workers, ``ray.put`` into
+    actor ``__init__`` when ``concurrency`` is set — never shipped per
+    batch.  Emits ``(doc_id, n_hits, contaminated)`` where ``n_hits``
+    counts DISTINCT probe grams found in the doc."""
+    import ray
+
+    if isinstance(bench_grams, pa.Table):
+        bench_grams = bench_grams.column("gram").to_pylist()
+    bench = frozenset(bench_grams)
+
+    class Flag:
+        def __init__(self, bench=bench):
+            if isinstance(bench, ray.ObjectRef):
+                bench = ray.get(bench)
+            self.bench = bench
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_pylist()
+            hits = []
+            for text in b.column(text_col).to_pylist():
+                toks = text.lower().split()
+                grams = {" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)}
+                hits.append(len(grams & self.bench))
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array([h > 0 for h in hits],
+                                         pa.bool_())})
+
+    if concurrency is None:
+        return docs.map_batches(Flag(), batch_format="pyarrow")
+    return docs.map_batches(
+        Flag, fn_constructor_kwargs={"bench": ray.put(bench)},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency)

@@ -113,3 +113,44 @@ def test_fingerprint_md5_matches_duckdb():
                       con.execute(sql, [norm]).fetchall()
                       if r[0] is not None)
         assert got == want, s
+
+
+def test_repetition_stats(ray_session):
+    import ray.data as rd
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b\na b a b", "one two three four five six",
+                 "x x x x"]}))
+    from ferenda_ray.stages.text_analysis import repetition_stats
+    out = repetition_stats(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dup_word_frac"] == 0.75       # 2 distinct / 8
+    assert out.loc[1, "dup_line_frac"] == 0.5        # 1 distinct / 2
+    assert not out.loc[1, "passes"]                  # dup_word >= 0.7
+    assert out.loc[2, "passes"]
+    assert not out.loc[3, "passes"]                  # < 5 words
+
+
+def test_decontaminate_broadcast(ray_session):
+    import ray.data as rd
+    from ferenda_ray.stages.text_analysis import (benchmark_ngrams,
+                                                  decontaminate)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown fox",      # benchmark (and itself)
+                 "XX the quick brown fox YY",   # contains probe
+                 "nothing to see here at all"]}))
+    grams = benchmark_ngrams(docs.map_batches(
+        lambda b: b.filter(pa.array(
+            (b.column("doc_id").to_numpy() % 2) == 0)),
+        batch_format="pyarrow"), n=4).take_all()
+    assert [g["gram"] for g in grams] == ["the quick brown fox",
+                                          "nothing to see here"]
+    out = decontaminate(docs, [g["gram"] for g in grams],
+                        n=4).to_pandas().set_index("doc_id")
+    assert out["contaminated"].tolist() == [True, True, True]
+    assert out.loc[1, "n_hits"] == 1
+    # actor-pool plan gives identical output
+    out2 = decontaminate(docs, [g["gram"] for g in grams], n=4,
+                         concurrency=(1, 2)).to_pandas() \
+        .set_index("doc_id")
+    assert out2.equals(out)
