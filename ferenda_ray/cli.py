@@ -146,6 +146,21 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_statusreport(args) -> int:
+    """``devel statusreport`` analogue (``devel.py:1427-1545``):
+    aggregate document entries into per-action counts + durations;
+    ``--html`` renders the servable page via the template engine."""
+    from ferenda_ray.state.docstore import (DocumentStore,
+                                            statusreport,
+                                            statusreport_html)
+    store = DocumentStore(args.datadir)
+    report = statusreport(store)
+    if args.html:
+        report["html"] = statusreport_html(store)
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
 # config cascade defaults (overridable via ferenda.ini / FERENDA_* env
 # / --key=value, manager.py:351 semantics)
 CONFIG_DEFAULTS = {"buckets": 32, "format": "parquet",
@@ -249,6 +264,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("status", help="resume-manifest status report")
     p.add_argument("out")
     p.set_defaults(fn=cmd_status)
+
+    p = sub.add_parser("statusreport",
+                       help="per-action success/duration report from "
+                            "document entries (devel statusreport)")
+    p.add_argument("datadir")
+    p.add_argument("--html", action="store_true",
+                   help="also write status/status.html")
+    p.set_defaults(fn=cmd_statusreport)
 
     args = ap.parse_args(argv)
     return args.fn(args)

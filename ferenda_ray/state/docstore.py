@@ -264,3 +264,128 @@ def load_patch(store: DocumentStore, basefile: str) -> tuple:
     if os.path.exists(dpath):
         desc = open(dpath).read()
     return open(ppath).read(), desc
+
+
+# --- document entries + status report (devel-tool surface) ----------------
+
+def write_entry_status(store: DocumentStore, basefile: str,
+                       action: str, success, duration: float,
+                       date: str, **extra) -> str:
+    """Record one action's outcome in the per-document entry file
+    (``entries/{basefile}.json`` — the ``DocumentEntry.status``
+    sub-dict shape of ``ferenda/documententry.py`` that
+    ``devel statusreport`` consumes, ``devel.py:1480-1520``)."""
+    import json
+    p = store.path(basefile, "entries", ".json")
+    data: dict = {"basefile": basefile, "status": {}}
+    if os.path.exists(p):
+        try:
+            with open(p) as fp:
+                data = json.load(fp)
+        except ValueError:
+            pass
+    st = {"success": success, "duration": float(duration),
+          "date": date}
+    st.update({k: v for k, v in extra.items() if v is not None})
+    data.setdefault("status", {})[action] = st
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as fp:
+        json.dump(data, fp, sort_keys=True)
+    return p
+
+
+def statusreport(store: DocumentStore, actions=None) -> dict:
+    """Aggregate every document entry into the ``devel statusreport``
+    summary (``devel.py:1427-1545``): per action — processed / ok /
+    with-warnings / failed / removed counts, total+max duration and
+    the slowest basefiles — and merge the measured durations into
+    ``entries/.durations.json`` (feeding longest-job-first
+    scheduling, :func:`ordered_by_duration`)."""
+    import glob as _glob
+    import json
+    root = os.path.join(store.datadir, "entries")
+    per_action: dict = {}
+    corrupt = 0
+    for p in sorted(_glob.glob(os.path.join(root, "**", "*.json"),
+                               recursive=True)):
+        if os.path.basename(p) == ".durations.json":
+            continue
+        try:
+            with open(p) as fp:
+                data = json.load(fp)
+        except ValueError:
+            corrupt += 1
+            continue
+        basefile = data.get("basefile") or pathfrag_to_basefile(
+            os.path.relpath(p, root)[:-len(".json")])
+        for action, st in (data.get("status") or {}).items():
+            if actions and action not in actions:
+                continue
+            a = per_action.setdefault(action, {
+                "processed": 0, "ok": 0, "warnings": 0, "failed": 0,
+                "removed": 0, "durations": {}})
+            a["processed"] += 1
+            if st.get("success") == "removed":
+                a["removed"] += 1
+                a["durations"][basefile] = -1
+                continue
+            a["durations"][basefile] = float(st.get("duration", 0))
+            if st.get("success"):
+                a["ok"] += 1
+            else:
+                a["failed"] += 1
+            if "warnings" in st:
+                a["warnings"] += 1
+    report = {"actions": {}, "corrupt_entries": corrupt}
+    for action, a in sorted(per_action.items()):
+        record_durations(store, action, a["durations"])
+        real = {b: d for b, d in a["durations"].items() if d >= 0}
+        slowest = sorted(real, key=real.get, reverse=True)[:5]
+        report["actions"][action] = {
+            "processed": a["processed"], "ok": a["ok"],
+            "warnings": a["warnings"], "failed": a["failed"],
+            "removed": a["removed"],
+            "total_duration": round(sum(real.values()), 3),
+            "max_duration": round(max(real.values(), default=0.0), 3),
+            "slowest": slowest,
+        }
+    return report
+
+
+#: the statusreport HTML template (the engine-side analogue of the
+#: reference's res/xsl/statusreport.xsl), rendered via the pluggable
+#: Jinja transformer
+STATUS_TEMPLATE = """<!DOCTYPE html>
+<html><head><title>{{ title }}</title></head><body>
+<h1>{{ title }}</h1>
+{% for action, a in report.actions.items() %}
+<section id="{{ action }}">
+<h2>{{ action }}</h2>
+<p>{{ a.processed }} processed, {{ a.ok }} ok
+ ({{ a.warnings }} w/ warnings), {{ a.failed }} failed,
+ {{ a.removed }} removed.</p>
+<p>total {{ a.total_duration }}s, max {{ a.max_duration }}s;
+ slowest: {{ a.slowest | join(', ') }}</p>
+</section>
+{% endfor %}
+<p>{{ report.corrupt_entries }} corrupted entries.</p>
+</body></html>
+"""
+
+
+def statusreport_html(store: DocumentStore,
+                      title: str = "status") -> str:
+    """``devel statusreport``'s final step: the aggregated report as
+    a servable HTML page, through the pluggable template engine
+    (``devel.py:1529-1541`` uses the XSLT transformer the same way).
+    Returns the output path (``status/status.html``)."""
+    from ferenda_ray.stages.transformer import JinjaTransform
+    report = statusreport(store)
+    t = JinjaTransform("status.html",
+                       {"status.html": STATUS_TEMPLATE})
+    html = t._template.render(title=title, report=report)
+    out = os.path.join(store.datadir, "status", "status.html")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as fp:
+        fp.write(html)
+    return out

@@ -100,3 +100,48 @@ def test_mkpatch_roundtrip(tmp_path):
     # the stored patch round-trips through the engine's patch stage
     assert apply_patch(original, loaded) == edited
     assert load_patch(store, "nope/x") == (None, None)
+
+
+def test_statusreport_aggregation(tmp_path):
+    from ferenda_ray.state.docstore import (DocumentStore,
+                                            ordered_by_duration,
+                                            statusreport,
+                                            statusreport_html,
+                                            write_entry_status)
+    store = DocumentStore(str(tmp_path))
+    write_entry_status(store, "a/1", "parse", True, 2.5, "2026-01-01")
+    write_entry_status(store, "a/1", "relate", True, 0.5, "2026-01-01")
+    write_entry_status(store, "a/2", "parse", False, 9.0, "2026-01-01",
+                       error="boom")
+    write_entry_status(store, "a/3", "parse", "removed", 0.0,
+                       "2026-01-01")
+    write_entry_status(store, "a/4", "parse", True, 1.0, "2026-01-01",
+                       warnings="odd")
+    rep = statusreport(store)
+    p = rep["actions"]["parse"]
+    assert (p["processed"], p["ok"], p["failed"], p["removed"],
+            p["warnings"]) == (4, 2, 1, 1, 1)
+    assert p["total_duration"] == 12.5
+    assert p["slowest"][:2] == ["a/2", "a/1"]
+    assert rep["actions"]["relate"]["processed"] == 1
+    # durations feed longest-job-first scheduling
+    assert ordered_by_duration(store, "parse",
+                               ["a/1", "a/2", "a/4", "a/9"]) == \
+        ["a/2", "a/1", "a/4", "a/9"]
+    # the HTML report goes through the pluggable template engine
+    out = statusreport_html(store)
+    html = open(out).read()
+    assert "4 processed, 2 ok" in html and "(1 w/ warnings)" in html
+
+
+def test_statusreport_cli(tmp_path, capsys):
+    import json as _json
+    from ferenda_ray.cli import main
+    from ferenda_ray.state.docstore import (DocumentStore,
+                                            write_entry_status)
+    store = DocumentStore(str(tmp_path))
+    write_entry_status(store, "x", "parse", True, 1.0, "2026-01-01")
+    assert main(["statusreport", str(tmp_path), "--html"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["actions"]["parse"]["ok"] == 1
+    assert rep["html"].endswith("status/status.html")
