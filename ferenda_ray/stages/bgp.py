@@ -342,3 +342,34 @@ def construct(solutions, template, num_partitions: int | None = None):
 
     out = solutions.map_batches(emit, batch_format="pyarrow")
     return distinct(out, ["subj", "pred", "obj_type", "obj_value"])
+
+
+def union_solutions(*branches):
+    """SPARQL UNION over solution relations: align binding columns
+    across branches (variables a branch never binds become nulls —
+    the SPARQL semantics of unbound) and concatenate the streams with
+    ``Dataset.union``.  No exchange: union in Ray Data is a free
+    block-stream merge; follow with :func:`distinct` for UNION's
+    set semantics when duplicates matter."""
+    if not branches:
+        raise ValueError("union_solutions needs >= 1 branch")
+    all_cols: list[str] = []
+    for br in branches:
+        for c in br.schema().names:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    def pad(missing):
+        def fn(b: pa.Table) -> pa.Table:
+            for c in missing:
+                b = b.append_column(c, pa.nulls(b.num_rows,
+                                                pa.large_string()))
+            return b.select(all_cols)
+        return fn
+
+    out = None
+    for br in branches:
+        missing = [c for c in all_cols if c not in br.schema().names]
+        aligned = br.map_batches(pad(missing), batch_format="pyarrow")
+        out = aligned if out is None else out.union(aligned)
+    return out

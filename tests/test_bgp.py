@@ -167,3 +167,22 @@ def test_facet_select_shape(triples_ds):
                 select=["uri", "dcterms_title", "dcterms_language"],
                 dedup=True)
     assert rows(out) == [("d1", "Doc One", "en"), ("d2", None, "sv")]
+
+
+def test_union_solutions(ray_session):
+    import ray.data as rd
+    from ferenda_ray.stages.bgp import (Var, distinct, match,
+                                        union_solutions)
+    trips = rd.from_arrow(_triples([
+        ("d1", RDF_TYPE, "T1"),
+        ("d2", RDF_TYPE, "T2"),
+        ("d2", TITLE, "two", "literal"),
+    ]))
+    a = match(trips, [(Var("d"), RDF_TYPE, "T1")])
+    b = match(trips, [(Var("d"), TITLE, Var("t"))])
+    out = distinct(union_solutions(a, b)).to_pandas() \
+        .sort_values(["d", "t"], na_position="first") \
+        .reset_index(drop=True)
+    assert out["d"].tolist() == ["d1", "d2"]
+    assert out["t"].isna().tolist() == [True, False]
+    assert out.loc[1, "t"] == "two"
