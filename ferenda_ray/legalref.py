@@ -1416,3 +1416,72 @@ class EURattsfallParser:
 
     def parse_to_serialized(self, text, base_attrs=None) -> str:
         return serialize(self.parse(text, base_attrs))
+
+
+# ===========================================================================
+# Multi-role facade: the reference constructs ONE parser from several
+# roles (LegalRef(LegalRef.RATTSFALL, LegalRef.FORARBETEN, ...) —
+# legalref.py:118-170 builds root ::= (role1/role2/.../plain)+).  Here
+# each role parser scans independently and the facade merges their
+# spans: earliest start wins, longer span breaks ties (the PEG
+# ordered-choice effect of the reference's root alternation).
+
+#: role name -> parser class (the reference's LegalRef.LAGRUM..
+#: MYNDIGHETSBESLUT constants, legalref.py:66-78)
+ROLE_PARSERS = {
+    "rattsfall": RattsfallParser,
+    "forarbeten": ForarbetenParser,
+    "eulag": EULagParser,
+    "eurattsfall": EURattsfallParser,
+    "myndighetsbeslut": AvgParser,
+}
+
+
+class MultiRoleParser:
+    """Combined citation parser over several roles.
+
+    ``MultiRoleParser("rattsfall", "forarbeten")`` scans a text with
+    each role's grammar and interleaves the results into one
+    ``<list>`` of ``<str>``/``<Link>`` nodes.  LAGRUM-family roles
+    (the stateful :class:`LegalRefParser`) can be mixed in by passing
+    a parser INSTANCE instead of a role name."""
+
+    def __init__(self, *roles, base: str = "https://lagen.nu/"):
+        self.parsers = []
+        for role in roles:
+            if isinstance(role, str):
+                try:
+                    self.parsers.append(ROLE_PARSERS[role](base=base))
+                except KeyError:
+                    raise ValueError(f"unknown role {role!r}; known: "
+                                     f"{sorted(ROLE_PARSERS)}")
+            else:
+                self.parsers.append(role)
+
+    def parse(self, text: str, base_attrs: dict | None = None):
+        spans = []      # (start, end, Link)
+        for p in self.parsers:
+            pos = 0
+            for n in p.parse(text, base_attrs):
+                if isinstance(n, Link):
+                    start = text.index(str(n), pos)
+                    spans.append((start, start + len(str(n)), n))
+                    pos = start + len(str(n))
+                else:
+                    pos = text.index(n, pos) + len(n)
+        # earliest start first; longer span wins a tie; drop overlaps
+        spans.sort(key=lambda s: (s[0], -(s[1] - s[0])))
+        nodes, last = [], 0
+        for start, end, link in spans:
+            if start < last:
+                continue
+            if start > last:
+                nodes.append(text[last:start])
+            nodes.append(link)
+            last = end
+        if last < len(text) or not nodes:
+            nodes.append(text[last:])
+        return [n for n in nodes if isinstance(n, Link) or n != ""]
+
+    def parse_to_serialized(self, text, base_attrs=None) -> str:
+        return serialize(self.parse(text, base_attrs))

@@ -207,3 +207,21 @@ def test_ecj_cases():
     # 2-digit years >= 54 resolve to 19xx
     l = [n for n in p.parse("T-65/89") if isinstance(n, Link)]
     assert l[0].uri == "https://lagen.nu/ext/celex/61989CA0065"
+
+
+def test_multi_role_parser():
+    from ferenda_ray.legalref import MultiRoleParser
+    p = MultiRoleParser("rattsfall", "forarbeten", "eulag")
+    nodes = p.parse("Se NJA 1998 s. 14, prop. 1997/98:44 och "
+                    "rådets direktiv 95/46/EG.")
+    links = [n for n in nodes if isinstance(n, Link)]
+    assert [l.uri for l in links] == [
+        "https://lagen.nu/dom/nja/1998s14",
+        "https://lagen.nu/prop/1997/98:44",
+        "https://lagen.nu/ext/celex/31995L0046"]
+    # text nodes survive interleaving
+    assert "".join(str(n) for n in nodes) == (
+        "Se NJA 1998 s. 14, prop. 1997/98:44 och "
+        "rådets direktiv 95/46/EG.")
+    with pytest.raises(ValueError):
+        MultiRoleParser("nosuchrole")
