@@ -215,3 +215,62 @@ def basefile_from_uri(uri: str, base: str = DEFAULT_BASE) -> Optional[dict]:
     repo = "/".join(segs[:2])
     path = "/".join(segs[2:])
     return {"repo": repo, "path": path, "commit": commit, "ordinal": ordinal}
+
+
+# --- Swedish legal-source URI space (legaluri conformance) -------------------
+
+#: the reference's LegalRef role enums used as legaluri 'type' values
+#: (sources/legal/se/legalref.py:66-78)
+LAGRUM, RATTSFALL, MYNDIGHETSBESLUT = 1, 7, 8
+
+RINFO_BASE = "http://rinfo.lagrummet.se/"
+
+
+def rinfo_space(base: str = RINFO_BASE) -> URISpace:
+    """The subset of the swedishlegalsource COIN space the reference's
+    ``legaluri.construct`` exercises (``sources/legal/se/legaluri.py:
+    78-120`` + ``res/uri/swedishlegalsource.space.ttl``), expressed
+    with the engine's own :class:`Template` machinery — fixture corpus
+    ``test/files/legaluri/*``."""
+    return URISpace(base, [
+        Template("{+base}publ/sfs/{law}",
+                 bindings=frozenset({"law"}),
+                 raw_bindings=frozenset({"law"}),
+                 for_type=LAGRUM),
+        Template("{+base}publ/rf/{rattsfallspublikation}"
+                 "/{arsutgava}/s_{sidnummer}",
+                 bindings=frozenset({"rattsfallspublikation",
+                                     "arsutgava", "sidnummer"}),
+                 for_type=RATTSFALL, priority=1),
+        Template("{+base}publ/rf/{rattsfallspublikation}"
+                 "/{arsutgava}:{lopnummer}",
+                 bindings=frozenset({"rattsfallspublikation",
+                                     "arsutgava", "lopnummer"}),
+                 for_type=RATTSFALL),
+        Template("{+base}publ/avg/{myndighet}/{dnr}",
+                 bindings=frozenset({"myndighet", "dnr"}),
+                 raw_bindings=frozenset({"dnr"}),
+                 for_type=MYNDIGHETSBESLUT),
+    ])
+
+
+_LAGRUM_FRAG = (("chapter", "K"), ("section", "P"),
+                ("piece", "S"), ("item", "N"))
+
+
+def legaluri_construct(attrs: dict, base: str = RINFO_BASE) -> str:
+    """``legaluri.construct`` analogue: attribute dict (with the
+    numeric ``type`` role enum) → rinfo URI.  LAGRUM fragments follow
+    the reference's ``#K{chapter}P{section}S{piece}N{item}`` pattern
+    (``legaluri.py:63-66``)."""
+    d = dict(attrs)
+    d["rdf_type"] = d.pop("type", None)
+    uri = rinfo_space(base).mint(d)
+    if uri is None:
+        raise ValueError(f"no template matches {attrs!r}")
+    if d["rdf_type"] == LAGRUM:
+        frag = "".join(p + str(d[k]) for k, p in _LAGRUM_FRAG
+                       if d.get(k) is not None)
+        if frag:
+            uri += "#" + frag
+    return uri

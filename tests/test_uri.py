@@ -96,3 +96,29 @@ def test_fragment_template_recursive_base():
     ])
     assert space.mint({"o": "2", "parent": {"p": "doc"}}) == \
         "https://x.org/d/doc#F2"
+
+
+# --- legaluri conformance (test/files/legaluri, integrationLegalURI
+#     Construct) -----------------------------------------------------------
+
+def test_legaluri_construct_fixtures():
+    import ast
+    import glob
+    import os
+    from ferenda_ray.uri import legaluri_construct
+    fixdir = "/root/reference/test/files/legaluri"
+    pairs = sorted(glob.glob(os.path.join(fixdir, "*.py")))
+    assert len(pairs) >= 4
+    for py in pairs:
+        with open(py) as fp:
+            attrs = ast.literal_eval(fp.read().strip())
+        with open(py[:-3] + ".txt") as fp:
+            want = fp.read().strip()
+        assert legaluri_construct(attrs) == want, py
+
+
+def test_legaluri_lagrum_fragment():
+    from ferenda_ray.uri import legaluri_construct
+    assert legaluri_construct({"type": 1, "law": "1962:700",
+                               "chapter": "4", "section": "9"}) \
+        == "http://rinfo.lagrummet.se/publ/sfs/1962:700#K4P9"
