@@ -1,0 +1,282 @@
+"""JSON search/stats API — conformance with the reference's WSGI API.
+
+Reference surface: ``ferenda/wsgiapp.py:388-660`` (query parsing,
+result mangling ``:435-480``) over an ES/Whoosh fulltext index
+(``fulltextindex.py:996-1085``), golden responses
+``test/files/api/basicapi-*.json`` (built by
+``test/integrationAPI.py:23-127`` from ``test/files/base``).
+
+Ray-Data restatement: the "index" is a Dataset of per-``@about``
+resource rows (uri, doc_uri, basefile, repo, text) built by one
+``map_batches`` pass over parsed XHTML; a query is a vectorized
+scoring scan; only the page of hits (small by construction) reaches
+the driver for JSON mangling.
+
+Pinned serialization quirks (each asserted byte-for-byte by a
+golden):
+
+* resource text keeps a LEADING space — the reference pads the
+  highlight soup with one (``fulltextindex.py:1080-1082``);
+* doc-level ``matches.text`` wraps the hit as
+  ``<em class="match">{tok}</em>`` with the raw text around it;
+* innerhits ``text`` is a segment list ``[pre, [tok + " "], post]``
+  — the matched token gains a trailing space from the reference's
+  ``"</em>" -> " </strong>"`` replace (``fulltextindex.py:1079``),
+  and ``post`` keeps its own leading space;
+* inner hits report ``repo = f"{repo}_child"`` (the ES join-type
+  child document);
+* items are sorted by uri DESCENDING (``wsgiapp.py:448-451``);
+* the legacy API drops the prefix from field names
+  (``dcterms_issued`` → ``issued``), drops innerhits, and its stats
+  ``type`` term is the URI leaf, not a qname (``wsgiapp.py:455-461``).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+import xml.etree.ElementTree as ET
+
+import pyarrow as pa
+
+XHTML_NS = "{http://www.w3.org/1999/xhtml}"
+_WS = re.compile(r"\s+")
+
+#: qname prefixes for the stats 'term' dimension (wsgiapp qname use)
+PREFIXES = {
+    "http://purl.org/ontology/bibo/": "bibo",
+    "http://purl.org/dc/terms/": "dcterms",
+    "http://xmlns.com/foaf/0.1/": "foaf",
+    "http://www.w3.org/2000/01/rdf-schema#": "rdfs",
+}
+
+#: the basic facet set of the golden corpus (DocumentRepository's
+#: default facets: rdf:type, dcterms:title excluded from stats,
+#: dcterms:publisher, dcterms:issued — documentrepository.py facets())
+STATS_FACETS = (("dcterms_issued", "year"),
+                ("dcterms_publisher", "ref"),
+                ("rdf_type", "term"))
+
+
+def _norm(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+def parse_xhtml_resources(xhtml: str) -> list[dict]:
+    """Parsed XHTML+RDFa → per-``@about`` resource rows in document
+    order: ``{"uri", "text"}`` where text is the prose belonging to
+    that resource and NOT to a nested ``@about`` subtree — the
+    reference's indexing walk (``documentrepository.py:2082-2149``).
+    Every prose block contributes ``" " + normalized`` (leading-space
+    quirk above)."""
+    root = ET.fromstring(xhtml)
+    body = root.find(XHTML_NS + "body")
+    order: list[str] = []
+    texts: dict[str, list] = {}
+
+    def visit(el, current):
+        about = el.get("about")
+        if about is not None:
+            current = about
+            if current not in texts:
+                order.append(current)
+                texts[current] = []
+        if el.tag == XHTML_NS + "p":
+            t = _norm("".join(el.itertext()))
+            if t:
+                texts.setdefault(current, []).append(" " + t)
+        for child in el:
+            visit(child, current)
+
+    visit(body, None)
+    return [{"uri": u, "text": "".join(texts[u])} for u in order]
+
+
+def resource_rows(docs) -> "pa.Table":
+    """Doc list ``[{doc_uri, basefile, repo, xhtml}]`` → Arrow index
+    rows (uri, doc_uri, basefile, repo, text).  Wrap in
+    ``ray.data.from_arrow`` for the distributed path."""
+    cols = {k: [] for k in ("uri", "doc_uri", "basefile", "repo",
+                            "text")}
+    for d in docs:
+        for res in parse_xhtml_resources(d["xhtml"]):
+            cols["uri"].append(res["uri"])
+            cols["doc_uri"].append(d["doc_uri"])
+            cols["basefile"].append(d["basefile"])
+            cols["repo"].append(d["repo"])
+            cols["text"].append(res["text"])
+    return pa.table({k: pa.array(v, pa.large_string() if k == "text"
+                                 else pa.string())
+                     for k, v in cols.items()})
+
+
+def doc_meta(triples: list[dict]) -> dict:
+    """Distilled triples → per-doc facet fields keyed by doc uri.
+    Doc-level resources are those typed bibo:Standard/bibo:Document
+    (fragment-free subjects)."""
+    meta: dict[str, dict] = {}
+    for t in triples:
+        s = t["subj"]
+        if "#" in s:
+            continue
+        d = meta.setdefault(s, {"iri": s})
+        p, v = t["pred"], t["obj_value"]
+        if p.endswith("22-rdf-syntax-ns#type"):
+            d["rdf_type"] = v
+        elif p.endswith("/title"):
+            d["dcterms_title"] = v
+        elif p.endswith("/identifier"):
+            d["dcterms_identifier"] = v
+        elif p.endswith("/issued"):
+            d["dcterms_issued"] = v
+        elif p.endswith("/publisher"):
+            d["dcterms_publisher"] = {"iri": v, "label": v}
+    return meta
+
+
+def _field_match(value, pattern: str) -> bool:
+    v = value["iri"] if isinstance(value, dict) else str(value)
+    if "*" in pattern or "?" in pattern:
+        return fnmatch.fnmatchcase(v, pattern)
+    return v == pattern
+
+
+def _resolve_field(name: str) -> str:
+    """legacy 'publisher' → 'dcterms_publisher' (the endswith
+    resolution of ``wsgiapp._guess_real_fieldname``)."""
+    for full in ("dcterms_identifier", "dcterms_title",
+                 "dcterms_issued", "dcterms_publisher", "rdf_type"):
+        if full.endswith(name):
+            return full
+    return name
+
+
+def _hit_spans(text: str, q: str) -> list[tuple]:
+    return [(m.start(), m.end())
+            for m in re.finditer(rf"(?i)\b{re.escape(q)}\b", text)]
+
+
+def _matches_html(text: str, spans) -> str:
+    out, last = [], 0
+    for s, e in spans:
+        out.append(text[last:s])
+        out.append('<em class="match">%s</em>' % text[s:e])
+        last = e
+    out.append(text[last:])
+    return "".join(out)
+
+
+def _inner_segments(text: str, spans) -> list:
+    out, last = [], 0
+    for s, e in spans:
+        out.append(text[last:s])
+        out.append([text[s:e] + " "])
+        last = e
+    if last < len(text):
+        out.append(text[last:])
+    return out
+
+
+def api_search(index, meta: dict, q: str | None = None,
+               filters: dict | None = None, path: str = "/myapi/",
+               query_string: str = "", legacy: bool = False,
+               page_size: int = 10, page: int = 0) -> dict:
+    """One API query → the reference's JSON response dict.
+
+    ``index`` is a Ray Dataset (or Arrow table) of resource rows;
+    scoring runs distributed via ``map_batches`` and only hit rows
+    (≤ a page of docs) are collected for mangling."""
+    filters = {_resolve_field(k): v for k, v in (filters or {}).items()}
+
+    def score(b: pa.Table) -> pa.Table:
+        if q is None:
+            return b
+        keep = [bool(_hit_spans(t, q))
+                for t in b.column("text").to_pylist()]
+        return b.filter(pa.array(keep))
+
+    if hasattr(index, "map_batches"):        # ray.data.Dataset
+        hits = index.map_batches(score, batch_format="pyarrow") \
+                    .take_all()
+    else:
+        hits = score(index).to_pylist()
+
+    # group hits by parent doc; apply doc-level facet filters
+    docs: dict[str, dict] = {}
+    for h in hits:
+        m = meta.get(h["doc_uri"])
+        if m is None:
+            continue
+        if not all(_field_match(m.get(f), pat)
+                   for f, pat in filters.items()):
+            continue
+        d = docs.setdefault(h["doc_uri"], {"doc": m, "self": None,
+                                           "inner": []})
+        if h["uri"] == h["doc_uri"]:
+            d["self"] = h
+        else:
+            d["inner"].append(h)
+
+    items = []
+    for uri in sorted(docs, reverse=True):   # wsgiapp.py:448-451
+        d = docs[uri]
+        item = dict(d["doc"])
+        if q is not None and d["self"] is not None:
+            text = d["self"]["text"]
+            item["matches"] = {
+                "text": _matches_html(text, _hit_spans(text, q))}
+        if q is not None and d["inner"] and not legacy:
+            # document order, capped at 3 — the ES inner_hits
+            # default size the golden was recorded with
+            item["innerhits"] = [
+                {"basefile": h["basefile"],
+                 "repo": h["repo"] + "_child",
+                 "text": _inner_segments(h["text"],
+                                         _hit_spans(h["text"], q)),
+                 "uri": h["uri"]}
+                for h in d["inner"][:3]]
+        if legacy:
+            item = {(k.split("_", 1)[1] if "_" in k else k): v
+                    for k, v in item.items()}
+        items.append(item)
+
+    current = path + ("?" + query_string if query_string else "")
+    return {"current": current, "duration": None,
+            "items": items[page * page_size:(page + 1) * page_size],
+            "itemsPerPage": page_size, "startIndex": page * page_size,
+            "totalResults": len(items)}
+
+
+def _qname(uri: str) -> str:
+    for ns, prefix in PREFIXES.items():
+        if uri.startswith(ns):
+            return prefix + ":" + uri[len(ns):]
+    return uri
+
+
+def api_stats(meta: dict, legacy: bool = False) -> dict:
+    """The ``;stats`` endpoint (``wsgiapp.py:232-386``): per-facet
+    count-distinct observations over the doc-level resources."""
+    slices = []
+    for field, kind in STATS_FACETS:
+        counts: dict[str, int] = {}
+        for m in meta.values():
+            v = m.get(field)
+            if v is None:
+                continue
+            if kind == "year":
+                key = str(v)[:4]
+            elif kind == "ref":
+                key = v["iri"] if isinstance(v, dict) else str(v)
+            else:
+                key = (_qname(v).split(":", 1)[1] if legacy
+                       else _qname(v))
+            counts[key] = counts.get(key, 0) + 1
+        dim = field.split("_", 1)[1] if legacy and "_" in field \
+            else field
+        valkey = {"year": "year", "ref": "ref", "term": "term"}[kind]
+        slices.append({
+            "dimension": dim,
+            "observations": [{"count": counts[k], valkey: k}
+                             for k in sorted(counts)]})
+    return {"type": "DataSet", "slices": slices}
