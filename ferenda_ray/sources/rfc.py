@@ -250,3 +250,293 @@ def rfc_to_parsed(body: Body):
                     sec.subs.append(ss)
             stack_out.append(sec)
     return doc
+
+
+# ---------------------------------------------------------------------------
+# distill: downloaded RFC text -> triple rows, graph-equal to the
+# reference's golden distilled graphs (test/files/repo/rfc/distilled/
+# *.ttl).  Semantics re-derived from ferenda/sources/tech/rfc.py:
+# parse() (:483-538), parse_header (:552-648), get_rfc_num (:538-548),
+# cleanup_body (:520-535), make_citation_parser (:430-452), the
+# SectionalElement / PreambleSection RDFa serialization
+# (elements/elements.py:611-665, rfc.py:37-57) and the commondata
+# label graph (sources/tech/res/extra/rfc.ttl).
+
+DCT = "http://purl.org/dc/terms/"
+BIBO = "http://purl.org/ontology/bibo/"
+RFC_ONT = "http://example.org/ontology/rfc/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+PROV_GEN = "http://www.w3.org/ns/prov#wasGeneratedBy"
+XSD_GYM = "http://www.w3.org/2001/XMLSchema#gYearMonth"
+
+#: masthead first-line -> publisher resource path (foaf:name /
+#: skos:altLabel rows of res/extra/rfc.ttl)
+RFC_PUBLISHERS = {
+    "Internet Engineering Task Force (IETF)": "ext/ietf",
+    "IETF": "ext/ietf",
+    "Internet Architecture Board (IAB)": "ext/iab",
+    "IAB": "ext/iab",
+    "Internet Research Task Force (IRTF)": "ext/irtf",
+    "IRTF": "ext/irtf",
+    "Independent Submission": "ext/independent",
+    "Network Working Group": "ext/nwg",
+}
+
+#: Category header value -> collection path (bibo:identifier rows)
+RFC_CATEGORIES = {
+    "Standards Track": "dataset/rfc/standard",
+    "Informational": "dataset/rfc/informational",
+    "Experimental": "dataset/rfc/experimental",
+    "Best Current Practice": "dataset/rfc/best-current-practice",
+    "Historic": "dataset/rfc/historic",
+    "Unknown": "dataset/rfc/unknown",
+}
+
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ("January", "February", "March", "April", "May", "June", "July",
+     "August", "September", "October", "November", "December"))}
+
+# the reference's citation grammar (rfc.py:438-446): caseless
+# 'section', case-sensitive 'RFC', optional brackets, whitespace
+# (incl. newlines) between tokens, NO word boundaries (pyparsing
+# scanString semantics)
+_CIT_SECRFC = re.compile(
+    r"(?i:section)\s*([0-9.]+)\s*of\s*\[?\s*RFC\s*(\d+)\s*\]?")
+_CIT_SEC = re.compile(r"(?i:section)\s*([0-9.]+)")
+_CIT_RFC = re.compile(r"\[?\s*RFC\s*(\d+)\s*\]?")
+
+
+def rfc_citation_uris(text: str, doc_uri: str, base: str) -> list:
+    """All citation URIs in a text span, in scan order (leftmost,
+    non-overlapping, section-of-RFC > section > RFC at equal start —
+    the CitationParser alternation order)."""
+    out, pos = [], 0
+    while pos < len(text):
+        cands = []
+        for prio, rx in enumerate((_CIT_SECRFC, _CIT_SEC, _CIT_RFC)):
+            m = rx.search(text, pos)
+            if m:
+                cands.append((m.start(), prio, m))
+        if not cands:
+            break
+        cands.sort(key=lambda c: (c[0], c[1]))
+        _, prio, m = cands[0]
+        if prio == 0:
+            sec, num = m.group(1), m.group(2)
+            out.append(f"{base}res/rfc/{num.lstrip('0')}"
+                       f"#S{sec.rstrip('.')}")
+        elif prio == 1:
+            out.append(doc_uri + "#S" + m.group(1).rstrip("."))
+        else:
+            out.append(f"{base}res/rfc/{m.group(1).lstrip('0')}")
+        pos = m.end()
+    return out
+
+
+def _part_text(part) -> str:
+    """Concatenated strings of a part, excluding nested sectional /
+    preamble children (they are their own citation subjects)."""
+    from ferenda_ray.elements import (PreambleSection, Section)
+    out = []
+
+    def walk(node):
+        for c in node:
+            if isinstance(c, (Section, PreambleSection)):
+                continue
+            if isinstance(c, str):
+                out.append(str(c))
+            else:
+                walk(c)
+
+    walk(part)
+    return "\n".join(out)
+
+
+def _header_triples(header: str, doc_uri: str, base: str,
+                    basefile: str) -> list:
+    """parse_header + get_rfc_num semantics (rfc.py:538-648)."""
+
+    def lit(p, v, lang=None, dt=None):
+        return {"subj": doc_uri, "pred": p, "obj_type": "literal",
+                "obj_value": v, "obj_lang": lang, "obj_datatype": dt}
+
+    def rel(p, o):
+        return {"subj": doc_uri, "pred": p, "obj_type": "uri",
+                "obj_value": o, "obj_lang": None, "obj_datatype": None}
+
+    lines = header.split("\n")
+    left = [x.split("   ", 1)[0].strip() for x in lines]
+    right = [x.split("   ", 1)[1].strip() for x in lines
+             if "   " in x]
+    trips = []
+    pub = RFC_PUBLISHERS.get(left[0])
+    trips.append(rel(DCT + "publisher", base + pub) if pub
+                 else lit(DCT + "publisher", left[0]))
+    rdftype = RFC_ONT + "RFC"
+    have_identifier = False
+    for line in left[1:]:
+        if not line.strip() or ": " not in line:
+            continue
+        key, value = (x.strip() for x in line.split(": ", 1))
+        if key == "Request for Comments":
+            value = re.sub(r"\D", "", value)
+            if value:
+                trips.append(lit(DCT + "identifier", "RFC " + value))
+                have_identifier = True
+        elif key == "Category":
+            cat = RFC_CATEGORIES.get(value)
+            trips.append(rel(DCT + "subject", base + cat) if cat
+                         else lit(DCT + "subject", value))
+        elif key == "ISSN":
+            trips.append(lit(DCT + "issn", value))
+        elif key in ("Updates", "Obsoletes"):
+            pred = RFC_ONT + key.lower()
+            for part in value.split(", "):
+                m = re.search(r"\d+", part)
+                if m:
+                    trips.append(rel(pred, f"{base}res/rfc/"
+                                           f"{m.group(0)}"))
+        elif key == "BCP":
+            trips.append(lit(RFC_ONT + "bcpnumber", value))
+            rdftype = RFC_ONT + "BCP"
+        elif key == "STD":
+            trips.append(lit(RFC_ONT + "stdnumber", value))
+            # sic: the reference maps STD to rfc:FYI (rfc.py:608-610)
+            rdftype = RFC_ONT + "FYI"
+        elif key == "FYI":
+            trips.append(lit(RFC_ONT + "fyinumber", value))
+            rdftype = RFC_ONT + "FYI"
+    trips.append(rel(RDF_TYPE, rdftype))
+    if not have_identifier:
+        trips.append(lit(DCT + "identifier", "RFC " + basefile))
+    for line in right:
+        if re.match(r"[A-Z]\. ", line):
+            trips.append(lit(DCT + "creator", line))
+        elif re.match(r"\w+ \d{4}$", line):
+            month, year = line.split()
+            trips.append(lit(DCT + "issued",
+                             "%s-%02d" % (year, _MONTHS[month]),
+                             dt=XSD_GYM))
+        else:
+            trips.append(lit(DCT + "rightsHolder", line))
+    return trips
+
+
+def rfc_get_num(header: str) -> str | None:
+    for line in (x.split("   ", 1)[0].strip()
+                 for x in header.split("\n")[1:]):
+        if ": " in line:
+            key, val = (x.strip() for x in line.split(": ", 1))
+            if key == "Request for Comments":
+                return re.sub(r"\D", "", val)
+    return None
+
+
+def rfc_distill(content: str, basefile: str,
+                base: str = "http://localhost:8000/") -> list:
+    """Downloaded RFC text → the reference's distilled triple graph
+    (list of TRIPLES-shaped dicts, no graph/lineage columns)."""
+    from ferenda_ray.elements import (PreambleSection, Section,
+                                      Subsection, Subsubsection)
+
+    # faux-bold backspace cleanup (rfc.py:518-523)
+    content = re.sub(".\b", "", content)
+    body = parse_rfc(content, basefile)
+    header = str(body[0])
+    title = " ".join(str(body[1]).split())
+    realid = rfc_get_num(header) or basefile
+    doc_uri = f"{base}res/rfc/{realid}"
+
+    def lit(s, p, v, lang=None, dt=None):
+        return {"subj": s, "pred": p, "obj_type": "literal",
+                "obj_value": v, "obj_lang": lang, "obj_datatype": dt}
+
+    def rel(s, p, o):
+        return {"subj": s, "pred": p, "obj_type": "uri",
+                "obj_value": o, "obj_lang": None,
+                "obj_datatype": None}
+
+    trips = [lit(doc_uri, PROV_GEN, "ferenda.sources.tech.rfc.RFC"),
+             lit(doc_uri, DCT + "title", title, lang="en")]
+    trips += _header_triples(header, doc_uri, base, basefile)
+
+    # shorttitle from running page headers (cleanup_body :520-535:
+    # last pagebreak at a level wins; a child's comes in only when
+    # none seen yet)
+    from ferenda_ray.elements import Pagebreak
+
+    def find_short(part):
+        short = None
+        for sub in part:
+            if isinstance(sub, Pagebreak):
+                short = getattr(sub, "shorttitle", None)
+            elif not isinstance(sub, str):
+                s = find_short(sub)
+                if short is None:
+                    short = s
+        return short
+
+    short = find_short(body)
+    if short and short != title:
+        trips.append(lit(doc_uri, BIBO + "shortTitle", short,
+                         lang="en"))
+
+    # drop the ToC (rfc.py:534-538) and the header/title elements
+    parts = [p for p in list(body)[2:]
+             if not (isinstance(p, PreambleSection)
+                     and getattr(p, "title", None)
+                     == "Table of Contents")]
+
+    ps_counter = 0
+
+    def refs_of(part):
+        seen, out = set(), []
+        for u in rfc_citation_uris(_part_text(part), doc_uri, base):
+            if u not in seen:
+                seen.add(u)
+                out.append(u)
+        return out
+
+    def emit_part(part, uri, parent_uri):
+        trips.append(rel(uri, RDF_TYPE, BIBO + "DocumentPart"))
+        trips.append(lit(uri, DCT + "title", part.title, lang="en"))
+        if parent_uri is not None:
+            trips.append(rel(uri, DCT + "isPartOf", parent_uri))
+        ordinal = getattr(part, "ordinal", None)
+        if ordinal is not None:
+            trips.append(lit(uri, BIBO + "chapter", ordinal,
+                             lang="en"))
+        ident = getattr(part, "identifier", None)
+        if ident is not None:
+            trips.append(lit(uri, DCT + "identifier", ident,
+                             lang="en"))
+        for ref in refs_of(part):
+            trips.append(rel(uri, DCT + "references", ref))
+
+    def walk(node, parent_uri):
+        nonlocal ps_counter
+        for part in node:
+            if isinstance(part, PreambleSection):
+                ps_counter += 1
+                emit_part(part, f"{doc_uri}#PS{ps_counter}", None)
+                walk(part, None)
+            elif isinstance(part, (Section, Subsection,
+                                   Subsubsection)):
+                uri = f"{doc_uri}#S{part.ordinal}"
+                emit_part(part, uri, parent_uri or doc_uri)
+                walk(part, uri)
+            elif not isinstance(part, str):
+                walk(part, parent_uri)
+
+    walk(parts, None)
+
+    # stray citations outside any part attach to the document itself
+    from ferenda_ray.elements import Paragraph
+    stray = [p for p in parts
+             if not isinstance(p, (PreambleSection, Section))]
+    for p in stray:
+        if isinstance(p, str):
+            continue
+        for ref in refs_of(p):
+            trips.append(rel(doc_uri, DCT + "references", ref))
+    return trips

@@ -438,3 +438,39 @@ def test_rfc_to_parsed():
     assert [s.ordinal for s in doc.sections] == ["1", "4"]
     assert doc.sections[1].subs[0].ordinal == "4.1"
     assert doc.intro_prose  # abstract paragraphs
+
+
+# ---------------------------------------------------------------------------
+# RepoTester distill conformance: downloaded RFC text -> triple graph
+# equal to the reference's golden distilled graphs
+# (test/files/repo/rfc/{downloaded,distilled}; driven the way
+# ferenda/testutil.py:648-668 distill_test compares by graph
+# isomorphism — no bnodes here, so set equality of triples).
+
+RFCREPO = "/root/reference/test/files/repo/rfc"
+
+
+def _rfc_repo_cases():
+    import glob
+    if not os.path.isdir(RFCREPO):
+        return []
+    return sorted(os.path.basename(p)[:-4] for p in
+                  glob.glob(os.path.join(RFCREPO, "distilled", "*.ttl")))
+
+
+@pytest.mark.parametrize("basefile", _rfc_repo_cases())
+def test_rfc_distill_golden(basefile):
+    from ferenda_ray.sources.rfc import rfc_distill
+    from ferenda_ray.sources.turtle import parse_turtle
+
+    def key(t):
+        return (t["subj"], t["pred"], t["obj_type"], t["obj_value"],
+                t["obj_lang"] or "", t["obj_datatype"] or "")
+
+    with open(os.path.join(RFCREPO, "downloaded", basefile + ".txt"),
+              errors="replace") as fp:
+        got = {key(t) for t in rfc_distill(fp.read(), basefile)}
+    with open(os.path.join(RFCREPO, "distilled", basefile + ".ttl")) as fp:
+        want = {key(t) for t in parse_turtle(fp.read())}
+    assert got == want, (f"{basefile}: extra={sorted(got - want)[:5]} "
+                         f"missing={sorted(want - got)[:5]}")
