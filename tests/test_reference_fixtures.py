@@ -474,3 +474,34 @@ def test_rfc_distill_golden(basefile):
         want = {key(t) for t in parse_turtle(fp.read())}
     assert got == want, (f"{basefile}: extra={sorted(got - want)[:5]} "
                          f"missing={sorted(want - got)[:5]}")
+
+
+W3CREPO = "/root/reference/test/files/repo/w3c"
+
+
+def _w3c_repo_cases():
+    import glob
+    if not os.path.isdir(W3CREPO):
+        return []
+    return sorted(os.path.basename(p)[:-4] for p in
+                  glob.glob(os.path.join(W3CREPO, "distilled", "*.ttl")))
+
+
+@pytest.mark.parametrize("basefile", _w3c_repo_cases())
+def test_w3c_distill_golden(basefile):
+    from ferenda_ray.sources.turtle import parse_turtle
+    from ferenda_ray.sources.w3c import w3c_distill
+
+    def key(t):
+        return (t["subj"], t["pred"], t["obj_type"], t["obj_value"],
+                t["obj_lang"] or "", t["obj_datatype"] or "")
+
+    enc = "iso-8859-1" if basefile == "xslt" else "utf-8"
+    with open(os.path.join(W3CREPO, "downloaded", basefile + ".html"),
+              encoding=enc) as fp:
+        got = {key(t) for t in w3c_distill(fp.read(), basefile)}
+    with open(os.path.join(W3CREPO, "distilled",
+                           basefile + ".ttl")) as fp:
+        want = {key(t) for t in parse_turtle(fp.read())}
+    assert got == want, (f"extra={sorted(got - want)[:5]} "
+                         f"missing={sorted(want - got)[:5]}")
