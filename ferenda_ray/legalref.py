@@ -140,6 +140,12 @@ _RE_BARE_PAREN = re.compile(r"\([ \r\n\xa0]*")
 
 _RE_CHANGELAW = re.compile(r"Lag[ \r\n\xa0]*\((\d{4}:\d+)\)\.?")
 
+#: AbbrevLawShortRef: 'TF 1:1 [4 st.]' (kortlagrum.ebnf
+#: ShortChapterSectionRef + PieceRef = ordinal ws PieceOrPieces)
+_RE_ABBREV_SHORT = re.compile(
+    r"([A-ZÅÄÖ][A-Za-zÅÄÖåäö]{1,6})[ \r\n\xa0]+(\d+):(\d+)(?![\d:])"
+    r"(?:[ \r\n\xa0]+(\d+)[ \r\n\xa0]+st(?:\.|ycket)?(?![\wåäö]))?")
+
 #: coarse scan for possible compound-reference starts
 _RE_START = re.compile(
     r"Lag[ \r\n\xa0]*\(|"
@@ -255,6 +261,21 @@ class LegalRefParser:
         if base_attrs is None:
             base_attrs = {"law": "9999:999"}
         refs: list[_Ref] = []
+        if self.short:
+            # AbbrevLawShortRef (kortlagrum.ebnf:7-10): 'TF 1:1',
+            # 'JB 22:2 4 st.' — abbreviation FIRST, then
+            # chapter:section, optional piece.  The suffix form
+            # ('10 kap. 1 § ÄB') is handled in the law tail below.
+            for m in _RE_ABBREV_SHORT.finditer(text):
+                if m.group(1) not in KNOWN_ABBREVS:
+                    continue
+                law = KNOWN_ABBREVS[m.group(1)]
+                attrs = {"law": law, "chapter": m.group(2),
+                         "section": m.group(3)}
+                if m.group(4):
+                    attrs["piece"] = m.group(4)
+                refs.append(_Ref(m.start(), m.end(), attrs))
+                self.lastlaw = law
         pos = 0
         while True:
             m = _RE_START.search(text, pos)

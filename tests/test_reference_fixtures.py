@@ -505,3 +505,42 @@ def test_w3c_distill_golden(basefile):
         want = {key(t) for t in parse_turtle(fp.read())}
     assert got == want, (f"extra={sorted(got - want)[:5]} "
                          f"missing={sorted(want - got)[:5]}")
+
+
+MWREPO = "/root/reference/test/files/repo/mediawiki"
+
+#: needs the reference's full smc.mw wikimarkup engine (ordered
+#: lists, external links, citation ranges) — out of scope, see
+#: ferenda_ray/sources/wiki.py docstring
+MW_OUT_OF_SCOPE = {"SFS/1998/204"}
+
+
+def _mw_repo_cases():
+    import glob
+    if not os.path.isdir(MWREPO):
+        return []
+    return sorted(
+        os.path.relpath(p, MWREPO + "/distilled")[:-4]
+        for p in glob.glob(os.path.join(MWREPO, "distilled", "**",
+                                        "*.ttl"), recursive=True))
+
+
+@pytest.mark.parametrize("basefile", _mw_repo_cases())
+def test_mediawiki_distill_golden(basefile):
+    if basefile in MW_OUT_OF_SCOPE:
+        pytest.skip("needs the full smc.mw wikimarkup engine")
+    from ferenda_ray.sources.turtle import parse_turtle
+    from ferenda_ray.sources.wiki import wiki_distill
+
+    def key(t):
+        return (t["subj"], t["pred"], t["obj_type"], t["obj_value"],
+                t["obj_lang"] or "", t["obj_datatype"] or "")
+
+    with open(os.path.join(MWREPO, "downloaded",
+                           basefile + ".xml")) as fp:
+        got = {key(t) for t in wiki_distill(fp.read())}
+    with open(os.path.join(MWREPO, "distilled",
+                           basefile + ".ttl")) as fp:
+        want = {key(t) for t in parse_turtle(fp.read())}
+    assert got == want, (f"extra={sorted(got - want)[:5]} "
+                         f"missing={sorted(want - got)[:5]}")
