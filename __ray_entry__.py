@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": docs.docs_quality,
         "docs_repetition": docs.docs_repetition,
         "docs_decontaminate": docs.docs_decontaminate,
+        "docs_pii_scrub": docs.docs_pii_scrub,
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
@@ -652,6 +653,26 @@ def oracle_sql() -> dict[str, str]:
                    floor(dl * 1e6 + 0.5) / 1e6 AS dup_line_frac,
                    (dl < 0.3 AND dw < 0.7 AND n_words >= 5) AS passes
             FROM s""",
+        # the PII regexes are RE2/rust-regex compatible so both
+        # engines apply literally the same patterns
+        "docs_pii_scrub": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\+?[0-9][0-9 \-]{7,}[0-9]')) AS BIGINT)
+                     AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                     AS BIGINT) AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\+?[0-9][0-9 \-]{7,}[0-9]', '<PHONE>', 'g'),
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                     '<IP>', 'g') AS clean_text
+            FROM documents""",
         # decontamination: every 50th doc is the 'benchmark'; its
         # leading 8-gram is the probe; n_hits counts DISTINCT probe
         # grams per doc

@@ -711,3 +711,10 @@ def docs_decontaminate(sf_dir: str, n: int = 8):
     grams = benchmark_ngrams(bench_docs, n=n).take_all()
     return decontaminate(_read_docs(sf_dir, ["doc_id", "text"]),
                          [r["gram"] for r in grams], n=n)
+
+
+def docs_pii_scrub(sf_dir: str):
+    """PII scrubbing (emails/phones/IPv4 -> placeholder tokens) with
+    per-doc redaction counts over the documents table."""
+    from ferenda_ray.stages.text_analysis import pii_scrub
+    return pii_scrub(_read_docs(sf_dir, ["doc_id", "text"]))

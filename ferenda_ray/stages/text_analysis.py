@@ -300,3 +300,40 @@ def decontaminate(docs, bench_grams, n: int = 8,
         Flag, fn_constructor_kwargs={"bench": ray.put(bench)},
         batch_format="pyarrow", batch_size=4096,
         concurrency=concurrency)
+
+
+#: PII patterns chosen for identical semantics in Python re, polars
+#: (rust regex) and DuckDB RE2 — no backrefs, no lookaround
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9][0-9 \-]{7,}[0-9]"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+)
+
+
+def pii_scrub(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """PII scrubbing pass (the standard pre-training hygiene step —
+    e.g. the email/IP/phone removal described for The Pile / C4-style
+    corpora): replaces emails, long digit runs (phones) and IPv4
+    addresses with ``<EMAIL>/<PHONE>/<IP>`` tokens, emitting per-doc
+    redaction counts.  One vectorized polars pass; patterns are
+    RE2-compatible so the DuckDB oracle applies the SAME regexes."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        out = df.select(
+            pl.col(id_col),
+            pl.col(text_col).str.count_matches(_PII_PATTERNS[0][1])
+            .cast(pl.Int64).alias("n_email"),
+            pl.col(text_col).str.count_matches(_PII_PATTERNS[1][1])
+            .cast(pl.Int64).alias("n_phone"),
+            pl.col(text_col).str.count_matches(_PII_PATTERNS[2][1])
+            .cast(pl.Int64).alias("n_ipv4"),
+            pl.col(text_col)
+            .str.replace_all(_PII_PATTERNS[0][1], "<EMAIL>")
+            .str.replace_all(_PII_PATTERNS[1][1], "<PHONE>")
+            .str.replace_all(_PII_PATTERNS[2][1], "<IP>")
+            .alias("clean_text"))
+        return out.to_arrow()
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

@@ -154,3 +154,14 @@ def test_decontaminate_broadcast(ray_session):
                          concurrency=(1, 2)).to_pandas() \
         .set_index("doc_id")
     assert out2.equals(out)
+
+
+def test_pii_scrub(ray_session):
+    import ray.data as rd
+    from ferenda_ray.stages.text_analysis import pii_scrub
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1],
+        "text": ["mail a@b.se or call +46 70-123 45 67 from 10.0.0.1"]}))
+    out = pii_scrub(docs).to_pandas().iloc[0]
+    assert (out["n_email"], out["n_phone"], out["n_ipv4"]) == (1, 1, 1)
+    assert out["clean_text"] == "mail <EMAIL> or call <PHONE> from <IP>"
