@@ -180,12 +180,17 @@ def _inner_segments(text: str, spans) -> list:
 def api_search(index, meta: dict, q: str | None = None,
                filters: dict | None = None, path: str = "/myapi/",
                query_string: str = "", legacy: bool = False,
-               page_size: int = 10, page: int = 0) -> dict:
+               page_size: int = 10, page: int = 0,
+               max_hits: int = 10_000) -> dict:
     """One API query → the reference's JSON response dict.
 
     ``index`` is a Ray Dataset (or Arrow table) of resource rows;
-    scoring runs distributed via ``map_batches`` and only hit rows
-    (≤ a page of docs) are collected for mangling."""
+    scoring runs distributed via ``map_batches``; the driver-side
+    collect is CAPPED at ``max_hits`` matching rows (a common term
+    at corpus scale would otherwise collect the corpus — use
+    :func:`ferenda_ray.stages.fulltext.query` for ranked retrieval
+    over large indexes; this surface reproduces the reference's
+    response JSON, whose ES backend pages the same way)."""
     filters = {_resolve_field(k): v for k, v in (filters or {}).items()}
 
     def score(b: pa.Table) -> pa.Table:
@@ -197,7 +202,7 @@ def api_search(index, meta: dict, q: str | None = None,
 
     if hasattr(index, "map_batches"):        # ray.data.Dataset
         hits = index.map_batches(score, batch_format="pyarrow") \
-                    .take_all()
+                    .limit(max_hits).take_all()
     else:
         hits = score(index).to_pylist()
 
