@@ -175,7 +175,10 @@ def nation_revenue(sf_dir: str):
     groupby (joined rows → |customer|) cost ~4 s of exchange and only
     shrank the next join's left side 5×, a loss at any scale where
     the fact : customer row ratio stays modest (the customer join is
-    hash-partitioned either way)."""
+    hash-partitioned either way).  A PER-BATCH o_custkey combiner
+    (no exchange, polars group_by inside the map) is strictly
+    cheaper: A/B'd 4.6 s → 3.7 s warm and it shrinks the bytes
+    entering the customer-join shuffle."""
     import ray
     from ray.data.aggregate import Sum
     np_ = _np()
@@ -207,9 +210,14 @@ def nation_revenue(sf_dir: str):
                      on=("l_orderkey",), right_on=("o_orderkey",))
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_nationkey"]).repartition(half)
+    def cust_pre(b: pa.Table) -> pa.Table:
+        import polars as pl
+        return (pl.from_arrow(b.select(["o_custkey", "rev"]))
+                .group_by("o_custkey").agg(pl.col("rev").sum())
+                .to_arrow())
+
     with_nat = joined.map_batches(
-        lambda b: b.select(["o_custkey", "rev"]),
-        batch_format="pyarrow").join(
+        cust_pre, batch_format="pyarrow").join(
         cust, join_type="inner", num_partitions=np_,
         on=("o_custkey",), right_on=("c_custkey",))
     per_nat = (with_nat.groupby("c_nationkey")
