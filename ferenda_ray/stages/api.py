@@ -285,3 +285,259 @@ def api_stats(meta: dict, legacy: bool = False) -> dict:
             "observations": [{"count": counts[k], valkey: k}
                              for k in sorted(counts)]})
     return {"type": "DataSet", "slices": slices}
+
+
+# ===========================================================================
+# Advanced faceted API: the examplerepos conformance surface
+# (reference test/examplerepos.py DocRepo1-3 facet configs,
+# test/integrationAPI.py:195-330 AdvancedAPI, goldens
+# test/files/api/advancedapi-*.json).  Index rows are built from the
+# repos' parsed RDFa with each repo's OWN facet set (facet.py
+# defaults: rdf:type->term, dcterms:issued->year,
+# dcterms:publisher->ref resource, dc:subject->keyword value,
+# dc:creator->value, schema:free/boolean->value; Text/Label carry no
+# stats dimension).
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+#: label-resolution predicate chain (facet.py resourcelabel :254-268)
+LABEL_PREDS = (
+    "http://www.w3.org/2000/01/rdf-schema#label",
+    "http://www.w3.org/2004/02/skos/core#prefLabel",
+    "http://www.w3.org/2004/02/skos/core#altLabel",
+    "http://purl.org/dc/terms/title",
+    "http://purl.org/dc/terms/alternative",
+    "http://xmlns.com/foaf/0.1/name",
+    "http://purl.org/ontology/bibo/identifier",
+)
+
+#: (field, predicate-qname, kind) per repo — examplerepos.py:24-123.
+#: kind drives indexing, item serialization and the stats dimension.
+ADVANCED_FACETS = {
+    "repo1": [("rdf_type", "rdf:type", "uri"),
+              ("dcterms_title", "dcterms:title", "text"),
+              ("dcterms_publisher", "dcterms:publisher", "resource"),
+              ("dcterms_issued", "dcterms:issued", "date")],
+    "repo2": [("rdf_type", "rdf:type", "uri"),
+              ("dcterms_title", "dcterms:title", "text"),
+              ("dcterms_identifier", "dcterms:identifier", "label"),
+              ("dcterms_issued", "dcterms:issued", "date"),
+              ("aprilfools", "dcterms:issued", "aprilfools"),
+              ("dcterms_publisher", "dcterms:publisher", "resource"),
+              ("dc_subject", "dc:subject", "keyword"),
+              ("schema_free", "schema:free", "boolean")],
+    "repo3": [("dc_publisher", "dc:publisher", "value"),
+              ("dcterms_rightsHolder", "dcterms:rightsHolder",
+               "resource_multi"),
+              ("dcterms_title", "dcterms:title", "text"),
+              ("dcterms_identifier", "dcterms:identifier", "label"),
+              ("dc_creator", "dc:creator", "value")],
+}
+
+#: global stats dimensions (facets with a dimension_type), sorted
+STATS_DIMENSIONS = (("aprilfools", "value"), ("dc_creator", "value"),
+                    ("dc_subject", "value"),
+                    ("dcterms_issued", "year"),
+                    ("dcterms_publisher", "ref"),
+                    ("rdf_type", "term"), ("schema_free", "value"))
+
+
+def rdfa_triples(xhtml: str):
+    """Minimal RDFa extraction for the testrepos fixtures: ``about``
+    scoping plus head/meta/link/title/span property-content-rel-href,
+    with prefix expansion from the document's xmlns declarations."""
+    import io
+    ns = {}
+    events = ET.iterparse(io.StringIO(xhtml), events=("start-ns",))
+    for _, (prefix, uri) in events:
+        ns[prefix] = uri
+    root = events.root
+
+    def expand(q):
+        if q and ":" in q:
+            p, local = q.split(":", 1)
+            if p in ns:
+                return ns[p] + local
+        return q
+
+    out = []
+
+    def visit(el, subj):
+        if el.get("about") is not None:
+            subj = el.get("about")
+        tag = el.tag.rsplit("}", 1)[-1]
+        if tag == "link" and el.get("rel"):
+            out.append((subj, expand(el.get("rel")), "uri",
+                        el.get("href"), None))
+        elif tag in ("meta", "span") and el.get("property") \
+                and el.get("content") is not None:
+            out.append((subj, expand(el.get("property")), "literal",
+                        el.get("content"), expand(el.get("datatype"))))
+        elif tag == "title" and el.get("property"):
+            out.append((subj, expand(el.get("property")), "literal",
+                        el.text or "", None))
+        for c in el:
+            visit(c, subj)
+
+    visit(root, None)
+    return out, ns
+
+
+def label_map(triples: list) -> dict:
+    """uri -> preferred label over the resourcelabel chain."""
+    by_subj: dict = {}
+    for t in triples:
+        by_subj.setdefault(t["subj"], {})[t["pred"]] = t["obj_value"]
+    out = {}
+    for uri, preds in by_subj.items():
+        for p in LABEL_PREDS:
+            if p in preds:
+                out[uri] = preds[p]
+                break
+    return out
+
+
+def build_advanced_rows(docs: list, labels: dict) -> list:
+    """``[{repo, doc_uri, xhtml}]`` → faceted index rows (one dict
+    per doc, fields per that repo's facet set — the relate_fulltext
+    row shape)."""
+    rows = []
+    for d in docs:
+        trips, ns = rdfa_triples(d["xhtml"])
+        doc_uri = d["doc_uri"]
+
+        def values(qname):
+            pred = qname.split(":")
+            full = ns.get(pred[0], pred[0] + ":") + pred[1]
+            return [t for t in trips
+                    if t[0] == doc_uri and t[1] == full]
+
+        row = {"iri": doc_uri}
+        for field, qname, kind in ADVANCED_FACETS[d["repo"]]:
+            vals = values(qname)
+            if not vals:
+                continue
+            if kind == "uri":
+                row[field] = vals[0][3]
+            elif kind in ("text", "label", "value", "date"):
+                row[field] = vals[0][3]
+            elif kind == "resource":
+                u = vals[0][3]
+                row[field] = {"iri": u, "label": labels.get(u, u)}
+            elif kind == "resource_multi":
+                row[field] = [{"iri": v[3],
+                               "label": labels.get(v[3], v[3])}
+                              for v in vals]
+            elif kind == "keyword":
+                row[field] = sorted(v[3] for v in vals)
+            elif kind == "boolean":
+                row[field] = vals[0][3] == "true"
+            elif kind == "aprilfools":
+                ds = vals[0][3]
+                row[field] = ds[5:7] == "04" and ds[8:10] == "01"
+        rows.append(row)
+    return rows
+
+
+def _adv_stats(rows: list) -> dict:
+    slices = []
+    for dim, kind in STATS_DIMENSIONS:
+        counts: dict = {}
+        for r in rows:
+            if dim not in r:
+                continue
+            v = r[dim]
+            if kind == "year":
+                keys = [str(v)[:4]]
+            elif kind == "ref":
+                keys = [v["iri"]]
+            elif kind == "term":
+                keys = [_adv_qname(v)]
+            elif isinstance(v, list):
+                keys = v
+            else:
+                keys = [v]
+            for k in keys:
+                counts[k] = counts.get(k, 0) + 1
+        valkey = {"year": "year", "ref": "ref",
+                  "term": "term"}.get(kind, "value")
+        slices.append({"dimension": dim,
+                       "observations": [
+                           {"count": counts[k], valkey: k}
+                           for k in sorted(counts)]})
+    return {"type": "DataSet", "slices": slices}
+
+
+_ADV_NS = {"ex": "http://example.org/vocab/"}
+
+
+def _adv_qname(uri: str) -> str:
+    for p, n in _ADV_NS.items():
+        if uri.startswith(n):
+            return p + ":" + uri[len(n):]
+    return uri
+
+
+def advanced_query(rows: list, params: dict, path: str = "/myapi/",
+                   query_string: str = "", page_size: int = 10) -> dict:
+    """One advanced-API query → the golden JSON shape.  Parameter
+    grammar (wsgiapp.parse_parameters): ``field=value`` equality
+    (booleans coerced, list fields by membership, ``rdf_type`` by
+    qname expansion, ``uri`` / ``iri`` by wildcard), exclusive
+    ``min-F``/``max-F`` ranges, ``year-F`` selectors, ``_stats=on``
+    for result-set statistics."""
+    stats_on = params.get("_stats") == "on"
+    hits = []
+    for r in rows:
+        ok = True
+        for k, v in params.items():
+            if k == "_stats":
+                continue
+            if k.startswith("min-"):
+                f = k[4:]
+                ok = f in r and r[f] > v
+            elif k.startswith("max-"):
+                f = k[4:]
+                ok = f in r and r[f] < v
+            elif k.startswith("year-"):
+                f = k[5:]
+                ok = f in r and str(r[f])[:4] == v
+            elif k in ("uri", "iri"):
+                ok = fnmatch.fnmatchcase(r["iri"], v)
+            elif k == "rdf_type":
+                full = _adv_qname_expand(v)
+                ok = r.get(k) == full
+            else:
+                rv = r.get(k)
+                if isinstance(rv, bool):
+                    ok = rv == (v == "true")
+                elif isinstance(rv, list):
+                    ok = v in rv
+                else:
+                    ok = rv == v
+            if not ok:
+                break
+        if ok:
+            hits.append(r)
+    items = sorted(hits, key=lambda r: r["iri"], reverse=True)
+    res = {"current": path + ("?" + query_string
+                              if query_string else ""),
+           "duration": None,
+           "items": items[:page_size],
+           "itemsPerPage": page_size, "startIndex": 0,
+           "totalResults": len(items)}
+    if stats_on:
+        res["statistics"] = _adv_stats(hits)
+    return res
+
+
+def _adv_qname_expand(q: str) -> str:
+    if ":" in q:
+        p, local = q.split(":", 1)
+        if p in _ADV_NS:
+            return _ADV_NS[p] + local
+    return q
+
+
+def advanced_stats(rows: list) -> dict:
+    return _adv_stats(rows)

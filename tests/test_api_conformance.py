@@ -102,3 +102,91 @@ def test_faceted_query_legacy():
                      path="/-/publ", legacy=True,
                      query_string="dcterms_publisher=*%2Fpublisher%2FA")
     assert got == _want("basicapi-faceted-query.legacy.json")
+
+
+# --- advanced API (examplerepos DocRepo1-3, advancedapi-* goldens) --------
+
+TESTREPOS = "/root/reference/test/files/testrepos"
+
+
+def _advanced_rows():
+    from ferenda_ray.stages.api import build_advanced_rows, label_map
+    # the commondata label graph is inline turtle in the reference's
+    # examplerepos.py (DocRepo1.commondata) — read it as fixture data
+    src = open("/root/reference/test/examplerepos.py").read()
+    ttl = src.split('data="""', 1)[1].split('"""', 1)[0]
+    labels = label_map(parse_turtle(ttl))
+    docs = []
+    for repo in ("repo1", "repo2", "repo3"):
+        for bf in "abcd":
+            with open(f"{TESTREPOS}/{repo}/parsed/{bf}.xhtml") as fp:
+                docs.append({
+                    "repo": repo,
+                    "doc_uri": f"http://example.org/{repo}/{bf}",
+                    "xhtml": fp.read()})
+    return build_advanced_rows(docs, labels)
+
+
+ADV_ROWS = _advanced_rows() if os.path.isdir(TESTREPOS) else []
+needs_testrepos = pytest.mark.skipif(not ADV_ROWS,
+                                     reason="testrepos absent")
+
+
+@needs_testrepos
+def test_advanced_indexing():
+    from ferenda_ray.stages.api import advanced_query
+    got = advanced_query(ADV_ROWS, {"uri": "*/repo1/a"},
+                         query_string="uri=*/repo1/a")
+    assert got == _want("advancedapi-indexing.json")
+
+
+@needs_testrepos
+def test_advanced_faceting():
+    from ferenda_ray.stages.api import advanced_stats
+    assert advanced_stats(ADV_ROWS) == _want("advancedapi-faceting.json")
+
+
+@needs_testrepos
+def test_advanced_query_parameters():
+    from ferenda_ray.stages.api import advanced_query
+    got = advanced_query(ADV_ROWS,
+                         {"dc_subject": "red", "schema_free": "true"},
+                         query_string="dc_subject=red&schema_free=true")
+    assert got == _want("advancedapi-query-parameters.json")
+
+
+@needs_testrepos
+def test_advanced_query_type():
+    from ferenda_ray.stages.api import advanced_query
+    got = advanced_query(ADV_ROWS, {"rdf_type": "ex:OtherType"},
+                         query_string="rdf_type=ex:OtherType")
+    assert got == _want("advancedapi-query-type.json")
+
+
+@needs_testrepos
+def test_advanced_query_customfacet():
+    from ferenda_ray.stages.api import advanced_query
+    got = advanced_query(ADV_ROWS,
+                         {"aprilfools": "true", "_stats": "on"},
+                         query_string="aprilfools=true&_stats=on")
+    assert got == _want("advancedapi-query-customfacet.json")
+
+
+@needs_testrepos
+def test_advanced_query_range():
+    from ferenda_ray.stages.api import advanced_query
+    got = advanced_query(
+        ADV_ROWS,
+        {"min-dcterms_issued": "2012-04-01",
+         "max-dcterms_issued": "2012-04-03"},
+        query_string="min-dcterms_issued=2012-04-01"
+                     "&max-dcterms_issued=2012-04-03")
+    assert got == _want("advancedapi-query-range.json")
+
+
+@needs_testrepos
+def test_advanced_query_yearselector():
+    from ferenda_ray.stages.api import advanced_query
+    got = advanced_query(ADV_ROWS, {"year-dcterms_issued": "2013"},
+                         query_string="year-dcterms_issued=2013")
+    assert got == _want("advancedapi-query-yearselector.json")
