@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": docs.docs_repetition,
         "docs_decontaminate": docs.docs_decontaminate,
         "docs_pii_scrub": docs.docs_pii_scrub,
+        "doc_skeletons": docs.doc_skeletons,
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
@@ -653,6 +654,21 @@ def oracle_sql() -> dict[str, str]:
                    floor(dl * 1e6 + 0.5) / 1e6 AS dup_line_frac,
                    (dl < 0.3 AND dw < 0.7 AND n_words >= 5) AS passes
             FROM s""",
+        # skeleton anti-join: URI objects never appearing as subjects
+        # (the bibo:Document class + every mentioned entity URI)
+        "doc_skeletons": r"""
+            SELECT 'https://example.org/entity/' || a.alias AS uri,
+                   a.alias AS identifier
+            FROM (VALUES ('batch'), ('shuffle'), ('spark'),
+                         ('stream'), ('vector'), ('window'))
+                 AS a(alias)
+            WHERE EXISTS (
+                SELECT 1 FROM documents d
+                WHERE regexp_matches(d.text,
+                                     '\b' || a.alias || '\b'))
+            UNION ALL
+            SELECT 'http://purl.org/ontology/bibo/Document' AS uri,
+                   'Document' AS identifier""",
         # the PII regexes are RE2/rust-regex compatible so both
         # engines apply literally the same patterns
         "docs_pii_scrub": r"""

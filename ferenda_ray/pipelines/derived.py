@@ -526,3 +526,58 @@ def annotations_graph(triples, base: str = DEFAULT_BASE,
     out = b1.union(b2a).union(b2b)
     return distinct(out, ["anchor", "subj", "pred", "obj_type",
                           "obj_value"])
+
+
+def skeleton_entries(triples, num_partitions: int | None = None):
+    """Skeleton repo semantics (``ferenda/sources/general/
+    skeleton.py:16-43``): find resources REFERRED TO but not PRESENT
+    in the graph (URI objects that never appear as subjects) and emit
+    a skeleton entry per dangling resource — ``(uri, identifier)``
+    with identifier = the URI leaf (``util.uri_leaf``).
+
+    Distributed shape: distinct URI objects LEFT-OUTER joined against
+    distinct subjects, keep the null side (the
+    ``customers_without_orders`` anti-join pattern — no driver-side
+    keysets; each side is pre-distinct'ed so only unique URIs
+    shuffle)."""
+    import pyarrow.compute as pc
+
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+    np_ = num_partitions or join_partitions()
+
+    refs = (triples.map_batches(
+        lambda b: b.filter(pc.equal(b.column("obj_type"), "uri"))
+        .select(["obj_value"]),
+        batch_format="pyarrow")
+        .groupby("obj_value").count()
+        .map_batches(lambda b: b.select(["obj_value"]),
+                     batch_format="pyarrow"))
+    subjs = (triples.map_batches(
+        lambda b: b.select(["subj"]), batch_format="pyarrow")
+        .groupby("subj").count()
+        .map_batches(
+            lambda b: b.select(["subj"]).append_column(
+                "__hit", pa.array([1] * b.num_rows, pa.int8())),
+            batch_format="pyarrow"))
+    if not ray_join_handles_empty_blocks():
+        # Ray 2.49 hash join breaks on empty blocks in either input
+        # (same gated workaround as canonicalize.label_propagation)
+        co = coalesce_partitions()
+        refs = refs.repartition(co)
+        subjs = subjs.repartition(co)
+    j = refs.join(subjs, join_type="left_outer",
+                  num_partitions=np_,
+                  on=("obj_value",), right_on=("subj",))
+
+    def keep_dangling(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_null(b.column("__hit")))
+        uris = b.column("obj_value").to_pylist()
+        leafs = [u.rstrip("/").rsplit("#", 1)[-1]
+                 .rsplit("/", 1)[-1] for u in uris]
+        return pa.table({
+            "uri": pa.array(uris, pa.large_string()),
+            "identifier": pa.array(leafs, pa.string())})
+
+    return j.map_batches(keep_dangling, batch_format="pyarrow")

@@ -718,3 +718,19 @@ def docs_pii_scrub(sf_dir: str):
     per-doc redaction counts over the documents table."""
     from ferenda_ray.stages.text_analysis import pii_scrub
     return pii_scrub(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+def doc_skeletons(sf_dir: str, base: str = DEFAULT_BASE):
+    """Skeleton entries over the documents graph: URI objects (the
+    bibo:Document class + mention entity URIs) that never appear as
+    subjects — the dangling-reference anti-join of
+    ``sources/general/skeleton.py``."""
+    from ferenda_ray.pipelines.derived import skeleton_entries
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return b.select(["subj", "pred", "obj_type", "obj_value"])
+
+    graph = doc_triples(sf_dir, base).union(
+        _mention_triples(sf_dir, base).map_batches(
+            narrow, batch_format="pyarrow"))
+    return skeleton_entries(graph)

@@ -151,3 +151,20 @@ def test_merged_schema_conflict():
     assert merged_schema([a])["x"] == "Text"
     with pytest.raises(SchemaConflictError):
         merged_schema([a, b])
+
+
+def test_skeleton_entries(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.pipelines.derived import skeleton_entries
+    trips = rd.from_arrow(pa.table({
+        "subj": ["d1", "d1", "d2"],
+        "pred": ["ref", "type", "ref"],
+        "obj_type": ["uri", "uri", "uri"],
+        "obj_value": pa.array(["d2", "http://x/ns#Doc", "http://y/a/b"],
+                              pa.large_string())}))
+    out = skeleton_entries(trips).to_pandas().sort_values("uri") \
+        .reset_index(drop=True)
+    # d2 IS present as a subject -> not a skeleton
+    assert out["uri"].tolist() == ["http://x/ns#Doc", "http://y/a/b"]
+    assert out["identifier"].tolist() == ["Doc", "b"]
