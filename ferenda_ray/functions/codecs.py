@@ -41,6 +41,8 @@ def sniff_media(payload: bytes) -> str:
         return "wav"
     if head.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if head.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
     return "unknown"
 
 
@@ -206,9 +208,201 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if kind == "ppm":
         return decode_ppm(payload)
+    if kind == "gif":
+        return decode_gif(payload)[0]["px"]
     raise MediaDecodeError(
         "NotImplemented: %s decode requires external libraries "
-        "(PNG/BMP/netpbm decode natively)" % kind)
+        "(PNG/BMP/netpbm/GIF decode natively)" % kind)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — pure stdlib/numpy; the only animated format in the
+# engine, so it is ALSO the real (non-stub) frame-sampling target
+
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytes:
+    """GIF LZW: LSB-first variable codes, per-spec clear/EOI."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    buf = bits = 0
+    for byte in data:
+        buf |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            bits -= width
+            if code == clear:
+                table = table[:eoi + 1]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _deinterlace(idx: np.ndarray, h: int) -> np.ndarray:
+    rows = (list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2)))
+    out = np.empty_like(idx)
+    out[rows] = idx
+    return out
+
+
+def decode_gif(payload: bytes) -> list:
+    """GIF87a/89a → ``[{"delay_ms", "px"}]`` RGB frames (uint8
+    H×W×3).  Frames composite onto the running canvas (disposal
+    'leave in place'); transparent pixels keep the canvas."""
+    if not payload.startswith((b"GIF87a", b"GIF89a")):
+        raise MediaDecodeError("not a GIF")
+    import struct as _s
+    pos = 6
+    width, height, flags, _bg, _ar = _s.unpack_from("<HHBBB", payload,
+                                                    pos)
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3,
+                            pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((height, width, 3), np.uint8)
+    if gct is not None:
+        canvas[:] = gct[_bg] if _bg < len(gct) else 0
+    frames = []
+    delay_ms = 0
+    transparent = None
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:                      # trailer
+            break
+        if block == 0x21:                      # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:                  # graphic control
+                size = payload[pos]
+                gflags, delay, tidx = _s.unpack_from(
+                    "<BHB", payload, pos + 1)
+                delay_ms = delay * 10
+                transparent = tidx if gflags & 1 else None
+                pos += 1 + size
+            while payload[pos] != 0:           # skip sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:                      # image descriptor
+            raise MediaDecodeError(f"bad GIF block 0x{block:02x}")
+        left, top, w, h, iflags = _s.unpack_from("<HHHHB", payload,
+                                                 pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3,
+                                pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise MediaDecodeError("GIF image without color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            size = payload[pos]
+            data += payload[pos + 1:pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        idx = np.frombuffer(_gif_lzw_decode(bytes(data), min_code),
+                            np.uint8)[:w * h].reshape(h, w)
+        if iflags & 0x40:
+            idx = _deinterlace(idx, h)
+        rect = canvas[top:top + h, left:left + w]
+        if transparent is not None:
+            mask = idx != transparent
+            rect[mask] = pal[idx[mask]]
+        else:
+            rect[:] = pal[idx.clip(0, len(pal) - 1)]
+        frames.append({"delay_ms": delay_ms,
+                       "px": canvas.copy()})
+        delay_ms, transparent = 0, None
+    if not frames:
+        raise MediaDecodeError("GIF with no frames")
+    return frames
+
+
+def encode_gif(frames, delays_ms=None) -> bytes:
+    """Minimal GIF89a encoder (global palette from the frames' ≤256
+    unique colors; clear-code-per-pixel LZW, valid per spec) — for
+    round-trip tests and fixtures, like :func:`encode_png`."""
+    import struct as _s
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0)
+    if len(colors) > 256:
+        raise MediaDecodeError("encode_gif: > 256 colors")
+    depth = max(2, int(np.ceil(np.log2(max(len(colors), 2)))))
+    pal = np.zeros((1 << depth, 3), np.uint8)
+    pal[:len(colors)] = colors
+    cmap = {tuple(c): i for i, c in enumerate(colors)}
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    # loop forever (netscape) so multi-frame files animate
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    delays_ms = delays_ms or [100] * len(frames)
+    min_code = depth
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    for f, delay in zip(frames, delays_ms):
+        # GCE: size 4 = flags, delay(u16), transparent idx; then term
+        out += _s.pack("<BBBBHB", 0x21, 0xF9, 4, 0, delay // 10, 0)
+        out += b"\x00"
+        out += _s.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code)
+        idx = np.array([cmap[tuple(p)] for p in
+                        f.reshape(-1, 3)], np.uint16)
+        bits = buf = 0
+        stream = bytearray()
+
+        def emit(code):
+            nonlocal bits, buf
+            buf |= code << bits
+            bits += width
+            while bits >= 8:
+                stream.append(buf & 0xFF)
+                buf >>= 8
+                bits -= 8
+
+        for c in idx:
+            emit(clear)                        # table never grows
+            emit(int(c))
+        emit(eoi)
+        if bits:
+            stream.append(buf & 0xFF)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
