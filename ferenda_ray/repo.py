@@ -81,6 +81,22 @@ class DocRepository:
                  lit(ns.DCTERMS_IDENTIFIER, basefile)]
         if doc.title:
             trips.append(lit(ns.DCTERMS_TITLE, doc.title))
+        roles = self.citation_roles()
+        if roles:
+            from ferenda_ray.legalref import Link, MultiRoleParser
+            parser = getattr(self, "_role_parser", None)
+            if parser is None:
+                # compiled once per worker-side repo instance (the
+                # grammar-compile-once policy of SURVEY.md §2.4)
+                parser = self._role_parser = MultiRoleParser(*roles)
+            seen = set()
+            for node in parser.parse(content):
+                if isinstance(node, Link) and node.uri not in seen:
+                    seen.add(node.uri)
+                    trips.append({"subj": uri,
+                                  "pred": ns.DCTERMS + "references",
+                                  "obj_type": "uri",
+                                  "obj_value": node.uri})
         return trips
 
     # -- declarative hooks ---------------------------------------------

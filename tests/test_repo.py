@@ -85,3 +85,26 @@ def test_composite_first_success():
 
     doc = Comp().parse_document("x", "b")
     assert doc.title == "won"
+
+
+def test_citation_roles_hook(ray_session):
+    import ray.data as rd
+
+    def make():
+        class CiteRepo(DocRepository):
+            alias = "cites"
+
+            def citation_roles(self):
+                return ["rattsfall", "eulag"]
+
+        return CiteRepo()
+
+    src = rd.from_arrow(pa.table({
+        "basefile": ["x"],
+        "content": ["Se NJA 1998 s. 14 och rådets direktiv "
+                    "95/46/EG.\n"]}))
+    out = make().parse_all(src).to_pandas()
+    refs = out[out["pred"].str.endswith("references")]["obj_value"]
+    assert sorted(refs) == [
+        "https://lagen.nu/dom/nja/1998s14",
+        "https://lagen.nu/ext/celex/31995L0046"]
