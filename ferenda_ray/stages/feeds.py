@@ -12,6 +12,7 @@ per-group ``map_groups`` sink — no driver-side feed assembly.
 from __future__ import annotations
 
 import os
+import re
 from datetime import datetime, timezone
 from xml.sax.saxutils import escape
 
@@ -142,3 +143,60 @@ def write_atom_pages(events, out_dir: str, base_url: str,
             .map_groups(paged, batch_format="pyarrow")
             .groupby([type_col, "page_idx"])
             .map_groups(write_page, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Sitenews: a news feed from one structured text file
+# (ferenda/sources/general/sitenews.py:18-60: entries are '<ISO
+# datetime> <title>' header lines, a blank line, then an HTML-fragment
+# body until the next header / EOF)
+
+_SITENEWS_HEADER = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}(?::\d{2})?)?)\s+(.+)$")
+
+
+def parse_sitenews(text: str) -> list:
+    """Sitenews text → entry dicts ``(ts, title, body)`` in file
+    order (newest customarily first in the file)."""
+    entries: list = []
+    body: list = []
+    for line in text.split("\n"):
+        m = _SITENEWS_HEADER.match(line)
+        if m:
+            if entries:
+                entries[-1]["body"] = "\n".join(body).strip()
+            body = []
+            ts = m.group(1).replace(" ", "T")
+            if len(ts) == 10:
+                ts += "T00:00:00"
+            elif len(ts) == 16:
+                ts += ":00"
+            entries.append({"ts": ts, "title": m.group(2).strip(),
+                            "body": ""})
+        elif entries:
+            body.append(line)
+    if entries:
+        entries[-1]["body"] = "\n".join(body).strip()
+    return entries
+
+
+def sitenews_feed(text: str, base_url: str,
+                  title: str = "Site news") -> str:
+    """Sitenews text → one Atom feed with permalink entries
+    (``{base}sitenews/{ts}``), newest first by timestamp."""
+    import calendar
+    import time as _t
+
+    def epoch(ts: str) -> int:
+        return calendar.timegm(_t.strptime(ts, "%Y-%m-%dT%H:%M:%S"))
+
+    entries = sorted(parse_sitenews(text),
+                     key=lambda e: e["ts"], reverse=True)
+    feed_entries = [{
+        "uri": f"{base_url}sitenews/{e['ts']}",
+        "url": f"{base_url}sitenews/#item-{e['ts']}",
+        "title": e["title"], "summary": e["body"],
+        "updated": epoch(e["ts"])} for e in entries]
+    return atom_feed(feed_entries, title=title,
+                     feed_id=base_url + "sitenews/",
+                     feed_url=base_url + "sitenews/feed.atom")

@@ -102,3 +102,24 @@ def test_xhtml_to_html5_roundtrip():
     assert f'<section about="{uri}#S1">' in html5
     # the RDFa survives the presentation pass: re-distill equals input
     assert set(distill_xhtml(html5)) == set(triples)
+
+
+def test_sitenews_feed():
+    from ferenda_ray.stages.feeds import parse_sitenews, sitenews_feed
+    text = """2014-09-23 18:12:34 New feature
+Now the site has a <b>feature</b>.
+
+More body text.
+2013-06-06 Older post
+
+Body of the older post.
+"""
+    entries = parse_sitenews(text)
+    assert [e["title"] for e in entries] == ["New feature",
+                                            "Older post"]
+    assert entries[0]["body"].startswith("Now the site has")
+    assert "More body text." in entries[0]["body"]
+    feed = sitenews_feed(text, "https://example.org/")
+    assert feed.index("New feature") < feed.index("Older post")
+    assert "<updated>2014-09-23T18:12:34Z</updated>" in feed
+    assert "sitenews/2013-06-06T00:00:00</id>" in feed
