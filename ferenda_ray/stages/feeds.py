@@ -184,19 +184,15 @@ def sitenews_feed(text: str, base_url: str,
                   title: str = "Site news") -> str:
     """Sitenews text → one Atom feed with permalink entries
     (``{base}sitenews/{ts}``), newest first by timestamp."""
-    import calendar
-    import time as _t
-
-    def epoch(ts: str) -> int:
-        return calendar.timegm(_t.strptime(ts, "%Y-%m-%dT%H:%M:%S"))
-
     entries = sorted(parse_sitenews(text),
                      key=lambda e: e["ts"], reverse=True)
+    # updated as ISO strings: rfc3339 parses them directly, and ISO
+    # strings order correctly for the feed-level max()
     feed_entries = [{
         "uri": f"{base_url}sitenews/{e['ts']}",
         "url": f"{base_url}sitenews/#item-{e['ts']}",
         "title": e["title"], "summary": e["body"],
-        "updated": epoch(e["ts"])} for e in entries]
+        "updated": e["ts"]} for e in entries]
     return atom_feed(feed_entries, title=title,
                      feed_id=base_url + "sitenews/",
                      feed_url=base_url + "sitenews/feed.atom")
