@@ -161,9 +161,11 @@ class WordReader:
     (``ferenda/wordreader.py:23-140``): ``read`` guesses the filetype
     (suffixes lie — a zip magic means OOXML regardless of extension,
     the "Retrying as OOXML" path at ``wordreader.py:63-68``), then
-    extracts ``word/document.xml`` for .docx or shells out to antiword
-    for legacy .doc (stubbed here; inject ``doc_converter`` bytes →
-    docbook-XML bytes to supply one)."""
+    extracts ``word/document.xml`` for .docx.  Legacy .doc converts
+    NATIVELY via the pure-stdlib CFB/[MS-DOC] extractor
+    (:mod:`ferenda_ray.sources.msdoc` — the reference shells out to
+    antiword here) into a minimal docbook fragment; an injected
+    ``doc_converter`` (bytes → docbook-XML bytes) overrides it."""
 
     def __init__(self, doc_converter=None):
         self.doc_converter = doc_converter
@@ -176,10 +178,18 @@ class WordReader:
         """bytes → (filetype, intermediate XML bytes)."""
         if self.filetype(blob) == "docx":
             return "docx", self.word_to_ooxml(blob)
-        if self.doc_converter is None:
-            raise WordDecodeError(
-                "NotImplemented: antiword unavailable for legacy .doc")
-        return "doc", self.doc_converter(blob)
+        if self.doc_converter is not None:
+            return "doc", self.doc_converter(blob)
+        from xml.sax.saxutils import escape as _esc
+
+        from ferenda_ray.sources.msdoc import extract_doc_text
+        paras = [p for p in
+                 (s.strip() for s in
+                  extract_doc_text(blob).split("\n")) if p]
+        xml = ("<article>"
+               + "".join(f"<para>{_esc(p)}</para>" for p in paras)
+               + "</article>")
+        return "doc", xml.encode("utf-8")
 
     @staticmethod
     def word_to_ooxml(blob: bytes) -> bytes:

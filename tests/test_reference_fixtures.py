@@ -395,7 +395,8 @@ def test_textreader_subreader_fixture():
 # WordReader vs the reference's wordreader fixture corpus
 # (``test/files/wordreader``: real .docx decode via stdlib zip+ET;
 # mislabeled .doc detected by magic — the "Retrying as OOXML" path,
-# ``wordreader.py:63-68``; true legacy .doc needs antiword → error row)
+# ``wordreader.py:63-68``; true legacy .doc decodes NATIVELY via the
+# CFB/[MS-DOC] extractor in sources/msdoc.py)
 
 WRDIR = "/root/reference/test/files/wordreader"
 
@@ -422,9 +423,14 @@ def test_wordreader_fixtures():
     mis = [r for r in rows if r["doc_id"] == 1]
     assert mis and mis[0]["filetype"] == "docx" \
         and all(r["error"] is None for r in mis)
-    # true legacy .doc: antiword absent → one error row, no crash
+    # true legacy .doc decodes natively (no antiword): the fixture is
+    # the .docx twin with format-specific wording
     legacy = [r for r in rows if r["doc_id"] == 2]
-    assert len(legacy) == 1 and "antiword" in legacy[0]["error"]
+    assert legacy and all(r["error"] is None for r in legacy)
+    legacy_text = " ".join(r["text"] for r in legacy)
+    assert "simple document in .doc format" in legacy_text
+    assert legacy[0]["text"] == docx_rows[0]["text"] == \
+        "Document title"
     # and the two OOXML decodes agree (same document content)
     mis_text = " ".join(r["text"] for r in mis)
     assert mis_text.split()[:10] == text.split()[:10] or mis_text
