@@ -210,9 +210,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if kind == "gif":
         return decode_gif(payload)[0]["px"]
+    if kind == "jpeg":
+        from ferenda_ray.functions.jpeg import decode_jpeg
+        px = decode_jpeg(payload)
+        if px.ndim == 2:           # grayscale -> RGB for a uniform API
+            px = np.stack([px] * 3, axis=-1)
+        return px
     raise MediaDecodeError(
         "NotImplemented: %s decode requires external libraries "
-        "(PNG/BMP/netpbm/GIF decode natively)" % kind)
+        "(PNG/BMP/netpbm/GIF/baseline-JPEG decode natively)" % kind)
 
 
 # ---------------------------------------------------------------------------

@@ -86,7 +86,7 @@ class DecodeImage:
 
     def _decode(self, payload: bytes) -> np.ndarray:
         kind = codecs.sniff_media(payload)
-        if kind in ("png", "bmp", "ppm"):
+        if kind in ("png", "bmp", "ppm", "gif", "jpeg"):
             return codecs.decode_image(payload)
         if self.fake:
             h = hashlib.sha256(payload).digest()
@@ -94,9 +94,9 @@ class DecodeImage:
             return rng.integers(0, 256, (self.thumb, self.thumb, 3),
                                 dtype=np.uint8)
         raise NotImplementedError(
-            "%s decode requires external libraries (PNG/BMP/netpbm "
-            "decode natively); pass fake=True for the deterministic "
-            "test decoder" % kind)
+            "%s decode requires external libraries (PNG/BMP/netpbm/"
+            "GIF/baseline-JPEG decode natively); pass fake=True for "
+            "the deterministic test decoder" % kind)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, ok, ws, hs, errs = [], [], [], [], []

@@ -171,3 +171,35 @@ def test_gif_interlace_and_transparency():
     gif[i + 6] = 0             # transparent index = palette 0
     frames = decode_gif(bytes(gif))
     assert (frames[1]["px"] == frames[0]["px"]).all()
+
+
+def test_jpeg_roundtrip():
+    import numpy as np
+    from ferenda_ray.functions.codecs import decode_image, sniff_media
+    from ferenda_ray.functions.jpeg import (JpegError, decode_jpeg,
+                                            encode_jpeg)
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([(xx * 255 / w), (yy * 255 / h),
+                   ((xx + yy) * 255 / (h + w))], axis=-1) \
+        .astype(np.uint8)
+    jp = encode_jpeg(px, quality=90)
+    assert sniff_media(jp) == "jpeg"
+    out = decode_jpeg(jp)
+    mse = np.mean((out.astype(float) - px.astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 40          # near-lossless
+    # decode_image routes jpeg natively now
+    assert decode_image(jp).shape == (h, w, 3)
+    # grayscale path + hard edges at high quality
+    g = (yy * 255 / h).astype(np.uint8)
+    go = decode_jpeg(encode_jpeg(g, quality=85))
+    assert go.shape == (h, w)
+    assert np.abs(go.astype(int) - g.astype(int)).max() <= 4
+    e = np.zeros((16, 16, 3), np.uint8)
+    e[:, 8:] = 255
+    assert (decode_jpeg(encode_jpeg(e, quality=95)) == e).all()
+    # non-baseline is an honest error, not silent garbage
+    prog = bytearray(encode_jpeg(px))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2           # fake SOF2
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(prog))
