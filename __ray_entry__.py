@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": docs.docs_decontaminate,
         "docs_pii_scrub": docs.docs_pii_scrub,
         "doc_skeletons": docs.doc_skeletons,
+        "docs_clean_corpus": docs.docs_clean_corpus,
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
@@ -654,6 +655,45 @@ def oracle_sql() -> dict[str, str]:
                    floor(dl * 1e6 + 0.5) / 1e6 AS dup_line_frac,
                    (dl < 0.3 AND dw < 0.7 AND n_words >= 5) AS passes
             FROM s""",
+        # the composed cleaning pipeline: exact-dedup keepers that
+        # pass the repetition gates and are not contaminated
+        "docs_clean_corpus": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '\s+'),
+                                   x -> x != '') AS w,
+                       string_split(text, chr(10)) AS lines,
+                       text
+                FROM documents
+            ), keep AS (
+                SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY text
+            ), rep AS (
+                SELECT doc_id FROM toks
+                WHERE 1.0 - len(list_distinct(lines))
+                        / CAST(greatest(len(lines), 1) AS DOUBLE)
+                        < 0.3
+                  AND 1.0 - len(list_distinct(w))
+                        / CAST(greatest(len(w), 1) AS DOUBLE) < 0.7
+                  AND len(w) >= 5
+            ), bench AS (
+                SELECT DISTINCT array_to_string(w[1:8], ' ') AS gram
+                FROM toks WHERE doc_id % 50 = 0 AND len(w) >= 8
+            ), grams AS (
+                SELECT doc_id,
+                       unnest([array_to_string(w[i:i+7], ' ')
+                               for i in generate_series(
+                                   1, greatest(len(w) - 7, 0))])
+                           AS gram
+                FROM toks
+            ), dirty AS (
+                SELECT DISTINCT g.doc_id
+                FROM grams g JOIN bench b ON g.gram = b.gram
+            )
+            SELECT k.doc_id FROM keep k
+            JOIN rep r USING (doc_id)
+            WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
         # skeleton anti-join: URI objects never appearing as subjects
         # (the bibo:Document class + every mentioned entity URI)
         "doc_skeletons": r"""

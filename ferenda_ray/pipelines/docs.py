@@ -734,3 +734,53 @@ def doc_skeletons(sf_dir: str, base: str = DEFAULT_BASE):
         _mention_triples(sf_dir, base).map_batches(
             narrow, batch_format="pyarrow"))
     return skeleton_entries(graph)
+
+
+def docs_clean_corpus(sf_dir: str, n: int = 8):
+    """The composed training-data cleaning pipeline — the flagship
+    LLM-hygiene flow as ONE distributed plan: exact dedup (min-id
+    keeper per distinct text) ∩ Gopher repetition gates ∩ NOT
+    benchmark-contaminated.  Each leg is an existing oracle-checked
+    operator; this query verifies their composition end-to-end.
+
+    Distributed shape: three id-keyed legs joined pairwise
+    (hash joins on doc_id — no driver-side sets except the broadcast
+    probe grams, which are the small side by construction)."""
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+    from ferenda_ray.stages.dedup import exact_dedup
+    from ferenda_ray.stages.text_analysis import (benchmark_ngrams,
+                                                  decontaminate,
+                                                  repetition_stats)
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    keep = exact_dedup(docs).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    rep = repetition_stats(docs).map_batches(
+        lambda b: b.filter(b.column("passes"))
+        .select(["doc_id"]), batch_format="pyarrow")
+
+    def every_50th(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            (b.column("doc_id").to_numpy() % 50) == 0))
+
+    grams = benchmark_ngrams(
+        docs.map_batches(every_50th, batch_format="pyarrow"),
+        n=n).take_all()
+    clean = decontaminate(docs, [g["gram"] for g in grams],
+                          n=n).map_batches(
+        lambda b: b.filter(pc.invert(b.column("contaminated")))
+        .select(["doc_id"]), batch_format="pyarrow")
+
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        keep, rep, clean = (d.repartition(co)
+                            for d in (keep, rep, clean))
+    out = keep.join(rep, join_type="inner", num_partitions=np_,
+                    on=("doc_id",))
+    if not ray_join_handles_empty_blocks():
+        out = out.repartition(coalesce_partitions())
+    return out.join(clean, join_type="inner", num_partitions=np_,
+                    on=("doc_id",))
