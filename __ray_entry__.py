@@ -200,10 +200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream-shaped (events): representative core ---
         "events_tumbling_hour": events.tumbling_hour,
         "events_sessionize": events.sessionize,
-        "events_asof_hourly": events.asof_hourly_share,
-        "events_range_pairs": events.range_pairs_5m,
         # ---------------- position >50 below: every entry here was
         # driver-green in r1/r2 and remains pytest-covered ----------------
+        "events_asof_hourly": events.asof_hourly_share,
+        "events_range_pairs": events.range_pairs_5m,
         "events_value_percentiles": events.value_percentiles,
         "events_value_hour_corr": events.value_hour_correlation,
         "events_type_hour_rollup": events.type_hour_rollup,
