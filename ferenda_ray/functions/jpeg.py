@@ -183,9 +183,19 @@ def _scaled_qt(qt: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(t, 1, 255).astype(np.int32)
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
+def _downsample2(c: np.ndarray) -> np.ndarray:
+    hh = (c.shape[0] + 1) // 2 * 2
+    ww = (c.shape[1] + 1) // 2 * 2
+    c = np.pad(c, ((0, hh - c.shape[0]), (0, ww - c.shape[1])),
+               mode="edge")
+    return c.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 85,
+                subsample: str = "444") -> bytes:
     """RGB (H×W×3) or grayscale (H×W) uint8 → baseline JFIF bytes
-    (4:4:4, Annex K tables scaled by libjpeg's quality formula)."""
+    (Annex K tables scaled by libjpeg's quality formula;
+    ``subsample`` = '444' or '420')."""
     px = np.asarray(px, np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -203,48 +213,68 @@ def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
                _scaled_qt(_QT_CHROMA, quality)]
         qsel, tsel = [0, 1, 1], [(0, 0), (1, 1), (1, 1)]
 
+    if not gray and subsample == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        comps = [comps[0], _downsample2(comps[1]),
+                 _downsample2(comps[2])]
+    else:
+        samp = [(1, 1)] * len(comps)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [np.pad(comps[ci],
+                     ((0, mcuy * 8 * samp[ci][1]
+                       - comps[ci].shape[0]),
+                      (0, mcux * 8 * samp[ci][0]
+                       - comps[ci].shape[1])), mode="edge")
+              for ci in range(len(comps))]
+
     dc_enc = [_huff_codes(*_HT[("dc", i)]) for i in (0, 1)]
     ac_enc = [_huff_codes(*_HT[("ac", i)]) for i in (0, 1)]
     bw = _BitWriter()
     pred = [0] * len(comps)
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    padded = [np.pad(c, ((0, bh * 8 - h), (0, bwid * 8 - w)),
-                     mode="edge") for c in comps]
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci, comp in enumerate(padded):
-                block = comp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                q = np.round(_dct2(block)
-                             / qts[qsel[ci]]).astype(np.int32)
-                zz = q.flatten()[_ZIGZAG]
-                dct_t, act_t = tsel[ci]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size = _category(diff)
-                code, length = dc_enc[dct_t][size]
+
+    def emit_block(block, ci):
+        q = np.round(_dct2(block) / qts[qsel[ci]]).astype(np.int32)
+        zz = q.flatten()[_ZIGZAG]
+        dct_t, act_t = tsel[ci]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size = _category(diff)
+        code, length = dc_enc[dct_t][size]
+        bw.write(code, length)
+        if size:
+            v = diff if diff >= 0 else diff + (1 << size) - 1
+            bw.write(v, size)
+        run = 0
+        for v in zz[1:]:
+            v = int(v)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_enc[act_t][0xF0]
                 bw.write(code, length)
-                if size:
-                    v = diff if diff >= 0 else diff + (1 << size) - 1
-                    bw.write(v, size)
-                run = 0
-                for v in zz[1:]:
-                    v = int(v)
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_enc[act_t][0xF0]
-                        bw.write(code, length)
-                        run -= 16
-                    size = _category(v)
-                    code, length = ac_enc[act_t][(run << 4) | size]
-                    bw.write(code, length)
-                    bw.write(v if v >= 0 else v + (1 << size) - 1,
-                             size)
-                    run = 0
-                if run:
-                    code, length = ac_enc[act_t][0x00]   # EOB
-                    bw.write(code, length)
+                run -= 16
+            size = _category(v)
+            code, length = ac_enc[act_t][(run << 4) | size]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            code, length = ac_enc[act_t][0x00]           # EOB
+            bw.write(code, length)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, comp in enumerate(padded):
+                sh, sv = samp[ci]
+                for v in range(sv):
+                    for u in range(sh):
+                        y0 = (my * sv + v) * 8
+                        x0 = (mx * sh + u) * 8
+                        emit_block(comp[y0:y0 + 8, x0:x0 + 8], ci)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")                        # SOI
@@ -257,7 +287,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w,
                                      nc)
     for ci in range(nc):
-        out += struct.pack(">BBB", ci + 1, 0x11, qsel[ci])
+        out += struct.pack(">BBB", ci + 1,
+                           (samp[ci][0] << 4) | samp[ci][1],
+                           qsel[ci])
     tables = [("dc", 0), ("ac", 0)] + ([("dc", 1), ("ac", 1)]
                                        if nc > 1 else [])
     for kind, tid in tables:

@@ -203,3 +203,20 @@ def test_jpeg_roundtrip():
     prog[prog.index(b"\xff\xc0") + 1] = 0xC2           # fake SOF2
     with pytest.raises(JpegError):
         decode_jpeg(bytes(prog))
+
+
+def test_jpeg_420_subsampling():
+    import numpy as np
+    from ferenda_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    h, w = 33, 41            # odd dims exercise MCU padding + crop
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([(xx * 255 / w), (yy * 255 / h),
+                   ((xx + yy) * 255 / (h + w))], axis=-1) \
+        .astype(np.uint8)
+    jp444 = encode_jpeg(px, quality=90, subsample="444")
+    jp420 = encode_jpeg(px, quality=90, subsample="420")
+    assert len(jp420) < len(jp444)         # chroma really subsampled
+    out = decode_jpeg(jp420)
+    assert out.shape == (h, w, 3)
+    mse = np.mean((out.astype(float) - px.astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 35
