@@ -215,3 +215,38 @@ def test_wordlike_decoders_reject_garbage():
             fn(b"garbage not an image")
     with _pt.raises(MediaDecodeError):
         decode_wav(b"RIFFxxxxWAVEbroken")
+
+
+# --- codec round-trip properties ------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(2, 24), st.integers(2, 24), st.integers(0, 2**32 - 1),
+       st.integers(2, 8))
+def test_gif_roundtrip_exact(h, w, seed, ncolors):
+    import numpy as np
+    from ferenda_ray.functions.codecs import decode_gif, encode_gif
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, (h, w))
+    frame = palette[idx]
+    frames = decode_gif(encode_gif([frame]))
+    assert len(frames) == 1
+    assert (frames[0]["px"] == frame).all()   # GIF is lossless
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(8, 40), st.integers(8, 40), st.integers(0, 2**32 - 1))
+def test_jpeg_roundtrip_psnr(h, w, seed):
+    import numpy as np
+    from ferenda_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(seed)
+    # smooth content (JPEG's domain): low-frequency gradients
+    yy, xx = np.mgrid[0:h, 0:w]
+    a, b, c = rng.uniform(0, 255, 3)
+    px = np.stack([
+        (a + xx * 2) % 256, (b + yy * 2) % 256,
+        (c + xx + yy) % 256], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=90))
+    assert out.shape == px.shape
+    mse = np.mean((out.astype(float) - px.astype(float)) ** 2)
+    assert mse < 255**2 / 10**(30 / 10)       # PSNR > 30 dB
