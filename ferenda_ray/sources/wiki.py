@@ -121,8 +121,7 @@ def wiki_distill(page_xml: str, base: str = "https://lagen.nu/") -> list:
     page = page_fields(page_xml)
     text = page["text"]
     is_sfs = page["title"].startswith("SFS/")
-    linker = LegalRefParser(mode="lagrum", short=True, base=base) \
-        if hasattr(LegalRefParser, "__init__") else None
+    linker = LegalRefParser(mode="lagrum", short=True, base=base)
 
     # {{DISPLAYTITLE:Konsumentköplag (1990:932)}} seeds the named-law
     # memory (base + definite '-en' form) so prose mentions link back
