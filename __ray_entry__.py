@@ -986,12 +986,12 @@ def oracle_sql() -> dict[str, str]:
                    'https://lagen.nu/' || law || '#K' || chapter
                      || 'P' || section AS uri
             FROM base""",
-        # the four role parsers (rattsfall/forarbeten/eulag/avg) run
-        # on a deterministic per-doc citation picked by doc_id % 4;
+        # the five role parsers (rattsfall/forarbeten/eulag/avg/ecj)
+        # run on a deterministic per-doc citation picked by doc_id % 5;
         # the oracle mints the same URI with arithmetic + CASE
         "docs_citation_roles": """
-            SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS role,
-              CASE doc_id % 4
+            SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS role,
+              CASE doc_id % 5
                 WHEN 0 THEN 'https://lagen.nu/dom/nja/'
                   || (1990 + doc_id % 30) || 's' || (10 + doc_id % 90)
                 WHEN 1 THEN 'https://lagen.nu/prop/'
@@ -1002,10 +1002,13 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 2 THEN 'https://lagen.nu/ext/celex/3'
                   || (1970 + doc_id % 30) || 'L'
                   || lpad(CAST(1 + doc_id % 600 AS VARCHAR), 4, '0')
-                ELSE 'https://lagen.nu/avg/jk/'
+                WHEN 3 THEN 'https://lagen.nu/avg/jk/'
                   || (100 + doc_id % 800) || '-'
                   || lpad(CAST(doc_id % 99 AS VARCHAR), 2, '0')
                   || '-40'
+                ELSE 'https://lagen.nu/ext/celex/6'
+                  || (2000 + doc_id % 30) || 'CJ'
+                  || lpad(CAST(1 + doc_id % 300 AS VARCHAR), 4, '0')
               END AS uri
             FROM documents""",
         # docs_minhash_pairs / lsh_ann_topk: intentionally no SQL

@@ -411,7 +411,7 @@ def docs_legal_refs(sf_dir: str):
 
 
 def docs_citation_roles(sf_dir: str):
-    """The four non-LAGRUM citation roles (rattsfall / forarbeten /
+    """The five non-LAGRUM citation roles (rattsfall / forarbeten /
     eulag / myndighetsbeslut, reference
     ``sources/legal/se/legalref.py`` roles 4-8) as one distributed
     actor-pool stage.  Like ``docs_legal_refs``, each doc synthesizes
@@ -422,16 +422,18 @@ def docs_citation_roles(sf_dir: str):
     class RoleExtract:
         def __init__(self):
             from ferenda_ray.legalref import (AvgParser, EULagParser,
+                                              EURattsfallParser,
                                               ForarbetenParser, Link,
                                               RattsfallParser)
             self.parsers = (RattsfallParser(), ForarbetenParser(),
-                            EULagParser(), AvgParser())
+                            EULagParser(), AvgParser(),
+                            EURattsfallParser())
             self.Link = Link
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids, roles, uris = [], [], []
             for i in b.column("doc_id").to_pylist():
-                role = i % 4
+                role = i % 5
                 if role == 0:
                     text = f"se NJA {1990 + i % 30} s. {10 + i % 90}"
                 elif role == 1:
@@ -440,8 +442,10 @@ def docs_citation_roles(sf_dir: str):
                 elif role == 2:
                     text = (f"rådets direktiv {70 + i % 30}/"
                             f"{1 + i % 600}/EG")
-                else:
+                elif role == 3:
                     text = f"dnr {100 + i % 800}-{i % 99:02d}-40"
+                else:
+                    text = f"Case C-{1 + i % 300}/{i % 30:02d}"
                 for n in self.parsers[role].parse(text):
                     if isinstance(n, self.Link) and n.uri:
                         ids.append(i)
