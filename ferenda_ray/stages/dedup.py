@@ -44,6 +44,29 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 _MERSENNE = (1 << 61) - 1
 
 
+def _emit_all_pairs(seg: np.ndarray, out_a: list, out_b: list,
+                    chunk: int = 1 << 22) -> None:
+    """Append every i<j pair of ``seg`` to the output lists in
+    bounded-memory slabs of ~``chunk`` pairs: the pair OUTPUT of a
+    long posting list is inherently quadratic (10k members → 50M
+    pairs), but no single intermediate allocation exceeds the slab."""
+    n = len(seg)
+    i0 = 0
+    while i0 < n - 1:
+        cnt, i1 = 0, i0
+        while i1 < n - 1 and cnt < chunk:
+            cnt += n - 1 - i1
+            i1 += 1
+        rows = np.arange(i0, i1)
+        reps = (n - 1) - rows
+        row_of = np.repeat(rows, reps)
+        offs = np.repeat(np.cumsum(reps) - reps, reps)
+        col = row_of + 1 + (np.arange(len(row_of)) - offs)
+        out_a.append(seg[row_of])
+        out_b.append(seg[col])
+        i0 = i1
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -190,28 +213,56 @@ def _bands(sig: list, bands: int, rows: int) -> list:
 def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
                       bands: int = 16, shingle_n: int = 5, seed: int = 42,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_bucket: int = 512):
+                      max_bucket: int = 512, emit_capped: bool = False,
+                      broadcast_sig_bytes: int = 256 << 20):
     """Candidate generation via banded LSH + signature-estimated Jaccard
     ≥ ``threshold``.  Returns Dataset ``(id_a, id_b, est_jaccard)``
-    with ``id_a < id_b``.
+    with ``id_a < id_b`` (plus a ``capped`` bool column when
+    ``emit_capped=True``).
 
     Shuffle key = (band_id, band_hash): only bucket collisions
     co-locate; no all-pairs anywhere (the map_batches → explode →
-    groupby shape of the MinHash-LSH recipe)."""
+    groupby shape of the MinHash-LSH recipe).
+
+    Two physical plans, picked by the measured signature-table size
+    (the table is materialized anyway because multiple consumers read
+    it — ~1 KB/doc at the 128-perm default):
+
+    * **≤ broadcast_sig_bytes** — the packed ``(ids, num_perm-matrix)``
+      is ``ray.put`` once; each band task estimates Jaccard in place
+      and the plan is exactly two exchanges (band groupby + pair
+      dedup).  This is the fast path for corpora up to ~10^5–10^6
+      docs per job shard.
+    * **larger** — only ``(id, band, bhash)`` rides the band exchange
+      and the signatures re-attach to the (threshold-pruned-later)
+      candidate set via two hash joins: no corpus-sized state on any
+      single worker, the 100 TB route.
+
+    Recall caveat (hot-bucket cap): a bucket over ``max_bucket``
+    members emits a min-id hub STAR instead of all pairs — O(b)
+    instead of O(b²) under adversarial skew.  For near-dup *dedup
+    clustering* every member stays reachable through the hub, but as
+    a PAIR-LISTING API recall above the cap is approximate twice
+    over: (1) member–member pairs inside an over-cap bucket are only
+    recovered if they collide in some under-cap band, and (2) a hub
+    edge whose ``est_jaccard`` fails the threshold is dropped, which
+    can also disconnect the cluster the star was meant to hold
+    together.  ``emit_capped=True`` adds a ``capped`` column that is
+    True iff EVERY bucket that surfaced the pair was over-cap, so a
+    consumer can tell which survivors came only from truncated
+    buckets."""
     rows = num_perm // bands
-    # materialize the signature table ONCE: three consumers read it
-    # (band explode, sig_a join side, sig_b join side) and Ray re-runs
-    # a shared lazy subtree per consumer — 3× the MinHash compute.
-    # The sig table is ~1 KB/doc (128×int64 + id), a deliberate small
+    # materialize the signature table ONCE: multiple consumers read it
+    # (band explode + either the broadcast pack or two join sides) and
+    # Ray re-runs a shared lazy subtree per consumer — 2-3× the
+    # MinHash compute.  ~1 KB/doc (128×int64 + id): a deliberate small
     # intermediate, not a full-corpus materialization.
     sigs = minhash_signatures(docs, num_perm, shingle_n, seed,
                               text_col, id_col).materialize()
 
     # Shuffle ONLY (id, band, bhash) through the band exchange — NOT the
     # 128×int64 signature (which would be copied into every band row =
-    # ``bands``× shuffle amplification).  Signatures re-join to the
-    # candidate-pair set afterwards: two hash-joins of the sig table vs
-    # a 16× fatter band shuffle.
+    # ``bands``× shuffle amplification).
     def explode(b: pa.Table) -> pa.Table:
         ids, bnd, bh = [], [], []
         for i, sig in zip(b.column(id_col).to_pylist(),
@@ -228,25 +279,17 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def band_pairs(group: pa.Table) -> pa.Table:
-        # one call per BAND (16 total), segmenting the band's buckets
-        # with numpy — a per-(band,bhash) ``map_groups`` costs one
-        # Python call per bucket (~70k at sf0.1; profiled 8.3 s of
-        # remote wall time, the pipeline's hottest op).  Pair emission
-        # keeps the hot-bucket cap (round-2 verdict): buckets over
-        # ``max_bucket`` members emit a min-id hub STAR (O(b) pairs)
-        # — every member stays connected to the cluster through the
-        # hub, the invariant near-dup *dedup* needs; all-pairs only
-        # under the cap (always true on the oracle corpus, so the
-        # checked pair set is unchanged).
-        ids = group.column(id_col).to_numpy()
-        bh = group.column("bhash").to_numpy()
+    def _bucket_pairs(ids: np.ndarray, bh: np.ndarray):
+        """Segment one band's buckets with numpy (one Python call per
+        BAND, not per bucket — a per-(band,bhash) ``map_groups`` cost
+        ~70k Python calls at sf0.1, profiled 8.3 s) and emit pair id
+        arrays + per-pair over-cap flags (hub star above the cap)."""
         order = np.lexsort((ids, bh))
         ids, bh = ids[order], bh[order]
         bounds = np.flatnonzero(np.diff(bh)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(bh)]))
-        out_a, out_b = [], []
+        out_a, out_b, out_c = [], [], []
         for s, e in zip(starts, ends):
             n = e - s
             if n < 2:
@@ -256,26 +299,100 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
                 xs, ys = np.triu_indices(n, k=1)
                 out_a.append(seg[xs])
                 out_b.append(seg[ys])
+                out_c.append(np.zeros(len(xs), dtype=np.int32))
             else:
                 out_a.append(np.full(n - 1, seg[0], dtype=seg.dtype))
                 out_b.append(seg[1:])
+                out_c.append(np.ones(n - 1, dtype=np.int32))
         if not out_a:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
+            z = np.array([], dtype=np.int64)
+            return z, z, np.array([], dtype=np.int32)
+        return (np.concatenate(out_a), np.concatenate(out_b),
+                np.concatenate(out_c))
+
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    def _finalize(pairs):
+        """Cross-band dedup via a VECTORIZED hash aggregate (a
+        per-group ``map_groups`` lambda is one Python call per pair),
+        keeping est_jaccard (identical in every band) and the
+        only-from-capped-buckets flag."""
+        aggs = [_Min("est_jaccard", alias_name="est_jaccard")]
+        if emit_capped:
+            aggs.append(_Min("__capped", alias_name="__capped"))
+        out = pairs.groupby(["id_a", "id_b"]).aggregate(*aggs)
+        if not emit_capped:
+            return out
+
+        def cast_flag(b: pa.Table) -> pa.Table:
+            flag = pc.greater(b.column("__capped"), 0)
+            return b.drop_columns(["__capped"]).append_column(
+                "capped", flag)
+        return out.map_batches(cast_flag, batch_format="pyarrow")
+
+    if sigs.size_bytes() <= broadcast_sig_bytes:
+        # ---- broadcast plan: estimate inside the band task ----
+        import ray as _ray
+        refs = sigs.to_arrow_refs()
+        if refs:
+            packed = pa.concat_tables([_ray.get(r) for r in refs])
+            all_ids = packed.column(id_col).to_numpy()
+            mat = pc.list_flatten(
+                packed.column("minhash").combine_chunks()).to_numpy()
+            mat = np.ascontiguousarray(mat.astype(np.int64, copy=False)
+                                       .reshape(len(all_ids), num_perm))
+        else:
+            all_ids = np.array([], dtype=np.int64)
+            mat = np.empty((0, num_perm), dtype=np.int64)
+        id_order = np.argsort(all_ids)
+        sig_ref = _ray.put((all_ids[id_order], mat[id_order]))
+
+        def band_pairs_bcast(group: pa.Table) -> pa.Table:
+            import ray as _r
+            sid, smat = _r.get(sig_ref)  # zero-copy from object store
+            ids = group.column(id_col).to_numpy()
+            bh = group.column("bhash").to_numpy()
+            a, b, capped = _bucket_pairs(ids, bh)
+            empty = {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+            if emit_capped:
+                empty["__capped"] = pa.array([], pa.int32())
+            if not len(a):
+                return pa.table(empty)
+            est = (smat[np.searchsorted(sid, a)]
+                   == smat[np.searchsorted(sid, b)]).mean(axis=1)
+            keep = est >= threshold
+            out = {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            }
+            if emit_capped:
+                out["__capped"] = pa.array(capped[keep], pa.int32())
+            return pa.table(out)
+
+        return _finalize(exploded.groupby("band").map_groups(
+            band_pairs_bcast, batch_format="pyarrow"))
+
+    # ---- join plan: signatures re-attach to the candidate set ----
+    def band_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        bh = group.column("bhash").to_numpy()
+        a, b, capped = _bucket_pairs(ids, bh)
         return pa.table({
-            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-            "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "__capped": pa.array(capped, pa.int32()),
+        })
 
     cand = (exploded.groupby("band")
             .map_groups(band_pairs, batch_format="pyarrow"))
-    # a pair can surface from several bands → dedup via a VECTORIZED
-    # hash aggregate (a per-group ``map_groups`` lambda is one Python
-    # call per pair — 100k+ candidates made it the pipeline bottleneck),
-    # then re-attach the two signatures and estimate Jaccard
-    from ray.data.aggregate import Count as _Count
+    # pre-join dedup (a pair can surface from several bands)
     cand = (cand.groupby(["id_a", "id_b"])
-            .aggregate(_Count(alias_name="__nb"))
-            .drop_columns(["__nb"]))
+            .aggregate(_Min("__capped", alias_name="__capped")))
     # coalesce: map_groups output carries empty blocks that hang/break
     # Ray 2.49's hash-shuffle join (same workaround as
     # canonicalize.label_propagation); repartition alone redistributes
@@ -314,20 +431,27 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
         return np.frombuffer(raw, dtype="<i8").reshape(n, num_perm)
 
     def estimate(b: pa.Table) -> pa.Table:
+        empty = {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+        if emit_capped:
+            empty["capped"] = pa.array([], pa.bool_())
         if b.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
+            return pa.table(empty)
         A = _unpack(b.column("sig_a"), b.num_rows)
         B = _unpack(b.column("sig_b"), b.num_rows)
         est = (A == B).mean(axis=1)
         keep = est >= threshold
         mask = pa.array(keep)
-        return pa.table({
+        out = {
             "id_a": b.column("id_a").filter(mask),
             "id_b": b.column("id_b").filter(mask),
             "est_jaccard": pa.array(est[keep], type=pa.float64()),
-        })
+        }
+        if emit_capped:
+            out["capped"] = pc.greater(
+                b.column("__capped").filter(mask), 0)
+        return pa.table(out)
 
     return joined.map_batches(estimate, batch_format="pyarrow")
 
@@ -400,7 +524,9 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     ``max_hamming`` (bands = max_hamming + 1): by pigeonhole, a pair
     within distance ≤ max_hamming must agree exactly on at least one
     band — so recall is 1.0 for any ``max_hamming`` ≤ 63, not just the
-    4-band default's ≤3."""
+    4-band default's ≤3 — PROVIDED no touched bucket exceeds
+    ``max_bucket``: over-cap buckets emit a min-id hub star only, so
+    recall above the cap is approximate (see the body comment)."""
     bands = max_hamming + 1
     if bands > 64:
         raise ValueError("max_hamming must be <= 63 for 64-bit SimHash")
@@ -433,12 +559,15 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     def band_pairs(group: pa.Table) -> pa.Table:
         # one call per BAND with numpy bucket segmentation (the
         # per-(band,key) map_groups shape costs one Python call per
-        # bucket — see minhash_lsh_pairs.band_pairs); vectorized
+        # bucket — see minhash_lsh_pairs._bucket_pairs); vectorized
         # hamming verify (uint8-view popcount LUT) with the hot-bucket
         # cap: over ``max_bucket`` members, only min-id hub pairs are
-        # tested (O(b) instead of O(b²)) — hub links keep every true
-        # ≤max_hamming member connected for dedup clustering;
-        # all-pairs (exact recall) below the cap.
+        # tested (O(b) instead of O(b²)).  RECALL IS APPROXIMATE above
+        # the cap: two members can be within max_hamming of each other
+        # yet both >max_hamming from the hub, and if every band they
+        # agree on is over-cap the pair is lost — the pigeonhole
+        # exactness guarantee holds only while all touched buckets are
+        # ≤max_bucket (always true on the oracle corpus).
         ids = group.column(id_col).to_numpy()
         keys = group.column("key").to_numpy()
         hs = group.column("simhash").to_numpy().astype(np.uint64)
@@ -505,12 +634,19 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
        string — arrow joins can't carry list columns), exact verify.
 
     Every step is a ``map_batches``/``groupby``/``join`` — nothing
-    corpus-sized ever rides the driver."""
-    from ferenda_ray.cluster import coalesce_partitions, join_partitions
+    corpus-sized ever rides the driver.  Group granularity is a SHARD
+    (id % P for prefixes, hash(tok) % P for postings), not a document
+    or token: one Python call per shard with the whole shard handled
+    by one vectorized polars/numpy pass (the per-doc ``map_groups``
+    shape cost one Python call per document — the idiom proven in
+    ``_bucket_pairs``)."""
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     default_num_partitions,
+                                     join_partitions)
     from ray.data.aggregate import Count
-    import math
     co = coalesce_partitions()
     np_join = join_partitions()
+    nshards = default_num_partitions(4.0)
 
     def to_sets(b: pa.Table) -> pa.Table:
         wkeys = [" ".join(sorted(set(t.split())))
@@ -536,32 +672,67 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
         df.repartition(co), join_type="inner", num_partitions=np_join,
         on=("tok",))
 
-    def prefix_of(group: pa.Table) -> pa.Table:
-        toks = group.column("tok").to_pylist()
-        dfs = group.column("df").to_pylist()
-        w = len(toks)
-        k = w - math.ceil(threshold * w) + 1
-        order = sorted(range(w), key=lambda i: (dfs[i], toks[i]))[:k]
-        gid = group.column(id_col)[0].as_py()
-        return pa.table({id_col: pa.array([gid] * len(order), pa.int64()),
-                         "tok": pa.array([toks[i] for i in order],
-                                         pa.string())})
+    def prefix_shard(group: pa.Table) -> pa.Table:
+        # rarest-first prefix of length |W| - ceil(t·|W|) + 1 for every
+        # doc in the shard, one vectorized polars pass (sort + window
+        # rank — same (df, tok) order and the same IEEE float-ceil as
+        # the scalar version it replaces)
+        g = pl.from_arrow(group.select([id_col, "tok", "df"]))
+        out = (g.sort([id_col, "df", "tok"])
+               .with_columns(
+                   pl.len().over(id_col).alias("__w"),
+                   pl.int_range(pl.len()).over(id_col).alias("__r"))
+               .filter(pl.col("__r").cast(pl.Float64)
+                       < (pl.col("__w").cast(pl.Float64)
+                          - (pl.col("__w").cast(pl.Float64)
+                             * threshold).ceil() + 1.0))
+               .select([id_col, "tok"]))
+        return out.to_arrow().cast(pa.schema(
+            [(id_col, pa.int64()), ("tok", pa.string())]))
 
-    prefixes = with_df.groupby(id_col).map_groups(
-        prefix_of, batch_format="pyarrow")
+    prefixes = (with_df.map_batches(
+        lambda b: b.append_column("__shard", pa.array(
+            b.column(id_col).to_numpy() % nshards, pa.int64())),
+        batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(prefix_shard, batch_format="pyarrow"))
 
-    def posting_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column(id_col).to_numpy())
-        n = len(ids)
-        if n < 2:
+    def posting_shard(group: pa.Table) -> pa.Table:
+        # pair emission for every posting list in the shard: sort by
+        # (tok, id), segment token runs, bounded-memory vectorized
+        # emission — NO np.triu (a 10k-member posting list is 50M
+        # pairs; the output is inherently quadratic but the slab-wise
+        # kernel keeps peak intermediates at O(chunk))
+        g = (pl.from_arrow(group.select([id_col, "tok"]))
+             .sort(["tok", id_col]))
+        toks = g.get_column("tok").to_numpy()
+        ids = g.get_column(id_col).to_numpy()
+        out_a: list = []
+        out_b: list = []
+        if len(toks):
+            new = np.ones(len(toks), dtype=bool)
+            new[1:] = toks[1:] != toks[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(toks))
+            for s, e in zip(starts, ends):
+                if e - s >= 2:
+                    _emit_all_pairs(ids[s:e], out_a, out_b)
+        if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
-        xs, ys = np.triu_indices(n, k=1)
-        return pa.table({"id_a": pa.array(ids[xs], pa.int64()),
-                         "id_b": pa.array(ids[ys], pa.int64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    cand = (prefixes.groupby("tok").map_groups(
-        posting_pairs, batch_format="pyarrow")
+    def tok_shard(b: pa.Table) -> pa.Table:
+        sh = (pl.from_arrow(b.select(["tok"]))
+              .select(pl.col("tok").hash(seed=42) % nshards)
+              .to_series().to_numpy().astype(np.int64))
+        return b.append_column("__shard", pa.array(sh, pa.int64()))
+
+    cand = (prefixes.map_batches(tok_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(posting_shard, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="__nb"))
         .drop_columns(["__nb"])

@@ -202,3 +202,65 @@ def test_jaccard_distributed_matches_broadcast(docs_ds):
              for r in dedup.jaccard_pairs_broadcast(
                  docs_ds, threshold=t).take_all()}
         assert a == b, f"threshold {t}: {set(a) ^ set(b)}"
+
+
+def test_minhash_broadcast_and_join_plans_agree(docs_ds):
+    """The size-picked broadcast plan and the 100-TB join plan are two
+    physical plans of one logical operator: identical (id_a, id_b,
+    est_jaccard) output."""
+    def run(**kw):
+        return sorted((r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+                      for r in dedup.minhash_lsh_pairs(
+                          docs_ds, threshold=0.5, **kw).take_all())
+    bcast = run()                        # sig table is tiny -> broadcast
+    joinp = run(broadcast_sig_bytes=0)   # force the join route
+    assert bcast == joinp and len(bcast) > 0
+
+
+def test_minhash_capped_flag(docs_ds):
+    """emit_capped=True adds a bool column that is True exactly for
+    pairs that ONLY surfaced from over-cap (hub-star) buckets — on
+    both physical plans."""
+    def run(**kw):
+        rows = dedup.minhash_lsh_pairs(
+            docs_ds, threshold=0.0, max_bucket=2, emit_capped=True,
+            **kw).take_all()
+        assert rows and sorted(rows[0]) == ["capped", "est_jaccard",
+                                            "id_a", "id_b"]
+        return {(r["id_a"], r["id_b"]): r["capped"] for r in rows}
+    got = run()
+    # the planted identical triple (0,10,11) collides in EVERY band as
+    # a 3-member bucket > max_bucket=2: its hub edges are capped
+    assert got[(0, 10)] is True and got[(0, 11)] is True
+    # under-cap buckets keep capped=False
+    assert not all(got.values())
+    assert got == run(broadcast_sig_bytes=0)
+
+
+def test_minhash_no_capped_column_by_default(docs_ds):
+    rows = dedup.minhash_lsh_pairs(docs_ds, threshold=0.5).take_all()
+    assert rows and sorted(rows[0]) == ["est_jaccard", "id_a", "id_b"]
+
+
+def test_jaccard_prefix_filter_kills_hot_posting_list(ray_session):
+    """Skew test: 10k docs all sharing one stopword-like token (a
+    10k-member token group in the exploded table).  Rarest-first
+    prefix ordering must EXCLUDE the hot token from every prefix, so
+    the quadratic posting list never forms and the job completes in
+    bounded time with (near-)zero pairs."""
+    import time
+    import ray.data as rd
+    rng = random.Random(7)
+    n = 10_000
+    texts = []
+    for i in range(n):
+        words = [f"w{rng.randrange(200_000)}" for _ in range(15)]
+        texts.append(" ".join(words + ["commontoken"]))
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(n)),
+                                   "text": texts}))
+    t0 = time.monotonic()
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5).take_all()
+    elapsed = time.monotonic() - t0
+    # 15 random draws from a 200k vocab almost never overlap >=50%
+    assert len(pairs) < 50
+    assert elapsed < 120
