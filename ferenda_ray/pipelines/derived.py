@@ -75,6 +75,38 @@ def faceted_data(triples, facets: list | None = None):
     return agg
 
 
+def faceted_data_bgp(triples, facets: list | None = None,
+                     base_pattern=None):
+    """:func:`faceted_data` expressed through the composable BGP
+    operator — the reference's dynamically BUILT facet SELECT
+    (``documentrepository.py:2293-2383``: one required pattern binds
+    ``?uri``, one OPTIONAL pattern per facet) instead of the pivot
+    shortcut.  A caller can hand any ``base_pattern`` (must bind
+    ``?uri``) to scope the document set, e.g. a repo-specific rdf:type.
+
+    Same output contract as :func:`faceted_data`: wide row per
+    subject, fragment URIs (``#``) excluded, multiple facet values
+    collapsed by ``Max`` (the OPTIONAL join emits one row per value;
+    the aggregate restores one-row-per-uri semantics)."""
+    from ray.data.aggregate import Max
+
+    from ferenda_ray import ns
+    from ferenda_ray.stages.bgp import Var, match
+
+    facets = [f for f in (facets or DEFAULT_FACETS) if not f.multiple_values]
+    u = Var("uri")
+    base = base_pattern or (u, ns.RDF_TYPE, None)
+    if "uri" not in {str(t) for t in base if isinstance(t, Var)}:
+        raise ValueError("base_pattern must bind ?uri")
+    bindings = [f.binding for f in facets]
+    sols = match(triples, [base],
+                 optional=[(u, f.rdfpred, Var(f.binding)) for f in facets],
+                 filters=[(u, "not_contains", "#")],
+                 select=["uri"] + bindings)
+    return sols.groupby("uri").aggregate(
+        *[Max(c, alias_name=c) for c in bindings])
+
+
 def facet_values(triples, facet: Facet):
     """Exploded (uri, value) rows for a multi-valued facet."""
     def project(b: pa.Table) -> pa.Table:

@@ -100,9 +100,12 @@ def doc_mentions(sf_dir: str, aliases: list | None = None):
 def doc_facets(sf_dir: str, base: str = DEFAULT_BASE):
     """Faceted pivot of the doc triples: wide row per doc —
     (uri, dcterms_identifier, dcterms_language, dcterms_extent).
-    Exercises the groupby-subject pivot on oracle-checkable data."""
+    Runs THROUGH the composable BGP operator (``faceted_data_bgp``:
+    base pattern binds ?uri by rdf:type, one OPTIONAL per facet) so
+    the driver hash-checks the reference's dynamically built facet
+    SELECT shape, not just the pivot shortcut."""
     from ferenda_ray.functions.facets import Facet
-    from ferenda_ray.pipelines.derived import faceted_data
+    from ferenda_ray.pipelines.derived import faceted_data_bgp
     triples = doc_triples(sf_dir, base)
 
     def widen(b: pa.Table) -> pa.Table:
@@ -123,8 +126,28 @@ def doc_facets(sf_dir: str, base: str = DEFAULT_BASE):
         Facet(ns.DCTERMS_LANGUAGE, "dcterms_language"),
         Facet(ns.DCTERMS_EXTENT, "dcterms_extent"),
     ]
-    return faceted_data(triples.map_batches(widen, batch_format="pyarrow"),
-                        facets)
+    return faceted_data_bgp(
+        triples.map_batches(widen, batch_format="pyarrow"), facets)
+
+
+def doc_bgp_select(sf_dir: str, base: str = DEFAULT_BASE):
+    """A USER-SUPPLIED pattern list through the composable BGP
+    operator (the arbitrary-SELECT surface of ``stages/bgp.py``): a
+    3-pattern star join over the doc triples — typed documents with
+    their language and identifier bound — plus an in-batch FILTER
+    ``?lang = "en"``.  Oracle-checked: equivalent to a SQL scan of
+    ``documents`` restricted to lang='en'."""
+    from ferenda_ray import ns
+    from ferenda_ray.stages.bgp import Var, match
+    u = Var("uri")
+    triples = doc_triples(sf_dir, base).map_batches(
+        _widen9, batch_format="pyarrow")
+    return match(triples,
+                 [(u, ns.RDF_TYPE, ns.BIBO_DOCUMENT),
+                  (u, ns.DCTERMS_LANGUAGE, Var("lang")),
+                  (u, ns.DCTERMS_IDENTIFIER, Var("ident"))],
+                 filters=[(Var("lang"), "==", "en")],
+                 select=["uri", "ident"])
 
 
 def _widen9(b: pa.Table, graph: str = DOC_GRAPH) -> pa.Table:

@@ -420,26 +420,32 @@ def value_hour_correlation(sf_dir: str):
 
 def latest_value_per_user(sf_dir: str):
     """ARG-MAX per group: each user's value at their latest event —
-    per-batch combiner keeps one candidate per (user, max ts) before
-    the shuffle, the group body finishes (SQL ``arg_max`` with a
-    deterministic event_id tie-break)."""
-    import pandas as pd
+    per-batch polars combiner keeps one candidate per (user, max ts)
+    before the shuffle; the reduce side is SHARDED (user % P), one
+    vectorized polars pass per shard instead of one Python call per
+    user (SQL ``arg_max`` with a deterministic event_id tie-break)."""
+    import polars as pl
+    from ferenda_ray.cluster import default_num_partitions
+    nshards = default_num_partitions(2.0)
+
+    def _tail1(t: pa.Table) -> pl.DataFrame:
+        return (pl.from_arrow(t)
+                .sort(["user_id", "ts", "event_id"])
+                .group_by("user_id", maintain_order=True).tail(1))
 
     def combine(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        return pa.Table.from_pandas(
-            df.groupby("user_id", as_index=False).tail(1),
-            preserve_index=False)
+        out = _tail1(b).with_columns(
+            (pl.col("user_id").hash(seed=7) % nshards)
+            .cast(pl.Int64).alias("__shard"))
+        return out.to_arrow()
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        last = g.iloc[-1]
-        return pd.DataFrame({"user_id": [last["user_id"]],
-                             "latest_value": [last["value"]]})
+    def finalize(g: pa.Table) -> pa.Table:
+        out = _tail1(g).select(
+            "user_id", pl.col("value").alias("latest_value"))
+        return out.to_arrow()
 
     return (_read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
             .map_batches(combine, batch_format="pyarrow",
                          batch_size=65536)
-            .groupby("user_id")
-            .map_groups(finalize, batch_format="pandas"))
+            .groupby("__shard")
+            .map_groups(finalize, batch_format="pyarrow"))

@@ -190,10 +190,20 @@ def api_search(index, meta: dict, q: str | None = None,
     at corpus scale would otherwise collect the corpus — use
     :func:`ferenda_ray.stages.fulltext.query` for ranked retrieval
     over large indexes; this surface reproduces the reference's
-    response JSON, whose ES backend pages the same way)."""
+    response JSON, whose ES backend pages the same way).  Doc-level
+    facet filters run INSIDE the distributed pass (``meta`` is small
+    and ships in the task closure), so the cap counts post-filter
+    hits — filtered-out rows never consume cap slots and
+    ``totalResults`` is exact up to ``max_hits``."""
     filters = {_resolve_field(k): v for k, v in (filters or {}).items()}
+    allowed = pa.array(sorted(
+        u for u, m in meta.items()
+        if all(_field_match(m.get(f), pat)
+               for f, pat in filters.items())), pa.string())
 
     def score(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.is_in(b.column("doc_uri"), value_set=allowed))
         if q is None:
             return b
         keep = [bool(_hit_spans(t, q))
@@ -206,15 +216,11 @@ def api_search(index, meta: dict, q: str | None = None,
     else:
         hits = score(index).to_pylist()
 
-    # group hits by parent doc; apply doc-level facet filters
+    # group hits by parent doc (meta presence + facet filters already
+    # applied in the distributed pass)
     docs: dict[str, dict] = {}
     for h in hits:
-        m = meta.get(h["doc_uri"])
-        if m is None:
-            continue
-        if not all(_field_match(m.get(f), pat)
-                   for f, pat in filters.items()):
-            continue
+        m = meta[h["doc_uri"]]
         d = docs.setdefault(h["doc_uri"], {"doc": m, "self": None,
                                            "inner": []})
         if h["uri"] == h["doc_uri"]:

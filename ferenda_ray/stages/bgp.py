@@ -174,8 +174,8 @@ def match(triples, patterns, *, optional=(), filters=(),
     bound variable.
 
     ``filters``: iterable of ``(var, op, value)`` with op in
-    ``{"==", "!=", "in", "not_in", "prefix"}`` — applied in-batch as
-    soon as the variable is bound.  ``select`` projects/orders the
+    ``{"==", "!=", "in", "not_in", "prefix", "not_contains"}`` —
+    applied in-batch as soon as the variable is bound.  ``select`` projects/orders the
     output columns; ``dedup=True`` applies :func:`distinct` (SELECT
     DISTINCT).
     """
@@ -227,6 +227,8 @@ def match(triples, patterns, *, optional=(), filters=(),
                         pc.is_in(col, value_set=pa.array(list(val))))
                 elif op == "prefix":
                     m = pc.starts_with(col, val)
+                elif op == "not_contains":
+                    m = pc.invert(pc.match_substring(col, val))
                 else:
                     raise ValueError(f"unknown filter op {op!r}")
                 keep = m if keep is None else pc.and_(keep, m)
@@ -273,9 +275,12 @@ def path_closure(triples, pred: str, *, anchors=None,
     ``anchors``: Dataset with a single ``anchor`` column (defaults to
     every node that appears as an edge head or tail — the full
     closure).  O(path depth) hash joins; each round joins the edge set
-    ``(child, parent)`` against the current frontier on ``parent``.
-    Cycles terminate because the frontier is deduped against nothing —
-    use ``max_iters`` as the cycle guard (raise for deep graphs).
+    ``(child, parent)`` against the current frontier on ``parent``,
+    then ANTI-JOINS the stepped frontier against the accumulated set:
+    cycles converge (a revisited ``(node, anchor)`` adds nothing) and
+    diamond-shaped DAGs stop re-expanding duplicate pairs, keeping
+    per-round work O(new pairs) instead of O(paths).  ``max_iters``
+    only fires for genuinely deeper-than-bound graphs.
     """
     np_ = num_partitions or join_partitions()
     edges = scan(triples, (Var("child"), pred, Var("parent")))
@@ -302,7 +307,29 @@ def path_closure(triples, pred: str, *, anchors=None,
         frontier = stepped.map_batches(
             lambda b: pa.table({"node": b.column("child"),
                                 "anchor": b.column("anchor")}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
+        # anti-join against the accumulated closure (left-outer +
+        # keep-null on a marker column): only genuinely NEW pairs
+        # survive into the next round
+        from ray.data.aggregate import Count as _Count
+        frontier = (frontier.groupby(["node", "anchor"])
+                    .aggregate(_Count(alias_name="__nb"))
+                    .drop_columns(["__nb"])
+                    .materialize())
+        if frontier.count() == 0:
+            break
+        seen = acc.map_batches(
+            lambda b: b.append_column(
+                "__seen", pa.array([1] * b.num_rows, pa.int8())),
+            batch_format="pyarrow")
+        frontier = (frontier.repartition(npart).join(
+            seen.repartition(npart), join_type="left_outer",
+            num_partitions=np_, on=("node", "anchor"))
+            .map_batches(
+                lambda b: b.filter(pc.is_null(b.column("__seen")))
+                .select(["node", "anchor"]),
+                batch_format="pyarrow")
+            .materialize())
         if frontier.count() == 0:
             break
         acc = acc.union(frontier).materialize()

@@ -111,8 +111,33 @@ def write_fulltext(rows, out_dir: str, num_buckets: int | None = None):
 
 
 def read_fulltext(index_dir: str):
+    """Manifest-aware index read: a bucket dir carrying a
+    ``_manifest.json`` (the atomic publish point of
+    :func:`upsert_fulltext`) contributes ONLY the parts the manifest
+    names, so readers never see a crashed upsert's unpublished or
+    not-yet-GC'd files; legacy dirs (initial :func:`write_fulltext`
+    output) contribute every parquet file.  Hive partition columns
+    (repo/bucket) are parsed from the paths either way.  The listing
+    is driver-side but per-bucket metadata only — O(buckets), not
+    O(rows)."""
+    import json
+    import os
+
     import ray.data as rd
-    return rd.read_parquet(index_dir)
+    files: list[str] = []
+    has_manifest = False
+    for root, _dirs, names in os.walk(index_dir):
+        if "_manifest.json" in names:
+            has_manifest = True
+            with open(os.path.join(root, "_manifest.json")) as fh:
+                live = json.load(fh)["parts"]
+            files.extend(os.path.join(root, p) for p in live)
+        else:
+            files.extend(os.path.join(root, n) for n in names
+                         if n.endswith(".parquet"))
+    if not has_manifest:
+        return rd.read_parquet(index_dir)
+    return rd.read_parquet(files)
 
 
 def upsert_fulltext(index_dir: str, new_rows, deletes=(),
@@ -128,8 +153,18 @@ def upsert_fulltext(index_dir: str, new_rows, deletes=(),
 
     Only the buckets containing affected basefiles are rewritten —
     one Ray task per affected ``repo=X/bucket=N`` partition, each
-    doing read → anti-filter → append → atomic tmp+rename.  At 100 TB
-    this touches O(changed docs) buckets, never the full index."""
+    doing read → anti-filter → append → atomic publish.  At 100 TB
+    this touches O(changed docs) buckets, never the full index.
+
+    Crash safety: the publish point is an atomic ``_manifest.json``
+    rename naming exactly the live part file; a crash at ANY point
+    leaves a state manifest-aware readers (:func:`read_fulltext`)
+    resolve consistently (old set or new set, never both), and the
+    next upsert of the bucket garbage-collects unreferenced parts.
+    Semantics are SINGLE-WRITER per bucket: two concurrent upserts of
+    one bucket race read-merge-write and the later manifest swap
+    wins, dropping the earlier writer's rows — serialize upserts per
+    bucket (they are cheap: one task per bucket)."""
     import os
     import uuid
 
@@ -162,13 +197,28 @@ def upsert_fulltext(index_dir: str, new_rows, deletes=(),
     def rewrite(part_dir, row_idx, drop, body):
         # body arrives plasma-shared: Ray auto-resolves the ObjectRef
         # argument, so every task reads ONE copy zero-copy
+        import json
+
         import pyarrow.parquet as pq
         fresh = body.take(row_idx) if row_idx else body.slice(0, 0)
+        manifest = os.path.join(part_dir, "_manifest.json")
         olds = []
         if os.path.isdir(part_dir):
-            olds = [os.path.join(part_dir, f)
-                    for f in sorted(os.listdir(part_dir))
-                    if f.endswith(".parquet")]
+            allparts = [f for f in sorted(os.listdir(part_dir))
+                        if f.endswith(".parquet")]
+            if os.path.exists(manifest):
+                with open(manifest) as fh:
+                    live = set(json.load(fh)["parts"])
+                # reconcile: GC parts an earlier crashed upsert left
+                # behind (written but never published, or published
+                # and not yet collected)
+                for f in allparts:
+                    if f not in live:
+                        os.remove(os.path.join(part_dir, f))
+                olds = [os.path.join(part_dir, f)
+                        for f in allparts if f in live]
+            else:
+                olds = [os.path.join(part_dir, f) for f in allparts]
         keep = [pq.read_table(f) for f in olds]
         if keep:
             import pyarrow.compute as pc
@@ -191,7 +241,18 @@ def upsert_fulltext(index_dir: str, new_rows, deletes=(),
         tmp = os.path.join(part_dir, f".part-{token}.tmp")
         final = os.path.join(part_dir, f"part-{token}.parquet")
         pq.write_table(merged, tmp)
-        os.rename(tmp, final)          # atomic publish
+        os.rename(tmp, final)  # part visible but not yet referenced
+        # PUBLISH: atomic manifest swap — manifest-aware readers flip
+        # from the old part set to the new in one rename; a crash on
+        # either side of it leaves a consistent view
+        mtmp = os.path.join(part_dir, f"._manifest-{token}.tmp")
+        with open(mtmp, "w") as fh:
+            json.dump({"parts": [os.path.basename(final)],
+                       "rows": merged.num_rows}, fh)
+        os.rename(mtmp, manifest)
+        # GC the superseded parts (best-effort: a crash here is healed
+        # by the reconcile pass of the next upsert, and readers never
+        # see the stale files through the manifest)
         for f in olds:
             os.remove(f)
         return merged.num_rows

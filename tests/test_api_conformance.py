@@ -1,8 +1,9 @@
 """JSON API conformance vs the reference's golden responses
-(test/files/api/basicapi-*.json, built from test/files/base by
-test/integrationAPI.py:23-127).  The advancedapi-* goldens need the
-three examplerepos corpora and are out of scope; the basicapi family
-is asserted byte-for-byte (as JSON value equality)."""
+(test/files/api/basicapi-*.json and advancedapi-*.json, built by
+test/integrationAPI.py:23-127).  BOTH golden families are asserted as
+JSON value equality: the basicapi set over test/files/base, the
+advancedapi set over the three examplerepos corpora (see the
+``advanced_*`` fixtures below)."""
 
 import json
 import os
@@ -190,3 +191,33 @@ def test_advanced_query_yearselector():
     got = advanced_query(ADV_ROWS, {"year-dcterms_issued": "2013"},
                          query_string="year-dcterms_issued=2013")
     assert got == _want("advancedapi-query-yearselector.json")
+
+
+def test_cap_applies_to_post_filter_hits(ray_session):
+    """The facet filter runs inside the distributed score pass, so
+    rows excluded by the filter never consume max_hits slots:
+    totalResults counts exactly the allowed matches even when the raw
+    text-match count exceeds the cap."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 40
+    idx = pa.table({
+        "doc_uri": [f"http://x/d{i}" for i in range(n)],
+        "uri": [f"http://x/d{i}" for i in range(n)],
+        "basefile": [f"d{i}" for i in range(n)],
+        "repo": ["base"] * n,
+        "title": [f"doc {i}" for i in range(n)],
+        "text": ["needle in every doc"] * n,
+    })
+    meta = {f"http://x/d{i}": {
+        "iri": f"http://x/d{i}",
+        "dcterms_publisher": ("http://pub/A" if i >= n - 3
+                              else "http://pub/B")} for i in range(n)}
+    got = api_search(rd.from_arrow(idx), meta, q="needle",
+                     filters={"dcterms_publisher": "*pub/A"},
+                     max_hits=5)
+    # only 3 docs pass the filter; the 37 pub/B matches (which arrive
+    # FIRST in scan order) must not eat the 5-row cap
+    assert got["totalResults"] == 3
+    assert len(got["items"]) == 3

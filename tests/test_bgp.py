@@ -136,12 +136,32 @@ def test_path_closure_full(triples_ds):
     assert ("s1", "s1") in got and ("d1", "d1") in got
 
 
-def test_path_closure_cycle_raises(ray_session):
+def test_path_closure_cycle_converges(ray_session):
+    """The frontier anti-joins the accumulated set each round, so a
+    cycle along pred CONVERGES to the finite closure instead of
+    spinning until max_iters."""
     import ray.data as rd
     cyc = rd.from_arrow(_triples([("a", ISPARTOF, "b"),
                                   ("b", ISPARTOF, "a")]))
-    with pytest.raises(RuntimeError, match="fixpoint"):
-        path_closure(cyc, ISPARTOF, max_iters=4)
+    out = path_closure(cyc, ISPARTOF, max_iters=6)
+    assert set(rows(out)) == {("a", "a"), ("a", "b"),
+                              ("b", "a"), ("b", "b")}
+
+
+def test_path_closure_diamond_no_reexpansion(ray_session):
+    """Diamond DAG (two paths to the same anchor): duplicate
+    (node, anchor) pairs are dropped at the frontier, and a long tail
+    below the diamond still closes within depth-bounded rounds."""
+    import ray.data as rd
+    tri = rd.from_arrow(_triples([
+        ("l", ISPARTOF, "top"), ("r", ISPARTOF, "top"),
+        ("bot", ISPARTOF, "l"), ("bot", ISPARTOF, "r"),
+        ("t1", ISPARTOF, "bot"), ("t2", ISPARTOF, "t1")]))
+    anchors = rd.from_arrow(pa.table({"anchor": ["top"]}))
+    out = path_closure(tri, ISPARTOF, anchors=anchors, max_iters=8)
+    assert set(rows(out)) == {("top", "top"), ("l", "top"),
+                              ("r", "top"), ("bot", "top"),
+                              ("t1", "top"), ("t2", "top")}
 
 
 def test_construct(triples_ds):

@@ -194,3 +194,47 @@ def test_upsert_doc_granular(index, tmp_path):
     remaining = read_fulltext(out).take_all()
     assert not [r for r in remaining if r["basefile"] == basefile]
     assert len(remaining) == n0 - len(old_rows)
+
+
+def test_upsert_crash_consistency(index, tmp_path):
+    """Crash-safety of the manifest publish: an unreferenced part file
+    (a crashed upsert's leftover) is invisible to manifest-aware reads
+    and garbage-collected by the next upsert of the bucket."""
+    import json
+    import os
+
+    from ferenda_ray.stages.fulltext import upsert_fulltext
+
+    out = str(tmp_path / "ft_crash")
+    write_fulltext(index, out, num_buckets=4)
+    target = read_fulltext(out).take(1)[0]
+    repo, basefile = target["repo"], target["basefile"]
+    new = pa.table({
+        "uri": pa.array([target["uri"]], pa.string()),
+        "repo": pa.array([repo], pa.string()),
+        "basefile": pa.array([basefile], pa.string()),
+        "title": pa.array(["V2"], pa.string()),
+        "lang": pa.array([target["lang"]], pa.string()),
+        "text": pa.array(["v2 body"], pa.large_string()),
+    })
+    upsert_fulltext(out, new, num_buckets=4)
+    n0 = read_fulltext(out).count()
+
+    # locate the manifested bucket and plant a stale (unreferenced)
+    # part — what a crash between part-write and manifest-swap leaves
+    bucket_dir = next(os.path.join(r, "") and r
+                      for r, _, fs in os.walk(out)
+                      if "_manifest.json" in fs)
+    import pyarrow.parquet as pq
+    stale = os.path.join(bucket_dir, "part-deadbeef.parquet")
+    live = json.load(open(os.path.join(bucket_dir,
+                                       "_manifest.json")))["parts"]
+    pq.write_table(pq.read_table(
+        os.path.join(bucket_dir, live[0])), stale)
+
+    # readers never see the stale rows
+    assert read_fulltext(out).count() == n0
+    # the next upsert of that bucket reconciles: stale part removed
+    upsert_fulltext(out, new, num_buckets=4)
+    assert not os.path.exists(stale)
+    assert read_fulltext(out).count() == n0

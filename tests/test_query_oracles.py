@@ -1,0 +1,65 @@
+"""Driver-harness mirror for queries OUTSIDE the driver's window.
+
+The driver's correctness harness verifies only the FIRST 50
+``queries()`` entries (rows + schema + order-insensitive value hash vs
+``oracle_sql()`` in DuckDB, sf=0.01).  Entries demoted past position
+50 would otherwise drift with no verification at all (round-3 ADVICE):
+this test replays the same compare — same tables, same SQL, column
+sort by name, order-insensitive row multiset — at sf=0.001 for every
+past-window query that has an oracle, so the whole surface stays
+checked regardless of how the window is rotated."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+WINDOW = 50
+
+
+def _past_window_names() -> list[str]:
+    import __ray_entry__ as entry
+    names = list(entry.queries())[WINDOW:]
+    oracles = entry.oracle_sql()
+    return [n for n in names if n in oracles]
+
+
+def _normalize(df):
+    df = df[sorted(df.columns)]
+
+    def cell(v):
+        if isinstance(v, float):
+            return None if math.isnan(v) else round(v, 9)
+        return v
+
+    return sorted((tuple(cell(v) for v in t)
+                   for t in df.itertuples(index=False)), key=repr)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _past_window_names())
+def test_past_window_query_matches_oracle(ray_session, oracle_con, name):
+    import __ray_entry__ as entry
+    result = entry.queries()[name](SF_DIR)
+    if hasattr(result, "to_pandas"):
+        got = result.to_pandas()
+    else:
+        got = result
+    exp = oracle_con.execute(entry.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert len(got) == len(exp), name
+    assert _normalize(got) == _normalize(exp), name
