@@ -33,10 +33,23 @@ def sniff_pdf_payload(blob: bytes) -> str:
     return "unknown"
 
 
-def decode_payload(blob: bytes):
+def _has_text(doc) -> bool:
+    """True if any page carries a non-whitespace text element."""
+    return any(str(b).strip() for page in doc for b in page)
+
+
+def decode_payload(blob: bytes, ocr=None):
     """Any PDF payload → parsed :class:`~.pdf2xml.PDFDocument`:
     pdf2xml / hOCR intermediates via their parsers, raw PDFs via the
-    pure-stdlib :mod:`.minipdf` extractor."""
+    pure-stdlib :mod:`.minipdf` extractor.
+
+    ``ocr``: injectable OCR runner (``bytes → hOCR bytes``) — the
+    reference's tesseract path (``pdfreader.py:213-330``) as a hook
+    the same way WordReader/PDFReader take converter hooks (the
+    binary itself is absent here).  A raw PDF whose extracted text
+    layer is EMPTY (a scanned document) is routed through ``ocr`` and
+    the result parsed by the existing hOCR parser; PDFs with a real
+    text layer never invoke it."""
     kind = sniff_pdf_payload(blob)
     if kind == "pdf2xml":
         return _p2x.parse_pdf2xml(blob)
@@ -44,14 +57,18 @@ def decode_payload(blob: bytes):
         return _p2x.parse_hocr(blob)
     if kind == "pdf":
         from .minipdf import extract_pdf
-        return extract_pdf(blob)
+        doc = extract_pdf(blob)
+        if ocr is not None and not _has_text(doc):
+            return _p2x.parse_hocr(ocr(blob))
+        return doc
     raise ValueError("NotImplemented: cannot sniff payload kind "
                      "(expected %%PDF, pdf2xml or hOCR)")
 
 
-def decode_intermediate(blob: bytes) -> list:
+def decode_intermediate(blob: bytes, ocr=None) -> list:
     """PDF payload bytes → list of page texts (real decode)."""
-    return [" ".join(str(b) for b in page) for page in decode_payload(blob)]
+    return [" ".join(str(b) for b in page)
+            for page in decode_payload(blob, ocr=ocr)]
 
 
 class PDFReader:
@@ -62,13 +79,22 @@ class PDFReader:
     (``pdfreader.py:213``) — absent here — but pdf2xml / hOCR
     INTERMEDIATES decode for real via :func:`decode_intermediate`
     (the default decoder).  Inject a ``decoder`` callable (bytes →
-    list[str] of page texts) to override."""
+    list[str] of page texts) to override.
 
-    def __init__(self, decoder=None, binary: str = "pdftohtml"):
+    ``ocr``: injectable OCR runner (``bytes → hOCR bytes``) for
+    SCANNED raw PDFs — applies to the default decoder only (an
+    injected ``decoder`` owns its whole pipeline); see
+    :func:`decode_payload`."""
+
+    def __init__(self, decoder=None, binary: str = "pdftohtml",
+                 ocr=None):
         # intermediates always decode for real; the external binary is
         # only ever a user-injected decoder's concern (a host that HAS
         # pdftohtml must not silently disable the built-in decode)
-        self.decoder = decoder if decoder is not None else decode_intermediate
+        if decoder is None:
+            def decoder(blob, _ocr=ocr):
+                return decode_intermediate(blob, ocr=_ocr)
+        self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, texts, errs = [], [], [], []
@@ -98,14 +124,20 @@ class PDFTextboxes:
     textbox (layout + font columns matching
     ``stages/pdfanalyze.TEXTBOX_SCHEMA``), feeding the distributed
     page-metrics analysis.  Intermediates (pdf2xml / hOCR) decode for
-    real; raw PDFs yield an error row."""
+    real; raw PDFs yield an error row.  ``ocr``: injectable OCR
+    runner for scanned raw PDFs (see :func:`decode_payload`) — OCR'd
+    pages flow into the same textbox rows."""
+
+    def __init__(self, ocr=None):
+        self.ocr = ocr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows, errs = [], []
         for doc_id, blob in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("pdf").to_pylist()):
             try:
-                rows.extend(_p2x.textbox_rows(doc_id, decode_payload(blob)))
+                rows.extend(_p2x.textbox_rows(
+                    doc_id, decode_payload(blob, ocr=self.ocr)))
             except Exception as e:
                 errs.append({"doc_id": doc_id, "error": str(e)})
         cols = {"doc_id": pa.int64(), "page": pa.int64(),

@@ -3,11 +3,13 @@
 Images / audio / video travel as Arrow ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample are
 actor-pool ``map_batches`` stages.  Decode is REAL for the formats the
-stdlib can handle — PNG / BMP / netpbm and WAV PCM via
-:mod:`ferenda_ray.functions.codecs` — while JPEG and video frame
-decode stay honestly stubbed (libjpeg/ffmpeg are absent): an
-unsupported format raises ``NotImplementedError`` unless ``fake=True``
-supplies the deterministic pseudo-decoder.
+stdlib can handle — PNG / BMP / netpbm / GIF and WAV PCM via
+:mod:`ferenda_ray.functions.codecs`, baseline JPEG via
+:mod:`ferenda_ray.functions.jpeg`, and MJPEG-in-AVI video via
+:mod:`ferenda_ray.functions.avi` (:class:`SampleAviFrames`) — while
+other video containers/codecs stay honestly stubbed (ffmpeg absent):
+an unsupported format raises ``NotImplementedError`` unless
+``fake=True`` supplies the deterministic pseudo-decoder.
 
 Batch-size note (SURVEY.md "memory-aware"): binary payloads are wide —
 callers should use a small ``batch_size`` (64–512) so
@@ -288,5 +290,56 @@ def sample_gif_frames(media, n_frames: int = 4, concurrency=(1, 4),
                       batch_size: int = 64):
     return media.map_batches(
         SampleGifFrames, fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+class SampleAviFrames:
+    """Actor-pool stage: MJPEG-in-AVI payload → N sampled frames,
+    REALLY decoded (pure-stdlib RIFF walker +
+    :mod:`ferenda_ray.functions.jpeg`) — same row contract as
+    :class:`SampleGifFrames` (frame_idx/frame_ms/mean_rgb, errors as
+    rows).  Other containers/codecs still need ffmpeg and go through
+    the :class:`SampleFrames` offset stub."""
+
+    def __init__(self, n_frames: int = 4):
+        from ferenda_ray.functions.avi import decode_avi_mjpeg
+        self.n_frames = n_frames
+        self.decode = decode_avi_mjpeg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, ts, means, errs = [], [], [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            try:
+                frames = self.decode(bytes(payload))
+            except Exception as e:
+                ids.append(mid)
+                fidx.append(-1)
+                ts.append(-1)
+                means.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+                continue
+            n = len(frames)
+            picks = sorted({min(n - 1, (i * n) // self.n_frames)
+                            for i in range(self.n_frames)})
+            for i in picks:
+                ids.append(mid)
+                fidx.append(i)
+                ts.append(frames[i]["t_ms"])
+                means.append(float(np.mean(frames[i]["px"])))
+                errs.append(None)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "frame_ms": pa.array(ts, pa.int64()),
+            "mean_rgb": pa.array(means, pa.float64()),
+            "error": pa.array(errs, pa.string())})
+
+
+def sample_avi_frames(media, n_frames: int = 4, concurrency=(1, 4),
+                      batch_size: int = 64):
+    return media.map_batches(
+        SampleAviFrames, fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)

@@ -220,3 +220,56 @@ def test_jpeg_420_subsampling():
     assert out.shape == (h, w, 3)
     mse = np.mean((out.astype(float) - px.astype(float)) ** 2)
     assert 10 * np.log10(255 ** 2 / mse) > 35
+
+
+def test_avi_mjpeg_roundtrip():
+    import numpy as np
+    from ferenda_ray.functions.avi import (AviError, decode_avi_mjpeg,
+                                           encode_avi_mjpeg)
+    frames = []
+    for i in range(5):
+        f = np.zeros((16, 24, 3), np.uint8)
+        f[..., 0] = 40 * i + 20
+        f[..., 1] = 128
+        f[..., 2] = 255 - 40 * i
+        frames.append(f)
+    avi = encode_avi_mjpeg(frames, fps=8)
+    out = decode_avi_mjpeg(avi)
+    assert len(out) == 5
+    # timestamps from strh scale/rate: 125 ms per frame at 8 fps
+    assert [f["t_ms"] for f in out] == [0, 125, 250, 375, 500]
+    for i, f in enumerate(out):
+        assert f["px"].shape == (16, 24, 3)
+        err = np.abs(f["px"].astype(float)
+                     - frames[i].astype(float)).mean()
+        assert err < 6            # JPEG-lossy but pixel-verified
+    import pytest as _pytest
+    with _pytest.raises(AviError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_sample_avi_frames_distributed(ray_session):
+    """End-to-end MJPEG-AVI frame sampling through the actor-pool
+    stage: synthetic fixture -> decoded pixels + timestamps, same row
+    contract as the GIF sampler; undecodable payloads become error
+    rows, not task failures."""
+    import numpy as np
+    import ray.data as rd
+    from ferenda_ray.functions.avi import encode_avi_mjpeg
+    from ferenda_ray.stages.multimodal import sample_avi_frames
+    frames = [np.full((8, 8, 3), c, np.uint8)
+              for c in (10, 80, 160, 240)]
+    avi = encode_avi_mjpeg(frames, fps=25)
+    media = rd.from_arrow(pa.table({
+        "media_id": [3, 4],
+        "payload": pa.array([avi, b"not an avi"], pa.large_binary())}))
+    out = sample_avi_frames(media, n_frames=2).to_pandas()
+    out = out.sort_values(["media_id", "frame_idx"])
+    ok = out[out["media_id"] == 3]
+    assert ok["frame_idx"].tolist() == [0, 2]
+    assert ok["frame_ms"].tolist() == [0, 80]          # 40 ms/frame
+    # flat frames survive JPEG within ~1 grey level
+    assert np.allclose(ok["mean_rgb"].tolist(), [10.0, 160.0], atol=2)
+    bad = out[out["media_id"] == 4]
+    assert bad["frame_idx"].tolist() == [-1]
+    assert bad["error"].notna().all()

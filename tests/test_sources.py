@@ -2,6 +2,8 @@
 (two-step regex + dedup), conditional fetch (304 / unchanged /
 updated), distributed chunking stages."""
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -199,6 +201,61 @@ def test_pdfreader_stub_and_injected_decoder():
     out = real(batch)
     assert out.column("text").to_pylist() == ["page1 text", "page2 text"]
     assert out.column("error").to_pylist() == [None, None]
+
+
+_SCANNED_PDF = (b"%PDF-1.4\n"
+                b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >>"
+                b" endobj\n"
+                b"3 0 obj << /Type /Page /Parent 2 0 R"
+                b" /MediaBox [0 0 612 792] >> endobj\n"
+                b"trailer << /Root 1 0 R >>\n%%EOF")
+_HOCR_FIXTURE = ("/root/reference/test/files/pdfreader/intermediate/"
+                 "scanned.hocr.html")
+
+
+@pytest.mark.skipif(not os.path.exists(_HOCR_FIXTURE),
+                    reason="reference tree absent")
+def test_pdfreader_ocr_hook():
+    """The injectable OCR hook (pdfreader.py:213-330 tesseract path):
+    a raw PDF with NO text layer routes through ``ocr`` and the hOCR
+    result parses via the existing parser; payloads with a real text
+    layer never invoke it — end-to-end to page texts AND textbox
+    rows."""
+    from ferenda_ray.sources.readers import PDFTextboxes
+
+    hocr = open(_HOCR_FIXTURE, "rb").read()
+    calls = []
+
+    def fake_ocr(blob):
+        calls.append(len(blob))
+        return hocr
+
+    batch = pa.table({"doc_id": [7],
+                      "pdf": pa.array([_SCANNED_PDF],
+                                      pa.large_binary())})
+    out = PDFReader(ocr=fake_ocr)(batch)
+    assert calls == [len(_SCANNED_PDF)]
+    assert out.column("error").to_pylist() == [None, None]
+    texts = out.column("text").to_pylist()
+    assert len(texts) == 2                        # the fixture's pages
+    assert "Regeringens proposition" in texts[0]
+
+    # same hook, textbox granularity
+    boxes = PDFTextboxes(ocr=fake_ocr)(batch)
+    assert boxes.num_rows > 10
+    assert boxes.column("error").null_count == boxes.num_rows
+    assert any("proposition" in t
+               for t in boxes.column("text").to_pylist())
+
+    # a payload WITH a text layer (pdf2xml intermediate) skips OCR
+    calls.clear()
+    inter = open("/root/reference/test/files/pdfreader/intermediate/"
+                 "index.xml", "rb").read()
+    out2 = PDFReader(ocr=fake_ocr)(pa.table({
+        "doc_id": [8], "pdf": pa.array([inter], pa.large_binary())}))
+    assert calls == []
+    assert out2.column("error").to_pylist().count(None) == out2.num_rows
 
 
 def test_tombstone_gate(ray_session):
