@@ -48,26 +48,51 @@ def tumbling_hour(sf_dir: str):
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap-based): a new session starts when
     the inter-event gap exceeds ``gap_minutes``.  Per user: number of
-    sessions, events, and the longest session length in events —
-    ``groupby(user).map_groups`` over ts-sorted rows."""
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff()
-        # Timedelta comparison is resolution-safe (pandas may hold ns
-        # while parquet is us)
-        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))
-        sid = new_session.cumsum()
-        sizes = sid.value_counts()
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": [int(sid.max())],
-            "n_events": [len(g)],
-            "max_session_events": [int(sizes.max())],
-        })
+    sessions, events, and the longest session length in events.
+
+    Reduce side is SHARDED (user % P): one vectorized polars pass per
+    shard (sort + ``diff().over(user)`` + ``cum_sum().over(user)``)
+    instead of one Python/pandas call per user."""
+    import polars as pl
+    from ferenda_ray.cluster import default_num_partitions
+    nshards = default_num_partitions(2.0)
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def shard(b: pa.Table) -> pa.Table:
+        sh = (pl.from_arrow(b.select(["user_id"]))
+              .select(pl.col("user_id").hash(seed=11) % nshards)
+              .to_series().to_numpy().astype("int64"))
+        return b.append_column("__shard", pa.array(sh, pa.int64()))
+
+    def sessions(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.select(["user_id", "ts"]))
+              .sort(["user_id", "ts"])
+              .with_columns(pl.col("ts").cast(pl.Int64).alias("__us")))
+        df = df.with_columns(
+            (pl.col("__us").diff().over("user_id").is_null()
+             | (pl.col("__us").diff().over("user_id") > gap_us))
+            .cast(pl.Int64).alias("__new"))
+        df = df.with_columns(
+            pl.col("__new").cum_sum().over("user_id").alias("__sid"))
+        per = df.group_by(["user_id", "__sid"]).agg(pl.len().alias("c"))
+        out = (per.group_by("user_id").agg(
+            pl.col("__sid").max().alias("n_sessions"),
+            pl.col("c").sum().alias("max_events_sum"),
+            pl.col("c").max().alias("max_session_events"))
+            .rename({"max_events_sum": "n_events"})
+            .select(["user_id", "n_sessions", "n_events",
+                     "max_session_events"]))
+        t = out.to_arrow()
+        return t.cast(pa.schema([
+            ("user_id", t.schema.field("user_id").type),
+            ("n_sessions", pa.int64()), ("n_events", pa.int64()),
+            ("max_session_events", pa.int64())]))
 
     return (_read_events(sf_dir, ["ts", "user_id"])
-            .groupby("user_id")
-            .map_groups(sessions, batch_format="pandas"))
+            .map_batches(shard, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("__shard")
+            .map_groups(sessions, batch_format="pyarrow"))
 
 
 def top_users_by_value(sf_dir: str, k: int = 20):
@@ -219,22 +244,38 @@ def event_type_share(sf_dir: str):
 def rolling_user_avg(sf_dir: str, window: int = 5):
     """Per-user rolling mean of ``value`` over the current + preceding
     ``window-1`` events (ts, event_id order) — the bounded-preceding
-    window-frame operator Ray Data lacks natively, expressed as ONE
-    shuffle on the natural key + a vectorized pandas group body."""
-    import pandas as pd
+    window-frame operator Ray Data lacks natively: ONE shuffle on a
+    user SHARD + a vectorized polars ``rolling_mean(...).over(user)``
+    per shard (not one Python call per user)."""
+    import polars as pl
+    from ferenda_ray.cluster import default_num_partitions
+    nshards = default_num_partitions(2.0)
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        avg = g["value"].rolling(window, min_periods=1).mean()
-        return pd.DataFrame({
-            "event_id": g["event_id"],
-            "user_id": g["user_id"],
-            "rolling_avg": avg.round(4),
-        })
+    def shard(b: pa.Table) -> pa.Table:
+        sh = (pl.from_arrow(b.select(["user_id"]))
+              .select(pl.col("user_id").hash(seed=11) % nshards)
+              .to_series().to_numpy().astype("int64"))
+        return b.append_column("__shard", pa.array(sh, pa.int64()))
+
+    def roll(g: pa.Table) -> pa.Table:
+        from ferenda_ray.pipelines.relational import _round_cols
+        out = (pl.from_arrow(
+            g.select(["event_id", "ts", "user_id", "value"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(pl.col("value")
+                          .rolling_mean(window, min_samples=1)
+                          .over("user_id")
+                          .alias("rolling_avg"))
+            .select(["event_id", "user_id", "rolling_avg"]))
+        # round via the engine's half-away-from-zero (= DuckDB round),
+        # not polars' rounding mode
+        return _round_cols(out.to_arrow(), {"rolling_avg": 4})
 
     return (_read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
-            .groupby("user_id")
-            .map_groups(roll, batch_format="pandas"))
+            .map_batches(shard, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("__shard")
+            .map_groups(roll, batch_format="pyarrow"))
 
 
 def value_percentiles(sf_dir: str):

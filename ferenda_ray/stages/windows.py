@@ -121,34 +121,73 @@ def range_join_pairs(events, key_col: str, ts_col: str = "ts",
     """Self range-join: pairs of rows with the same key whose
     timestamps are within ``max_gap_s`` (id_a < id_b).
 
-    Partitioning: one shuffle on ``key_col``; per group a sorted
-    two-pointer sweep — O(n·m) only over rows actually within range,
-    never the full cross product.  Assumes per-key groups fit a
-    worker (true when the key is a user/session-grade key; salt
-    hotter keys first)."""
+    Partitioning: one shuffle on a SHARD of ``key_col``
+    (hash(key) % P); per shard: sort by (key, ts), an O(log) window
+    bound per key run via ``searchsorted``, then ONE vectorized
+    repeat/arange pair-emission kernel over the whole shard.  Output
+    is O(pairs actually within range), never the full cross product,
+    and no per-pair Python (the old shape looped Python over every
+    pair of every per-key group).  Assumes per-key groups fit a
+    worker (user/session-grade keys; salt hotter keys first)."""
+    import polars as pl
+
+    from ferenda_ray.cluster import default_num_partitions
     gap_us = max_gap_s * 1_000_000
+    nshards = default_num_partitions(2.0)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        ts = g[ts_col].astype("int64").to_numpy()
-        ids = g[id_col].to_numpy()
-        key = g[key_col].iloc[0]
-        a_out, b_out, gap_out = [], [], []
-        j0 = 0
-        for i in range(len(g)):
-            while ts[i] - ts[j0] > gap_us:
-                j0 += 1
-            for j in range(j0, i):
-                lo, hi = sorted((int(ids[j]), int(ids[i])))
-                a_out.append(lo)
-                b_out.append(hi)
-                gap_out.append(int(abs(ts[i] - ts[j]) // 1_000_000))
-        return pd.DataFrame({key_col: [key] * len(a_out),
-                             "id_a": a_out, "id_b": b_out,
-                             "gap_s": gap_out})
+    def shard(b: pa.Table) -> pa.Table:
+        sh = (pl.from_arrow(b.select([key_col]))
+              .select(pl.col(key_col).hash(seed=13) % nshards)
+              .to_series().to_numpy().astype("int64"))
+        return b.append_column("__shard", pa.array(sh, pa.int64()))
 
-    return events.groupby(key_col).map_groups(pairs,
-                                              batch_format="pandas")
+    def pairs(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.select([key_col, ts_col, id_col]))
+              .sort([key_col, ts_col, id_col]))
+        keys = df.get_column(key_col).to_numpy()
+        ts = df.get_column(ts_col).cast(pl.Int64).to_numpy()
+        ids = df.get_column(id_col).to_numpy()
+        n = len(ids)
+        empty = pa.table({key_col: pa.array([], g.schema.field(key_col)
+                                            .type),
+                          "id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "gap_s": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        # per-row window start within each key run: ts is sorted only
+        # inside a run, so the searchsorted bound runs per run (one
+        # cheap O(log) call per KEY, not per pair); everything after
+        # is one vectorized pass over the whole shard
+        run_change = np.ones(n, dtype=bool)
+        run_change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(run_change)
+        ends = np.append(starts[1:], n)
+        j0 = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            j0[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - gap_us,
+                                          side="left")
+        counts = np.arange(n) - j0                 # pairs ending at i
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        rows = np.repeat(np.arange(n), counts)     # the i of each pair
+        offs = np.repeat(np.cumsum(counts) - counts, counts)
+        cols = np.repeat(j0, counts) + (np.arange(total) - offs)
+        a, b = ids[cols], ids[rows]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        gap = np.abs(ts[rows] - ts[cols]) // 1_000_000
+        return pa.table({
+            key_col: pa.array(keys[rows]),
+            "id_a": pa.array(lo, pa.int64()),
+            "id_b": pa.array(hi, pa.int64()),
+            "gap_s": pa.array(gap, pa.int64())})
+
+    return (events.map_batches(shard, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("__shard")
+            .map_groups(pairs, batch_format="pyarrow"))
 
 
 def salted_aggregate(ds, key_cols: list, agg_col: str, num_salts: int = 16,

@@ -34,7 +34,10 @@ def _normalize(df):
 
     def cell(v):
         if isinstance(v, float):
-            return None if math.isnan(v) else round(v, 9)
+            # 6 digits: every pipeline rounds its doubles to >=4 and
+            # <=6 digits on BOTH sides, but DuckDB returns float32 for
+            # list_cosine_similarity — digit 7+ carries float32 dust
+            return None if math.isnan(v) else round(v, 6)
         return v
 
     return sorted((tuple(cell(v) for v in t)
