@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-4 surface: 67 queries, 65 with DuckDB oracles.  The 2 rows-only
+Round-4 surface: 68 queries, 66 with DuckDB oracles.  The 2 rows-only
 entries are sketch/approximate BY DESIGN (MinHash estimate,
 probe-limited LSH ANN); each has an exactness property verified in
 pytest instead (recall vs brute force, candidate subset vs exact
@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_share": events.event_type_share,
         "events_top_values_ties": events.top_values_with_ties,
         "events_value_histogram": events.value_histogram,
+        "embeddings_kmeans": docs.embeddings_kmeans,
     }
 
 
@@ -498,6 +499,42 @@ def oracle_sql() -> dict[str, str]:
                                   0), 9) AS bin,
                    count(*) AS n
             FROM events GROUP BY event_type, bin""",
+        # distributed k-means (iterative algorithm), unrolled to its
+        # fixed k=4 / iters=2 instance: c0 = smallest-id init,
+        # a1 = assign, c1 = element-wise mean update, final assign;
+        # ties break (dist, cluster) exactly like np.argmin first-hit
+        "embeddings_kmeans": """
+            WITH c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                     embedding::DOUBLE[] AS c
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+            ),
+            a1 AS (
+              SELECT e.vec_id,
+                     (SELECT c0.cluster FROM c0
+                      ORDER BY list_distance(e.embedding::DOUBLE[],
+                                             c0.c), c0.cluster
+                      LIMIT 1) AS cluster
+              FROM embeddings e
+            ),
+            x1 AS (
+              SELECT a1.cluster,
+                     generate_subscripts(e.embedding, 1) AS i,
+                     unnest(e.embedding)::DOUBLE AS v
+              FROM embeddings e JOIN a1 USING (vec_id)
+            ),
+            c1 AS (
+              SELECT cluster, list(m ORDER BY i) AS c
+              FROM (SELECT cluster, i, avg(v) AS m
+                    FROM x1 GROUP BY cluster, i)
+              GROUP BY cluster
+            )
+            SELECT e.vec_id,
+                   (SELECT c1.cluster FROM c1
+                    ORDER BY list_distance(e.embedding::DOUBLE[],
+                                           c1.c), c1.cluster
+                    LIMIT 1) AS cluster
+            FROM embeddings e""",
         "events_top_values_ties": """
             WITH r AS (
               SELECT event_type, event_id, value,

@@ -687,6 +687,18 @@ def embeddings_label_count(sf_dir: str):
                          batch_format="pyarrow"))
 
 
+def embeddings_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
+    """Distributed k-means assignments ``(vec_id, cluster)`` —
+    smallest-id init and a fixed iteration count, so the unrolled SQL
+    oracle reproduces the assignment exactly (integer output: no
+    float-rounding surface).  The input is materialized once (an
+    iterative algorithm re-scans it every pass otherwise)."""
+    from ferenda_ray.stages.similarity import kmeans_iterate
+    emb = _read_emb(sf_dir).materialize()
+    _, assigns = kmeans_iterate(emb, k=k, iters=iters)
+    return assigns
+
+
 def ivf_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
     """IVF top-k run FULL-PROBE (n_probe = n_centroids), which is
     exact by construction — so the brute-force SQL oracle applies and

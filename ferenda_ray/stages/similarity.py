@@ -207,6 +207,90 @@ def kmeans_fit(X: np.ndarray, n_centroids: int, n_iter: int = 10,
     return C
 
 
+def kmeans_iterate(embeddings, k: int = 8, iters: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Lloyd's k-means — the scale path that
+    :func:`kmeans_fit` (driver-side, over a sample) approximates.
+
+    Broadcast-iterate: per iteration the k×d float64 centroid matrix
+    is ``ray.put`` ONCE, each batch computes its assignment and emits
+    at most k partial rows ``(cluster, sum-vector, count)``, a
+    per-cluster ``groupby().map_groups`` merges the partials
+    distributedly, and the driver reads back exactly ≤k rows to update
+    the matrix — nothing corpus-sized ever rides the driver, and the
+    exchange per iteration is O(batches·k·d) bytes regardless of N.
+    Empty clusters keep their previous centroid.
+
+    Determinism (what makes this oracle-checkable by unrolled SQL):
+    init = the k vectors with the smallest ``id_col`` (one sort+limit;
+    at 100 TB swap in :func:`kmeans_fit`'s seeded-sample init),
+    distances are plain squared-euclidean in float64 over the
+    float32-rounded inputs, ties break to the lowest cluster index
+    (``np.argmin`` first-hit == SQL ``ORDER BY dist, cluster``).
+
+    ``iters`` counts ASSIGNMENT passes: ``iters=2`` is assign → update
+    → assign, matching a 2-level unrolled SQL oracle.  Returns
+    ``(centroids ndarray, assignments Dataset (id_col, cluster))``.
+    """
+    import ray
+
+    seed_rows = embeddings.sort(id_col).limit(k).take_all()  # k rows
+    C = _as_matrix([r[vec_col] for r in seed_rows])
+
+    def _d2(X: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        # explicit (x-c)² sums — same element-wise algorithm as the
+        # oracle's list_distance, so ulp behavior stays comparable;
+        # batch_size=4096 bounds the (n, k, d) tensor to a few MB
+        return ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+
+    class _Partial:
+        def __init__(self, ref):
+            self.C = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            X = _col_matrix(b, vec_col)
+            a = np.argmin(_d2(X, self.C), axis=1)
+            cl, s, n = [], [], []
+            for ci in np.unique(a):  # ≤ k iterations per batch
+                m = X[a == ci]
+                cl.append(int(ci))
+                s.append(m.sum(axis=0).tolist())
+                n.append(len(m))
+            return pa.table({
+                "cluster": pa.array(cl, pa.int64()),
+                "s": pa.array(s, pa.list_(pa.float64())),
+                "n": pa.array(n, pa.int64())})
+
+    def _merge(g: pa.Table) -> pa.Table:
+        S = _col_matrix(g, "s")
+        return pa.table({
+            "cluster": g.column("cluster").slice(0, 1),
+            "s": pa.array([S.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "n": pa.array([int(g.column("n").to_numpy().sum())],
+                          pa.int64())})
+
+    for _ in range(max(iters - 1, 0)):
+        partials = stateful_map(embeddings, _Partial, C,
+                                batch_size=4096)
+        merged = (partials.groupby("cluster")
+                  .map_groups(_merge, batch_format="pyarrow"))
+        for r in merged.take_all():  # ≤ k rows by construction
+            C[r["cluster"]] = np.asarray(r["s"]) / r["n"]
+
+    class _Assign:
+        def __init__(self, ref):
+            self.C = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            X = _col_matrix(b, vec_col)
+            a = np.argmin(_d2(X, self.C), axis=1).astype("int64")
+            return pa.table({id_col: b.column(id_col),
+                             "cluster": pa.array(a)})
+
+    return C, stateful_map(embeddings, _Assign, C, batch_size=4096)
+
+
 def ivf_assign(embeddings, centroids: np.ndarray,
                vec_col: str = "embedding", id_col: str = "vec_id"):
     """Add each vector's nearest-centroid ``cell`` column (the

@@ -1,0 +1,110 @@
+"""Distributed k-means (stages/similarity.kmeans_iterate): identical
+to a driver-side numpy reference of the same fixed-iteration Lloyd's,
+deterministic across runs, and safe when a cluster empties.  The
+oracle-level check (Ray vs unrolled DuckDB SQL on the embeddings
+table) rides the past-window harness in test_query_oracles.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _numpy_kmeans(X: np.ndarray, ids: np.ndarray, k: int, iters: int):
+    """Reference: same init (k smallest ids), same tie-break
+    (np.argmin first-hit), same iteration count."""
+    order = np.argsort(ids)
+    C = X[order[:k]].astype(np.float64).copy()
+    for _ in range(iters - 1):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for ci in range(k):
+            m = X[a == ci]
+            if len(m):
+                C[ci] = m.mean(axis=0)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return C, np.argmin(d2, axis=1)
+
+
+def _emb_table(X: np.ndarray, ids: np.ndarray) -> pa.Table:
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([row.tolist() for row in X],
+                              pa.list_(pa.float32())),
+    })
+
+
+@pytest.fixture()
+def random_emb():
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(300, 16)).astype(np.float32)
+    ids = np.arange(300, dtype=np.int64)
+    return X, ids
+
+
+def test_matches_numpy_reference(ray_session, random_emb):
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import kmeans_iterate
+    X, ids = random_emb
+    ds = rd.from_arrow(_emb_table(X, ids)).repartition(5)
+    C, assigns = kmeans_iterate(ds, k=5, iters=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigns.take_all()}
+    C_ref, a_ref = _numpy_kmeans(X.astype(np.float64), ids, k=5, iters=3)
+    assert np.allclose(C, C_ref, rtol=0, atol=1e-9)
+    assert got == {int(i): int(a) for i, a in zip(ids, a_ref)}
+
+
+def test_deterministic_across_runs(ray_session, random_emb):
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import kmeans_iterate
+    X, ids = random_emb
+    outs = []
+    for _ in range(2):
+        ds = rd.from_arrow(_emb_table(X, ids)).repartition(7)
+        _, assigns = kmeans_iterate(ds, k=4, iters=2)
+        outs.append(sorted((r["vec_id"], r["cluster"])
+                           for r in assigns.take_all()))
+    assert outs[0] == outs[1]
+
+
+def test_empty_cluster_keeps_centroid(ray_session):
+    """Seed 1 is an exact duplicate of seed 0, so the (dist, cluster)
+    tie-break starves cluster 1 of members in every assignment pass —
+    a GUARANTEED empty cluster.  Its centroid must survive unchanged
+    (no NaN) and the final assignment must stay total and equal to
+    the numpy reference."""
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import kmeans_iterate
+    rng = np.random.default_rng(7)
+    A = rng.normal(0.0, 0.01, size=(40, 4))
+    B = rng.normal(10.0, 0.01, size=(40, 4))
+    X = np.vstack([A, B]).astype(np.float32)
+    X[1] = X[0]  # duplicate seed → cluster 1 empties by tie-break
+    ids = np.arange(80, dtype=np.int64)
+    ds = rd.from_arrow(_emb_table(X, ids)).repartition(3)
+    C, assigns = kmeans_iterate(ds, k=3, iters=4)
+    rows = assigns.take_all()
+    assert len(rows) == 80
+    assert not np.isnan(C).any()
+    C_ref, a_ref = _numpy_kmeans(X.astype(np.float64), ids, k=3, iters=4)
+    assert np.allclose(C, C_ref, rtol=0, atol=1e-9)
+    got = {r["vec_id"]: r["cluster"] for r in rows}
+    assert got == {int(i): int(a) for i, a in zip(ids, a_ref)}
+
+
+def test_k_larger_than_n(ray_session):
+    """Degenerate k ≥ n: every point is its own seed/cluster."""
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import kmeans_iterate
+    X = np.eye(3, dtype=np.float32) * 5
+    ids = np.array([2, 0, 1], dtype=np.int64)
+    ds = rd.from_arrow(_emb_table(X, ids))
+    C, assigns = kmeans_iterate(ds, k=3, iters=2)
+    got = sorted((r["vec_id"], r["cluster"]) for r in assigns.take_all())
+    # seeds ordered by ascending id: id0→cluster0, id1→cluster1, id2→2
+    assert got == [(0, 0), (1, 1), (2, 2)]
