@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_values_ties": events.top_values_with_ties,
         "events_value_histogram": events.value_histogram,
         "embeddings_kmeans": docs.embeddings_kmeans,
+        "docs_dup_ngrams": docs.docs_dup_ngrams,
     }
 
 
@@ -583,6 +584,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(hits AS BIGINT) AS n_hits
             FROM s WHERE hits > 0
             ORDER BY score DESC, uri LIMIT 10""",
+        # exact substring duplication (Lee et al. 2022 shape): distinct
+        # char 16-grams at stride 4 per doc, duplicated = appears in >=2
+        # docs.  Ray side windows over BYTES — identical on this
+        # all-ASCII corpus (asserted by the pipeline docstring)
+        "docs_dup_ngrams": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 16) AS g
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 15, 4))
+                               AS p
+                    FROM documents WHERE length(text) >= 16)),
+            cnt AS (SELECT g, count(*) AS n FROM grams GROUP BY g)
+            SELECT grams.doc_id AS doc_id,
+                   count(*) FILTER (WHERE cnt.n >= 2) AS dup_grams,
+                   count(*) AS total_grams
+            FROM grams JOIN cnt USING (g)
+            GROUP BY grams.doc_id ORDER BY doc_id""",
         "doc_entity_pagerank": "WITH de AS (SELECT 'doc:' || doc_id AS d, 'ent:batch' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bbatch\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:shuffle' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bshuffle\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:spark' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bspark\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:stream' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bstream\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:vector' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bvector\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:window' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bwindow\\b')) > 0),\nedges AS (SELECT d AS src, e AS dst FROM de UNION ALL SELECT e, d FROM de),\ndeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),\nnodes AS (SELECT DISTINCT src AS node FROM edges),\nparams AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),\nr0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank FROM nodes)\n, r1 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r0 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r2 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r1 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r3 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r2 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r4 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r3 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r5 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r4 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r6 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r5 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r7 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r6 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r8 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r7 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r9 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r8 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r10 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r9 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\nSELECT node, round(rank, 6) AS rank FROM r10",
         "docs_search_bm25": r"""
             WITH d AS (

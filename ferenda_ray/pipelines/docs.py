@@ -288,6 +288,17 @@ def docs_token_count(sf_dir: str):
     return token_count(_read_docs(sf_dir, ["doc_id", "text"]))
 
 
+def docs_dup_ngrams(sf_dir: str, n: int = 16, stride: int = 4):
+    """Per-doc exact substring-duplication stats (Lee et al. 2022
+    substring dedup): distinct byte 16-grams sampled every 4 bytes,
+    counted against the rest of the corpus — ``(doc_id, dup_grams,
+    total_grams)``.  Byte grams == char grams on the ASCII corpus,
+    matching the char-based SQL oracle."""
+    from ferenda_ray.stages.dedup import ngram_dup_stats
+    return ngram_dup_stats(_read_docs(sf_dir, ["doc_id", "text"]),
+                           n=n, stride=stride)
+
+
 def docs_quality(sf_dir: str):
     from ferenda_ray.stages.text_analysis import quality_score
     return quality_score(_read_docs(sf_dir, ["doc_id", "text"]))

@@ -871,3 +871,149 @@ def embedding_neardup_pairs(embeddings, threshold: float = 0.95,
 
     return stateful_map(embeddings, Finder, (ids, M, dtype),
                         batch_size=2048)
+
+
+# ---------------------------------------------------------------------------
+# exact substring (character n-gram) duplication — Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" detects
+# verbatim text reuse at SUBSTRING granularity, which doc-level
+# MinHash/SimHash cannot see.  No reference counterpart (the reference
+# dedups whole values only, documentrepository.py:913,932-933).
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """MurmurHash3 fmix64 finalizer, vectorized over uint64."""
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xC4CEB9FE1A85EC53)
+    h = h ^ (h >> np.uint64(33))
+    return h
+
+
+def _hash128_rows(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit lane hashes over each ROW of a
+    ``(K, W) uint64`` array — vectorized across K, one numpy pass per
+    word lane (W is tiny: ``ceil(n/8)``).  Murmur3-style multiply +
+    fmix per lane; 128 combined bits make cross-gram collisions
+    vanishingly rare (< K²·2⁻¹²⁹ — the same exactness class as the
+    content-hash groupby in :func:`exact_dedup`)."""
+    K, W = words.shape
+    h1 = np.full(K, 0x9368E53C2F6AF274, dtype=np.uint64)
+    h2 = np.full(K, 0x586DCD208F7CD3FD, dtype=np.uint64)
+    c1 = np.uint64(0x87C37B91114253D5)
+    c2 = np.uint64(0x4CF5AD432745937F)
+    for j in range(W):
+        k = words[:, j]
+        h1 = (h1 ^ _mix64(k * c1 + np.uint64(2 * j + 1)))
+        h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+        h2 = (h2 ^ _mix64(k * c2 + np.uint64(2 * j + 2)))
+        h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+    return _mix64(h1 ^ np.uint64(W)), _mix64(h2 ^ np.uint64(W))
+
+
+def ngram_dup_stats(docs, n: int = 16, stride: int = 4,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int | None = None):
+    """Per-document exact substring-duplication stats: for every doc,
+    how many of its DISTINCT byte n-grams (length ``n``, sampled every
+    ``stride`` bytes) also occur in at least one OTHER document.
+
+    Returns ``(doc_id, dup_grams, total_grams)`` — docs shorter than
+    ``n`` produce no row.  ``dup_grams / total_grams`` is the
+    duplicated-text fraction used as a cut in substring-dedup corpus
+    cleaning (Lee et al. 2022); ``stride=1`` is exhaustive, larger
+    strides trade recall for a 1/stride exchange volume.
+
+    Plan (two shuffles, zero per-gram Python):
+
+    1. ``map_batches``: per batch, ONE concatenated byte buffer +
+       ``sliding_window_view`` yields every window of every doc (no
+       per-doc Python loop beyond the ``str.encode`` C call); windows
+       are 128-bit-hashed lane-wise (:func:`_hash128_rows`) and
+       deduped per doc with one ``np.unique``.  Only ``(doc_id, g1,
+       g2, bucket)`` rows leave the stage — 28 B per gram regardless
+       of ``n``.
+    2. ``groupby(bucket)``: buckets co-locate every copy of a gram
+       (bucket = g1 mod P); inside, one ``np.unique(return_counts)``
+       flags grams seen in ≥2 docs (per-doc distinctness from stage 1
+       makes count == distinct-doc count — no count-distinct needed).
+    3. ``groupby(doc_id)``: Sum(flag) + Count() → the two stats.
+
+    Byte vs character grams: identical on ASCII text (the oracle
+    corpus); on multi-byte text the windows are byte-aligned, which is
+    the standard choice in the substring-dedup literature."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from ferenda_ray.cluster import cluster_cpus
+
+    nb = num_buckets or max(2 * cluster_cpus(), 16)
+    w = (n + 7) // 8  # uint64 lanes per window (zero-padded)
+
+    def _empty() -> pa.Table:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "__g1": pa.array([], pa.int64()),
+                         "__g2": pa.array([], pa.int64()),
+                         "__bucket": pa.array([], pa.int32())})
+
+    def grams(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        ids64 = b.column(id_col).to_numpy(zero_copy_only=False)
+        encs = [t.encode("utf-8") if t else b"" for t in texts]
+        lens = np.fromiter((len(e) for e in encs), dtype=np.int64,
+                           count=len(encs))
+        k = np.where(lens >= n, (lens - n) // stride + 1, 0)
+        total = int(k.sum())
+        if total == 0:
+            return _empty()
+        # global window start positions, built without a per-doc loop
+        doc_idx = np.repeat(np.arange(len(encs)), k)
+        kpre = np.concatenate(([0], np.cumsum(k)[:-1]))
+        within = (np.arange(total) - np.repeat(kpre, k)) * stride
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gpos = starts[doc_idx] + within
+        buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(buf, n)[gpos]
+        if n % 8:
+            pad = np.zeros((total, w * 8), dtype=np.uint8)
+            pad[:, :n] = win
+            win = pad
+        else:
+            win = np.ascontiguousarray(win)
+        g1, g2 = _hash128_rows(win.view(np.uint64).reshape(total, w))
+        # per-doc distinct (doc, gram) — ONE unique over packed rows
+        rec = np.empty((total, 3), dtype=np.uint64)
+        rec[:, 0] = ids64[doc_idx].astype(np.uint64)
+        rec[:, 1] = g1
+        rec[:, 2] = g2
+        rec = np.unique(rec, axis=0)
+        return pa.table({
+            id_col: pa.array(rec[:, 0].astype(np.int64), pa.int64()),
+            "__g1": pa.array(rec[:, 1].view(np.int64), pa.int64()),
+            "__g2": pa.array(rec[:, 2].view(np.int64), pa.int64()),
+            "__bucket": pa.array(
+                (rec[:, 1] % np.uint64(nb)).astype(np.int32),
+                pa.int32())})
+
+    def flag_dups(group: pa.Table) -> pa.Table:
+        # one call per BUCKET; gram multiplicity == distinct-doc count
+        # because stage 1 emitted each (doc, gram) exactly once
+        g1 = group.column("__g1").to_numpy().view(np.uint64)
+        g2 = group.column("__g2").to_numpy().view(np.uint64)
+        ids = group.column(id_col).to_numpy()
+        pair = np.empty((len(g1), 2), dtype=np.uint64)
+        pair[:, 0] = g1
+        pair[:, 1] = g2
+        _, inv, cnt = np.unique(pair, axis=0, return_inverse=True,
+                                return_counts=True)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "dup": pa.array((cnt[inv] >= 2).astype(np.int64),
+                            pa.int64())})
+
+    flagged = (docs.map_batches(grams, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(flag_dups, batch_format="pyarrow"))
+    return (flagged.groupby(id_col)
+            .aggregate(_Sum("dup", alias_name="dup_grams"),
+                       _Count(alias_name="total_grams")))

@@ -264,3 +264,69 @@ def test_jaccard_prefix_filter_kills_hot_posting_list(ray_session):
     # 15 random draws from a 200k vocab almost never overlap >=50%
     assert len(pairs) < 50
     assert elapsed < 120
+
+
+# ---------------------------------------------------------------------------
+# exact substring (n-gram) duplication stats
+
+
+def _brute_ngram_stats(texts, ids, n, stride):
+    grams = {}
+    for i, t in zip(ids, texts):
+        b = t.encode()
+        if len(b) < n:
+            continue
+        gs = {bytes(b[p:p + n]) for p in range(0, len(b) - n + 1, stride)}
+        grams[i] = gs
+    from collections import Counter
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    return {i: (sum(1 for g in gs if cnt[g] >= 2), len(gs))
+            for i, gs in grams.items()}
+
+
+def test_ngram_dup_stats_matches_brute_force(ray_session):
+    import ray.data as rd
+    rng = random.Random(7)
+    texts = ["".join(rng.choice("abcdef ") for _ in range(rng.randint(3, 90)))
+             for _ in range(60)]
+    texts[7] = texts[3]                       # full duplicate
+    texts[9] = "X" * 5 + texts[3][10:40] + "Y" * 5   # shared substring
+    ids = list(range(60))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = {r["doc_id"]: (r["dup_grams"], r["total_grams"])
+           for r in dedup.ngram_dup_stats(ds, n=8, stride=2).take_all()}
+    assert out == _brute_ngram_stats(texts, ids, 8, 2)
+
+
+def test_ngram_dup_stats_short_docs_excluded(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                 "text": ["tiny", "this one is long enough!",
+                                          "this one is long enough!"]}))
+    rows = {r["doc_id"]: r for r in
+            dedup.ngram_dup_stats(ds, n=16, stride=1).take_all()}
+    assert 1 not in rows                       # len < n → no row
+    assert rows[2]["dup_grams"] == rows[2]["total_grams"] > 0
+    assert rows[3]["dup_grams"] == rows[3]["total_grams"]
+
+
+def test_ngram_dup_stats_within_doc_repeat_not_dup(ray_session):
+    # a gram repeated INSIDE one doc only is not "duplicated": the
+    # count is per-doc-distinct (matches the SQL DISTINCT oracle)
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                 "text": ["abcdabcdabcdabcd",
+                                          "zzzzyyyyxxxxwwww"]}))
+    for r in dedup.ngram_dup_stats(ds, n=4, stride=4).take_all():
+        assert r["dup_grams"] == 0
+
+
+def test_ngram_dup_stats_nonmultiple_of_8_width(ray_session):
+    # n % 8 != 0 exercises the zero-padded uint64 lane path
+    import ray.data as rd
+    texts = ["shared-prefix tail one", "shared-prefix tail two", "unrelated?"]
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "text": texts}))
+    rows = {r["doc_id"]: r for r in
+            dedup.ngram_dup_stats(ds, n=10, stride=1).take_all()}
+    assert rows[1]["dup_grams"] > 0 and rows[2]["dup_grams"] > 0
+    assert rows[3]["dup_grams"] == 0
