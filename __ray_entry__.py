@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": events.value_histogram,
         "embeddings_kmeans": docs.embeddings_kmeans,
         "docs_dup_ngrams": docs.docs_dup_ngrams,
+        "docs_perplexity": docs.docs_perplexity,
     }
 
 
@@ -601,6 +602,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_grams
             FROM grams JOIN cnt USING (g)
             GROUP BY grams.doc_id ORDER BY doc_id""",
+        # CCNet-style perplexity filter statistic: bits-per-bigram
+        # under a self-trained add-0.5 bigram LM (single-space
+        # tokens, context count = bigram-lhs count, V = distinct rhs)
+        "docs_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            big AS (
+              SELECT doc_id, l[CAST(p AS INT)] AS w1,
+                     l[CAST(p AS INT) + 1] AS w2
+              FROM (SELECT doc_id, l,
+                           unnest(generate_series(1, len(l) - 1)) AS p
+                    FROM toks)),
+            cb AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+            cu AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+            v AS (SELECT count(DISTINCT w2) AS vs FROM big)
+            SELECT b.doc_id AS doc_id, count(*) AS n_bigrams,
+                   round(-avg(log2((c12 + 0.5)
+                                   / (c1 + 0.5 * (SELECT vs FROM v)))),
+                         6) AS bits_per_bigram
+            FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+            GROUP BY b.doc_id ORDER BY doc_id""",
         "doc_entity_pagerank": "WITH de AS (SELECT 'doc:' || doc_id AS d, 'ent:batch' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bbatch\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:shuffle' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bshuffle\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:spark' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bspark\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:stream' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bstream\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:vector' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bvector\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:window' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bwindow\\b')) > 0),\nedges AS (SELECT d AS src, e AS dst FROM de UNION ALL SELECT e, d FROM de),\ndeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),\nnodes AS (SELECT DISTINCT src AS node FROM edges),\nparams AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),\nr0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank FROM nodes)\n, r1 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r0 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r2 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r1 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r3 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r2 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r4 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r3 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r5 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r4 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r6 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r5 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r7 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r6 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r8 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r7 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r9 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r8 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r10 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r9 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\nSELECT node, round(rank, 6) AS rank FROM r10",
         "docs_search_bm25": r"""
             WITH d AS (

@@ -299,6 +299,18 @@ def docs_dup_ngrams(sf_dir: str, n: int = 16, stride: int = 4):
                            n=n, stride=stride)
 
 
+def docs_perplexity(sf_dir: str):
+    """CCNet-style LM-perplexity quality statistic: bits-per-bigram
+    under a self-trained add-0.5 bigram LM, rounded to 6 digits for
+    the float-stable oracle compare."""
+    from ferenda_ray.pipelines.relational import _round_cols
+    from ferenda_ray.stages.text_analysis import perplexity_score
+    out = perplexity_score(_read_docs(sf_dir, ["doc_id", "text"]))
+    return out.map_batches(
+        lambda b: _round_cols(b, {"bits_per_bigram": 6}),
+        batch_format="pyarrow")
+
+
 def docs_quality(sf_dir: str):
     from ferenda_ray.stages.text_analysis import quality_score
     return quality_score(_read_docs(sf_dir, ["doc_id", "text"]))

@@ -337,3 +337,111 @@ def pii_scrub(docs, text_col: str = "text", id_col: str = "doc_id"):
         return out.to_arrow()
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity quality filtering (CCNet shape: Wenzek et al. 2020 train
+# a small LM and keep the low-perplexity tail of the crawl).  Here the
+# LM is an add-alpha-smoothed bigram model, trained AND scored fully
+# distributed — counts are shuffle-partitioned tables, scoring is two
+# hash joins; nothing model-sized ever rides the driver or a broadcast,
+# so the vocabulary can be corpus-scale.
+
+
+def _bigram_explode(docs, text_col: str, id_col: str):
+    """``(id, w1, w2)`` — one row per adjacent whitespace-token pair,
+    vectorized via polars list kernels (split → slice → explode)."""
+    def explode(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).with_columns(
+            pl.col(text_col).str.split(" ").alias("__l"))
+        df = (df.with_columns(
+                  pl.col("__l").list.slice(0, pl.col("__l").list.len() - 1)
+                  .alias("w1"),
+                  pl.col("__l").list.slice(1).alias("w2"))
+              .select([id_col, "w1", "w2"])
+              .explode(["w1", "w2"])
+              .drop_nulls())
+        t = df.to_arrow()
+        # polars emits large_string; Ray's join requires both sides to
+        # agree, and aggregates normalize to string — cast here once
+        return t.cast(pa.schema([
+            (name, pa.string() if t.schema.field(name).type
+             == pa.large_string() else t.schema.field(name).type)
+            for name in t.schema.names]))
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+def bigram_lm_counts(docs, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Train the bigram LM: returns ``(pair_counts, context_counts,
+    vocab_size)`` — two shuffle-partitioned count Datasets
+    (``(w1, w2, c12)`` and ``(w1, c1)``, Ray's aggregate does the
+    map-side combine) plus the scalar continuation-vocabulary size."""
+    from ray.data.aggregate import Count as _Count
+
+    big = _bigram_explode(docs, text_col, id_col)
+    cb = big.groupby(["w1", "w2"]).aggregate(_Count(alias_name="c12"))
+    cu = big.groupby("w1").aggregate(_Count(alias_name="c1"))
+    vocab = big.groupby("w2").aggregate(_Count(alias_name="__n")).count()
+    return cb, cu, int(vocab)
+
+
+def perplexity_score(docs, train=None, alpha: float = 0.5,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc bits-per-bigram under an add-alpha bigram LM:
+    ``-mean(log2((c12+alpha) / (c1+alpha*V)))`` — the CCNet filter
+    statistic (low = fluent/in-domain, high = noise).  ``train``
+    defaults to the scored corpus itself (self-perplexity, the
+    common dedup-then-filter arrangement).
+
+    Docs with fewer than two tokens emit no row (they have no
+    bigrams).  Returns ``(doc_id, n_bigrams, bits_per_bigram)``
+    with the float UNROUNDED — callers pin digits for comparison.
+
+    Scale: scoring joins each doc bigram to the count tables on
+    ``(w1, w2)`` then ``(w1,)`` — hash exchanges, no broadcast — and
+    reduces per doc with Sum/Count.  Every doc-sized or model-sized
+    structure stays a Dataset end-to-end."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+
+    cb, cu, v = bigram_lm_counts(train if train is not None else docs,
+                                 text_col, id_col)
+    big = _bigram_explode(docs, text_col, id_col)
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        big, cb, cu = (d.repartition(co) for d in (big, cb, cu))
+    j = big.join(cb, join_type="inner", num_partitions=np_,
+                 on=("w1", "w2"))
+    if not ray_join_handles_empty_blocks():
+        j = j.repartition(coalesce_partitions())
+    j = j.join(cu, join_type="inner", num_partitions=np_, on=("w1",))
+
+    av = float(alpha) * v
+    a = float(alpha)
+
+    def logp(b: pa.Table) -> pa.Table:
+        c12 = b.column("c12").to_numpy().astype(np.float64)
+        c1 = b.column("c1").to_numpy().astype(np.float64)
+        bits = -np.log2((c12 + a) / (c1 + av))
+        return pa.table({id_col: b.column(id_col),
+                         "__bits": pa.array(bits, pa.float64())})
+
+    per = (j.map_batches(logp, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(_Sum("__bits", alias_name="__sum"),
+                      _Count(alias_name="n_bigrams")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = b.column("__sum").to_numpy()
+        n = b.column("n_bigrams").to_numpy()
+        return pa.table({id_col: b.column(id_col),
+                         "n_bigrams": b.column("n_bigrams"),
+                         "bits_per_bigram": pa.array(s / n, pa.float64())})
+
+    return per.map_batches(finalize, batch_format="pyarrow")

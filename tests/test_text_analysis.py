@@ -165,3 +165,64 @@ def test_pii_scrub(ray_session):
     out = pii_scrub(docs).to_pandas().iloc[0]
     assert (out["n_email"], out["n_phone"], out["n_ipv4"]) == (1, 1, 1)
     assert out["clean_text"] == "mail <EMAIL> or call <PHONE> from <IP>"
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity (CCNet-style quality statistic)
+
+
+def _brute_perplexity(texts, ids, alpha=0.5):
+    import math
+    from collections import Counter
+    big = [(i, (a, b)) for i, t in zip(ids, texts)
+           for a, b in zip(t.split(" "), t.split(" ")[1:])]
+    cb = Counter(g for _, g in big)
+    cu = Counter(g[0] for _, g in big)
+    v = len({g[1] for _, g in big})
+    out = {}
+    for i in ids:
+        gs = [g for j, g in big if j == i]
+        if not gs:
+            continue
+        bits = [-math.log2((cb[g] + alpha) / (cu[g[0]] + alpha * v))
+                for g in gs]
+        out[i] = (len(bits), round(sum(bits) / len(bits), 6))
+    return out
+
+
+def test_perplexity_matches_brute_force(ray_session):
+    import random
+
+    import ray.data as rd
+    rng = random.Random(11)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(words) for _ in range(rng.randint(1, 30)))
+             for _ in range(40)]
+    ids = list(range(40))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {r["doc_id"]: (r["n_bigrams"], round(r["bits_per_bigram"], 6))
+           for r in ta.perplexity_score(ds).take_all()}
+    assert got == _brute_perplexity(texts, ids)
+
+
+def test_perplexity_single_token_doc_excluded(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                 "text": ["lonely", "two words here"]}))
+    rows = {r["doc_id"] for r in
+            ta.perplexity_score(ds).take_all()}
+    assert rows == {2}
+
+
+def test_perplexity_separate_train_corpus(ray_session):
+    # scoring corpus != training corpus: an unseen bigram of KNOWN
+    # words scores the add-alpha floor; fluent in-domain text scores
+    # lower (the CCNet keep/cut ordering)
+    import ray.data as rd
+    train = rd.from_arrow(pa.table(
+        {"doc_id": [1, 2], "text": ["a b a b a b", "b c b c b c"]}))
+    score = rd.from_arrow(pa.table(
+        {"doc_id": [10, 11], "text": ["a b a b", "b a b a"]}))
+    rows = {r["doc_id"]: r["bits_per_bigram"] for r in
+            ta.perplexity_score(score, train=train).take_all()}
+    assert rows[10] < rows[11]
