@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans": docs.embeddings_kmeans,
         "docs_dup_ngrams": docs.docs_dup_ngrams,
         "docs_perplexity": docs.docs_perplexity,
+        "docs_top_tokens": docs.docs_top_tokens,
     }
 
 
@@ -602,6 +603,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_grams
             FROM grams JOIN cnt USING (g)
             GROUP BY grams.doc_id ORDER BY doc_id""",
+        # exact top-k tokens — the exact twin of the Space-Saving
+        # heavy-hitters sketch (sketches.heavy_hitter_tokens)
+        "docs_top_tokens": """
+            WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents)
+            SELECT tok, count(*) AS n FROM t GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 20""",
         # CCNet-style perplexity filter statistic: bits-per-bigram
         # under a self-trained add-0.5 bigram LM (single-space
         # tokens, context count = bigram-lhs count, V = distinct rhs)

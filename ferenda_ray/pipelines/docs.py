@@ -299,6 +299,30 @@ def docs_dup_ngrams(sf_dir: str, n: int = 16, stride: int = 4):
                            n=n, stride=stride)
 
 
+def docs_top_tokens(sf_dir: str, k: int = 20):
+    """Exact corpus-wide top-k tokens — the oracle-checked twin of the
+    Space-Saving sketch path (``sketches.heavy_hitter_tokens``).
+    Per-batch polars value_counts combiner shrinks the exchange to
+    (token, partial-count) rows before the one global groupby."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def combine(b: pa.Table) -> pa.Table:
+        vc = (pl.from_arrow(b).select(
+            pl.col("text").str.split(" ").alias("tok"))
+            .explode("tok")["tok"].value_counts())
+        t = pa.table({"tok": vc["tok"].to_arrow(),
+                      "c": vc["count"].to_arrow()})
+        return t.cast(pa.schema([("tok", pa.string()),
+                                 ("c", pa.int64())]))
+
+    counts = (_read_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(combine, batch_format="pyarrow")
+              .groupby("tok").aggregate(_Sum("c", alias_name="n")))
+    return counts.sort(["n", "tok"], descending=[True, False]).limit(k)
+
+
 def docs_perplexity(sf_dir: str):
     """CCNet-style LM-perplexity quality statistic: bits-per-bigram
     under a self-trained add-0.5 bigram LM, rounded to 6 digits for

@@ -26,8 +26,9 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["HyperLogLog", "QuantileDigest", "hll_count_distinct",
-           "sketch_quantiles"]
+__all__ = ["HyperLogLog", "QuantileDigest", "SpaceSaving",
+           "hll_count_distinct", "sketch_quantiles",
+           "heavy_hitter_tokens"]
 
 
 class HyperLogLog:
@@ -224,3 +225,109 @@ def sketch_quantiles(ds, col: str, qs=(0.5, 0.95), k: int = 256,
                            batch_size=65536)
             .groupby("group")
             .map_groups(finalize, batch_format="pyarrow"))
+
+
+class SpaceSaving:
+    """Space-Saving heavy hitters (Metwally et al. 2005): ``capacity``
+    counters; an unmonitored item evicts the current minimum and
+    inherits its count as overestimation error.  Guarantees: every
+    item with true count > N/capacity is monitored, and
+    ``count - error <= true <= count`` per monitored item.
+
+    Mergeable (Agarwal et al. 2012 MERGEABLE SUMMARIES): combine
+    counter maps (missing entries take the other sketch's min as
+    count AND error), keep the top ``capacity`` — the bounds add."""
+
+    def __init__(self, capacity: int = 256):
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.errors: dict = {}
+        self.n = 0
+
+    def _min(self) -> int:
+        return min(self.counts.values()) if len(
+            self.counts) >= self.capacity else 0
+
+    def add_many(self, items, weights=None) -> "SpaceSaving":
+        if weights is None:
+            import collections
+            pairs = collections.Counter(items).items()
+        else:
+            pairs = zip(items, weights)
+        for it, w in pairs:
+            w = int(w)
+            self.n += w
+            if it in self.counts:
+                self.counts[it] += w
+            elif len(self.counts) < self.capacity:
+                self.counts[it] = w
+                self.errors[it] = 0
+            else:
+                mn_it = min(self.counts, key=self.counts.get)
+                mn = self.counts.pop(mn_it)
+                self.errors.pop(mn_it)
+                self.counts[it] = mn + w
+                self.errors[it] = mn
+        return self
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        smin, omin = self._min(), other._min()
+        keys = set(self.counts) | set(other.counts)
+        counts, errors = {}, {}
+        for k in keys:
+            counts[k] = (self.counts.get(k, smin)
+                         + other.counts.get(k, omin))
+            errors[k] = (self.errors.get(k, smin)
+                         + other.errors.get(k, omin))
+        top = sorted(keys, key=lambda k: counts[k],
+                     reverse=True)[:self.capacity]
+        self.counts = {k: counts[k] for k in top}
+        self.errors = {k: errors[k] for k in top}
+        self.n += other.n
+        return self
+
+    def heavy_hitters(self, k: int):
+        """Top-k ``(item, est_count, max_overcount)`` by estimated
+        count, ties broken by item for determinism."""
+        top = sorted(self.counts,
+                     key=lambda it: (-self.counts[it], str(it)))[:k]
+        return [(it, self.counts[it], self.errors[it]) for it in top]
+
+    def dumps(self) -> bytes:
+        import pickle
+        return pickle.dumps((self.capacity, self.counts, self.errors,
+                             self.n))
+
+    @classmethod
+    def loads(cls, blob: bytes) -> "SpaceSaving":
+        import pickle
+        cap, counts, errors, n = pickle.loads(blob)
+        s = cls(cap)
+        s.counts, s.errors, s.n = counts, errors, n
+        return s
+
+
+def heavy_hitter_tokens(ds, col: str, k: int = 20,
+                        capacity: int = 256):
+    """Approximate top-k whitespace tokens: one Space-Saving partial
+    per batch (built from the batch's OWN token counts — one Counter
+    pass), merged driver-side.  Reduce input = batch count; every
+    token with true frequency > N/capacity is guaranteed present.
+    The exact twin is ``pipelines.docs.docs_top_tokens``."""
+    import polars as pl
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(b).select(
+            pl.col(col).str.split(" ").alias("t"))
+            .explode("t")["t"].value_counts())
+        s = SpaceSaving(capacity).add_many(
+            toks["t"].to_list(), toks["count"].to_numpy())
+        return pa.table({"sketch": pa.array([s.dumps()],
+                                            pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).take_all()
+    acc = SpaceSaving(capacity)
+    for r in parts:
+        acc.merge(SpaceSaving.loads(r["sketch"]))
+    return acc.heavy_hitters(k)

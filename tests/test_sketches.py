@@ -6,6 +6,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+from ferenda_ray.stages import sketches
 from ferenda_ray.stages.sketches import (
     HyperLogLog, QuantileDigest, hll_count_distinct, sketch_quantiles,
 )
@@ -80,3 +81,62 @@ def test_ray_hll_and_quantiles(ray_session):
         got = rows[et]["p50"]
         rank = float((np.array(v) <= got).mean())
         assert abs(rank - 0.5) < 0.05, (et, exact, got)
+
+
+# ---------------------------------------------------------------------------
+# Space-Saving heavy hitters
+
+
+def test_space_saving_guarantees():
+    import collections
+    import random
+    rng = random.Random(5)
+    # zipf-ish stream: token i has weight ~ 1/(i+1)
+    pop = [f"w{i}" for i in range(200)]
+    stream = [pop[min(int(rng.paretovariate(1.2)) - 1, 199)]
+              for _ in range(20000)]
+    true = collections.Counter(stream)
+    s = sketches.SpaceSaving(64).add_many(stream)
+    # every item with true count > N/capacity is monitored
+    thresh = len(stream) / 64
+    for it, c in true.items():
+        if c > thresh:
+            assert it in s.counts
+    # per-item bounds: count-err <= true <= count
+    for it, est in s.counts.items():
+        assert est - s.errors[it] <= true[it] <= est
+
+
+def test_space_saving_merge_matches_single_pass_bounds():
+    import collections
+    import random
+    rng = random.Random(9)
+    pop = [f"t{i}" for i in range(50)]
+    a = [rng.choice(pop[:10]) for _ in range(5000)]
+    b = [rng.choice(pop) for _ in range(5000)]
+    true = collections.Counter(a + b)
+    sa = sketches.SpaceSaving(32).add_many(a)
+    sb = sketches.SpaceSaving(32).add_many(b)
+    sa.merge(sketches.SpaceSaving.loads(sb.dumps()))
+    assert sa.n == 10000
+    for it, est in sa.counts.items():
+        assert est - sa.errors[it] <= true[it] <= est
+    # heavy items (>N/capacity) survive the merge
+    for it, c in true.items():
+        if c > 10000 / 32:
+            assert it in sa.counts
+
+
+def test_heavy_hitter_tokens_vs_exact(ray_session):
+    import collections
+
+    import ray.data as rd
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    hh = sketches.heavy_hitter_tokens(docs, "text", k=10, capacity=256)
+    true = collections.Counter(
+        t for r in docs.take_all() for t in r["text"].split(" "))
+    exact = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    # capacity 256 >> vocab (31) → sketch IS exact here
+    assert [(t, c) for t, c, _ in hh] == exact
+    assert all(e == 0 for _, _, e in hh)
