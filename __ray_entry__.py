@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_ngrams": docs.docs_dup_ngrams,
         "docs_perplexity": docs.docs_perplexity,
         "docs_top_tokens": docs.docs_top_tokens,
+        "docs_remove_dup_spans": docs.docs_remove_dup_spans,
     }
 
 
@@ -603,6 +604,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_grams
             FROM grams JOIN cnt USING (g)
             GROUP BY grams.doc_id ORDER BY doc_id""",
+        # substring dedup, removal form (Lee et al. 2022): delete every
+        # char covered by a corpus-duplicated 16-gram (within-doc
+        # repeats count); gaps-and-islands via a windowed running max
+        "docs_remove_dup_spans": """
+            WITH grams AS (
+              SELECT doc_id, p, substr(text, CAST(p AS INT), 16) AS g
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 15)) AS p
+                    FROM documents WHERE length(text) >= 16)),
+            cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+            starts AS (SELECT doc_id, p,
+                              CASE WHEN c >= 2 THEN 1 ELSE 0 END AS d
+                       FROM grams JOIN cnt USING (g)),
+            chars AS (SELECT doc_id, p, substr(text, CAST(p AS INT), 1) AS ch
+                      FROM (SELECT doc_id, text,
+                                   unnest(generate_series(1, length(text)))
+                                       AS p
+                            FROM documents)),
+            flag AS (SELECT c.doc_id, c.p, c.ch, COALESCE(s.d, 0) AS d
+                     FROM chars c LEFT JOIN starts s
+                       ON s.doc_id = c.doc_id AND s.p = c.p),
+            cov AS (SELECT doc_id, p, ch,
+                      max(d) OVER (PARTITION BY doc_id ORDER BY p
+                                   ROWS BETWEEN 15 PRECEDING
+                                   AND CURRENT ROW) AS covered
+                    FROM flag)
+            SELECT doc_id,
+                   coalesce(string_agg(ch, '' ORDER BY p)
+                            FILTER (WHERE covered = 0), '') AS clean_text,
+                   CAST(sum(covered) AS BIGINT) AS n_removed
+            FROM cov GROUP BY doc_id ORDER BY doc_id""",
         # exact top-k tokens — the exact twin of the Space-Saving
         # heavy-hitters sketch (sketches.heavy_hitter_tokens)
         "docs_top_tokens": """

@@ -323,6 +323,15 @@ def docs_top_tokens(sf_dir: str, k: int = 20):
     return counts.sort(["n", "tok"], descending=[True, False]).limit(k)
 
 
+def docs_remove_dup_spans(sf_dir: str, n: int = 16):
+    """Substring dedup in its removal form: the cleaned corpus with
+    every byte covered by a corpus-duplicated 16-byte window deleted
+    (byte == char on the ASCII corpus, matching the char oracle)."""
+    from ferenda_ray.stages.dedup import remove_duplicated_spans
+    return remove_duplicated_spans(_read_docs(sf_dir, ["doc_id", "text"]),
+                                   n=n)
+
+
 def docs_perplexity(sf_dir: str):
     """CCNet-style LM-perplexity quality statistic: bits-per-bigram
     under a self-trained add-0.5 bigram LM, rounded to 6 digits for

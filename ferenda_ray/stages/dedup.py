@@ -912,6 +912,41 @@ def _hash128_rows(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return _mix64(h1 ^ np.uint64(W)), _mix64(h2 ^ np.uint64(W))
 
 
+def _window_hash_rows(b: pa.Table, n: int, stride: int,
+                      text_col: str, id_col: str):
+    """All byte n-gram windows of a batch, hashed: returns
+    ``(doc_ids_per_window, byte_pos_within_doc, g1, g2)`` numpy
+    arrays, or ``None`` when the batch has no window.  ONE
+    concatenated buffer + ``sliding_window_view`` — no per-doc Python
+    beyond the ``str.encode`` C call."""
+    texts = b.column(text_col).to_pylist()
+    ids64 = b.column(id_col).to_numpy(zero_copy_only=False)
+    encs = [t.encode("utf-8") if t else b"" for t in texts]
+    lens = np.fromiter((len(e) for e in encs), dtype=np.int64,
+                       count=len(encs))
+    k = np.where(lens >= n, (lens - n) // stride + 1, 0)
+    total = int(k.sum())
+    if total == 0:
+        return None
+    w = (n + 7) // 8
+    # global window start positions, built without a per-doc loop
+    doc_idx = np.repeat(np.arange(len(encs)), k)
+    kpre = np.concatenate(([0], np.cumsum(k)[:-1]))
+    within = (np.arange(total) - np.repeat(kpre, k)) * stride
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    gpos = starts[doc_idx] + within
+    buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(buf, n)[gpos]
+    if n % 8:
+        pad = np.zeros((total, w * 8), dtype=np.uint8)
+        pad[:, :n] = win
+        win = pad
+    else:
+        win = np.ascontiguousarray(win)
+    g1, g2 = _hash128_rows(win.view(np.uint64).reshape(total, w))
+    return ids64[doc_idx], within, g1, g2
+
+
 def ngram_dup_stats(docs, n: int = 16, stride: int = 4,
                     text_col: str = "text", id_col: str = "doc_id",
                     num_buckets: int | None = None):
@@ -957,33 +992,14 @@ def ngram_dup_stats(docs, n: int = 16, stride: int = 4,
                          "__bucket": pa.array([], pa.int32())})
 
     def grams(b: pa.Table) -> pa.Table:
-        texts = b.column(text_col).to_pylist()
-        ids64 = b.column(id_col).to_numpy(zero_copy_only=False)
-        encs = [t.encode("utf-8") if t else b"" for t in texts]
-        lens = np.fromiter((len(e) for e in encs), dtype=np.int64,
-                           count=len(encs))
-        k = np.where(lens >= n, (lens - n) // stride + 1, 0)
-        total = int(k.sum())
-        if total == 0:
+        hashed = _window_hash_rows(b, n, stride, text_col, id_col)
+        if hashed is None:
             return _empty()
-        # global window start positions, built without a per-doc loop
-        doc_idx = np.repeat(np.arange(len(encs)), k)
-        kpre = np.concatenate(([0], np.cumsum(k)[:-1]))
-        within = (np.arange(total) - np.repeat(kpre, k)) * stride
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        gpos = starts[doc_idx] + within
-        buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
-        win = np.lib.stride_tricks.sliding_window_view(buf, n)[gpos]
-        if n % 8:
-            pad = np.zeros((total, w * 8), dtype=np.uint8)
-            pad[:, :n] = win
-            win = pad
-        else:
-            win = np.ascontiguousarray(win)
-        g1, g2 = _hash128_rows(win.view(np.uint64).reshape(total, w))
+        ids_rep, _, g1, g2 = hashed
+        total = len(ids_rep)
         # per-doc distinct (doc, gram) — ONE unique over packed rows
         rec = np.empty((total, 3), dtype=np.uint64)
-        rec[:, 0] = ids64[doc_idx].astype(np.uint64)
+        rec[:, 0] = ids_rep.astype(np.uint64)
         rec[:, 1] = g1
         rec[:, 2] = g2
         rec = np.unique(rec, axis=0)
@@ -1017,3 +1033,141 @@ def ngram_dup_stats(docs, n: int = 16, stride: int = 4,
     return (flagged.groupby(id_col)
             .aggregate(_Sum("dup", alias_name="dup_grams"),
                        _Count(alias_name="total_grams")))
+
+
+def remove_duplicated_spans(docs, n: int = 16, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_buckets: int | None = None):
+    """Substring dedup, removal form (Lee et al. 2022): delete every
+    byte covered by a length-``n`` window whose exact bytes occur ≥2
+    times ANYWHERE in the corpus (other docs or a repeat within the
+    same doc — the paper's "substring occurring more than once"
+    criterion).  Returns one row per input doc: ``(doc_id,
+    clean_text, n_removed)`` — short docs pass through unchanged.
+
+    Plan: stride-1 window hashes (28 B exchanged per byte — the honest
+    cost of exact-coverage detection; suffix arrays are the asymptotic
+    alternative) → per-bucket ``np.unique`` flags duplicated windows →
+    only the DUP start positions travel back → per-group vectorized
+    list packing → one ``left_outer`` join to the docs → batch-global
+    mask surgery (diff-array + cumsum over one concatenated buffer, a
+    single decode per doc).  Overlapping spans merge in the mask."""
+    from ferenda_ray.cluster import (cluster_cpus, coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+
+    nb = num_buckets or max(2 * cluster_cpus(), 16)
+
+    def win_rows(b: pa.Table) -> pa.Table:
+        hashed = _window_hash_rows(b, n, 1, text_col, id_col)
+        if hashed is None:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "__pos": pa.array([], pa.int64()),
+                             "__g1": pa.array([], pa.int64()),
+                             "__g2": pa.array([], pa.int64()),
+                             "__bucket": pa.array([], pa.int32())})
+        ids_rep, pos, g1, g2 = hashed
+        return pa.table({
+            id_col: pa.array(ids_rep, pa.int64()),
+            "__pos": pa.array(pos, pa.int64()),
+            "__g1": pa.array(g1.view(np.int64), pa.int64()),
+            "__g2": pa.array(g2.view(np.int64), pa.int64()),
+            "__bucket": pa.array((g1 % np.uint64(nb)).astype(np.int32),
+                                 pa.int32())})
+
+    def dup_starts(group: pa.Table) -> pa.Table:
+        # total-occurrence count (within-doc repeats DO count)
+        g1 = group.column("__g1").to_numpy().view(np.uint64)
+        g2 = group.column("__g2").to_numpy().view(np.uint64)
+        pair = np.empty((len(g1), 2), dtype=np.uint64)
+        pair[:, 0] = g1
+        pair[:, 1] = g2
+        _, inv, cnt = np.unique(pair, axis=0, return_inverse=True,
+                                return_counts=True)
+        keep = cnt[inv] >= 2
+        return pa.table({
+            id_col: pa.array(group.column(id_col).to_numpy()[keep],
+                             pa.int64()),
+            "__pos": pa.array(group.column("__pos").to_numpy()[keep],
+                              pa.int64())})
+
+    def pack_starts(group: pa.Table) -> pa.Table:
+        # one call per id-hash group; per-doc list packing vectorized
+        ids = group.column(id_col).to_numpy()
+        pos = group.column("__pos").to_numpy()
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        bounds = np.flatnonzero(np.diff(ids)) + 1
+        offsets = np.concatenate(([0], bounds, [len(ids)]))
+        # packed little-endian int64 blob per doc: Acero joins reject
+        # list payload columns, binary passes through fine
+        raw = pos.astype("<i8").tobytes()
+        blobs = [raw[8 * offsets[i]:8 * offsets[i + 1]]
+                 for i in range(len(offsets) - 1)]
+        uids = ids[offsets[:-1]]
+        return pa.table({id_col: pa.array(uids, pa.int64()),
+                         "__starts": pa.array(blobs, pa.binary())})
+
+    starts = (docs.map_batches(win_rows, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(dup_starts, batch_format="pyarrow")
+              .add_column("__grp", lambda d: d[id_col] % nb)
+              .groupby("__grp")
+              .map_groups(pack_starts, batch_format="pyarrow"))
+
+    src = docs.select_columns([id_col, text_col])
+    # materialize the dup-start side: it is re-consumed by the count
+    # probe AND the join, and a fully-empty right side (no duplicates
+    # anywhere) breaks Acero schema inference — blocks live in the
+    # object store (spillable), sized by dup positions not the corpus
+    starts = starts.materialize()
+    if starts.count() == 0:
+        j = src.map_batches(
+            lambda b: b.append_column(
+                "__starts", pa.array([None] * len(b), pa.binary())),
+            batch_format="pyarrow")
+    else:
+        if not ray_join_handles_empty_blocks():
+            co = coalesce_partitions()
+            src, starts = src.repartition(co), starts.repartition(co)
+        j = src.join(starts, join_type="left_outer",
+                     num_partitions=join_partitions(), on=(id_col,))
+
+    def surgery(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        raw = b.column("__starts").to_pylist()
+        encs = [t.encode("utf-8") if t else b"" for t in texts]
+        lens = np.fromiter((len(e) for e in encs), dtype=np.int64,
+                           count=len(encs))
+        starts_np = [np.frombuffer(s, dtype="<i8")
+                     if s is not None else np.empty(0, np.int64)
+                     for s in raw]
+        ns = np.fromiter((len(s) for s in starts_np), dtype=np.int64,
+                         count=len(starts_np))
+        doc_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        total = int(lens.sum())
+        diff = np.zeros(total + 1, dtype=np.int64)
+        if ns.sum():
+            gs = (np.concatenate(starts_np)
+                  + np.repeat(doc_off, ns))
+            np.add.at(diff, gs, 1)
+            np.add.at(diff, gs + n, -1)
+        cov = np.cumsum(diff[:-1]) > 0
+        buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
+        kept = buf[~cov]
+        edges = np.concatenate((doc_off, [total]))
+        removed = np.add.reduceat(cov.astype(np.int64), doc_off) \
+            if total else np.zeros(len(encs), np.int64)
+        # reduceat quirk: a zero-length doc slice repeats the next
+        # value — zero-length docs removed nothing by definition
+        removed[lens == 0] = 0
+        kept_lens = lens - removed
+        kb = np.concatenate(([0], np.cumsum(kept_lens)))
+        kept_bytes = kept.tobytes()
+        clean = [kept_bytes[kb[i]:kb[i + 1]].decode("utf-8")
+                 for i in range(len(encs))]
+        return pa.table({id_col: b.column(id_col),
+                         "clean_text": pa.array(clean, pa.string()),
+                         "n_removed": pa.array(removed, pa.int64())})
+
+    return j.map_batches(surgery, batch_format="pyarrow")

@@ -330,3 +330,63 @@ def test_ngram_dup_stats_nonmultiple_of_8_width(ray_session):
             dedup.ngram_dup_stats(ds, n=10, stride=1).take_all()}
     assert rows[1]["dup_grams"] > 0 and rows[2]["dup_grams"] > 0
     assert rows[3]["dup_grams"] == 0
+
+
+def _brute_remove_spans(texts, ids, n):
+    from collections import Counter
+    encs = [t.encode() for t in texts]
+    cnt = Counter(bytes(e[p:p + n]) for e in encs
+                  for p in range(len(e) - n + 1))
+    out = {}
+    for i, e in zip(ids, encs):
+        cov = [False] * len(e)
+        for p in range(len(e) - n + 1):
+            if cnt[bytes(e[p:p + n])] >= 2:
+                for q in range(p, p + n):
+                    cov[q] = True
+        out[i] = (bytes(b for b, c in zip(e, cov) if not c).decode(),
+                  sum(cov))
+    return out
+
+
+def test_remove_duplicated_spans_matches_brute_force(ray_session):
+    import ray.data as rd
+    rng = random.Random(13)
+    texts = ["".join(rng.choice("abc ") for _ in range(rng.randint(0, 60)))
+             for _ in range(50)]
+    texts[4] = texts[2]                        # whole-doc duplicate
+    texts[6] = "Q" * 4 + texts[2][5:30] + "Z" * 4   # shared substring
+    texts[8] = "R" * 10 + "S" * 10 + "R" * 10       # within-doc repeat
+    ids = list(range(50))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup.remove_duplicated_spans(ds, n=8).take_all()}
+    assert got == _brute_remove_spans(texts, ids, 8)
+
+
+def test_remove_duplicated_spans_short_docs_pass_through(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                 "text": ["tiny", "",
+                                          "no duplicate content here"]}))
+    rows = {r["doc_id"]: r for r in
+            dedup.remove_duplicated_spans(ds, n=16).take_all()}
+    assert len(rows) == 3                      # every doc has a row
+    assert rows[1]["clean_text"] == "tiny" and rows[1]["n_removed"] == 0
+    assert rows[2]["clean_text"] == "" and rows[2]["n_removed"] == 0
+    assert rows[3]["clean_text"] == "no duplicate content here"
+
+
+def test_remove_duplicated_spans_overlap_merges(ray_session):
+    # two overlapping dup windows cover their union exactly once
+    import ray.data as rd
+    base = "0123456789abcdefghij"         # 20 chars, dup in both docs
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["XX" + base + "YY", "PP" + base + "QQ"]}))
+    rows = {r["doc_id"]: r for r in
+            dedup.remove_duplicated_spans(ds, n=16).take_all()}
+    # windows at offsets 2..6 of base region overlap; union = base (20)
+    assert rows[1]["n_removed"] == 20
+    assert rows[1]["clean_text"] == "XXYY"
+    assert rows[2]["clean_text"] == "PPQQ"
