@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_acctbal_by_nation": relational.supplier_acctbal_by_nation,
         "customers_without_orders": relational.customers_without_orders,
         "language_stats": docs.language_stats,
+        "docs_chunks": docs.docs_chunks,
         "embeddings_label_count": docs.embeddings_label_count,
         "docs_fingerprints": docs.docs_fingerprints,
         "docs_language_id": docs.docs_language_id,
@@ -608,6 +609,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_grams
             FROM grams JOIN cnt USING (g)
             GROUP BY grams.doc_id ORDER BY doc_id""",
+        # fixed-size training chunks: 64 whitespace tokens, overlap 16
+        # (stride 48); a doc with <=64 tokens is one chunk; the chunk
+        # count is ceil((n-64)/48)+1 so the last token is always reached
+        "docs_chunks": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+            meta AS (SELECT doc_id, l, len(l) AS n,
+                       CASE WHEN len(l) <= 64 THEN 1
+                            ELSE CAST(ceil((len(l) - 64) / 48.0) AS INT) + 1
+                       END AS nc
+                     FROM toks),
+            c AS (SELECT doc_id, l, n,
+                         unnest(generate_series(0, nc - 1)) AS j
+                  FROM meta)
+            SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+                   array_to_string(l[CAST(j*48+1 AS INT) :
+                                     CAST(j*48+64 AS INT)], ' ')
+                       AS chunk_text,
+                   least(64, n - j*48) AS n_tokens
+            FROM c ORDER BY doc_id, chunk_id""",
         # substring dedup, removal form (Lee et al. 2022): delete every
         # char covered by a corpus-duplicated 16-gram (within-doc
         # repeats count); gaps-and-islands via a windowed running max

@@ -323,6 +323,13 @@ def docs_top_tokens(sf_dir: str, k: int = 20):
     return counts.sort(["n", "tok"], descending=[True, False]).limit(k)
 
 
+def docs_chunks(sf_dir: str, chunk_tokens: int = 64, overlap: int = 16):
+    """Training chunk prep: 64-token windows overlapping by 16."""
+    from ferenda_ray.stages.text_analysis import chunk_documents
+    return chunk_documents(_read_docs(sf_dir, ["doc_id", "text"]),
+                           chunk_tokens=chunk_tokens, overlap=overlap)
+
+
 def docs_remove_dup_spans(sf_dir: str, n: int = 16):
     """Substring dedup in its removal form: the cleaned corpus with
     every byte covered by a corpus-duplicated 16-byte window deleted

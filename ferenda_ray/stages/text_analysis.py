@@ -445,3 +445,52 @@ def perplexity_score(docs, train=None, alpha: float = 0.5,
                          "bits_per_bigram": pa.array(s / n, pa.float64())})
 
     return per.map_batches(finalize, batch_format="pyarrow")
+
+
+def chunk_documents(docs, chunk_tokens: int = 64, overlap: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split each doc into fixed-size training chunks of
+    ``chunk_tokens`` whitespace tokens overlapping by ``overlap``
+    (stride = chunk-overlap): the standard context-window packing
+    prep.  A doc with ≤ ``chunk_tokens`` tokens yields exactly one
+    chunk; otherwise chunk j starts at token ``j*stride`` and the
+    count is ``ceil((n-chunk)/stride)+1`` — the final chunk always
+    reaches the last token and no chunk starts past it.
+
+    Returns ``(doc_id, chunk_id, chunk_text, n_tokens)``.  Chunk
+    texts are SLICES of the input string (token char offsets come
+    from one vectorized space scan), never re-joined token lists —
+    each output row costs one C-level slice."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        out_id, out_cid, out_txt, out_n = [], [], [], []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            buf = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            sp = np.flatnonzero(buf == 32)
+            tok_start = np.concatenate(([0], sp + 1))
+            tok_end = np.concatenate((sp, [len(buf)]))
+            n = len(tok_start)
+            if n <= chunk_tokens:
+                nc = 1
+            else:
+                nc = int(-(-(n - chunk_tokens) // stride)) + 1
+            s = np.arange(nc) * stride
+            e = np.minimum(s + chunk_tokens, n) - 1
+            a_off = tok_start[s]
+            b_off = tok_end[e]
+            out_id.extend([i] * nc)
+            out_cid.extend(range(nc))
+            out_txt.extend(t[a:bo] for a, bo in zip(a_off, b_off))
+            out_n.extend((e - s + 1).tolist())
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "chunk_id": pa.array(out_cid, pa.int64()),
+                         "chunk_text": pa.array(out_txt, pa.string()),
+                         "n_tokens": pa.array(out_n, pa.int64())})
+
+    return docs.map_batches(chunk, batch_format="pyarrow")

@@ -226,3 +226,60 @@ def test_perplexity_separate_train_corpus(ray_session):
     rows = {r["doc_id"]: r["bits_per_bigram"] for r in
             ta.perplexity_score(score, train=train).take_all()}
     assert rows[10] < rows[11]
+
+
+# ---------------------------------------------------------------------------
+# training-chunk prep
+
+
+def _brute_chunks(texts, ids, c, o):
+    import math
+    s = c - o
+    out = []
+    for i, t in zip(ids, texts):
+        toks = (t or "").split(" ")
+        n = len(toks)
+        nc = 1 if n <= c else math.ceil((n - c) / s) + 1
+        for j in range(nc):
+            out.append((i, j, " ".join(toks[j * s:j * s + c]),
+                        min(c, n - j * s)))
+    return sorted(out)
+
+
+def test_chunk_documents_matches_brute_force(ray_session):
+    import random
+
+    import ray.data as rd
+    rng = random.Random(21)
+    texts = [" ".join(f"w{rng.randint(0, 30)}"
+                      for _ in range(rng.randint(0, 40))) or ""
+             for _ in range(30)]
+    texts[3] = ""                              # empty doc → one chunk
+    ids = list(range(30))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"],
+                  r["n_tokens"])
+                 for r in ta.chunk_documents(ds, 8, 3).take_all())
+    assert got == _brute_chunks(texts, ids, 8, 3)
+
+
+def test_chunk_documents_boundaries(ray_session):
+    import ray.data as rd
+    # exactly chunk size → 1 chunk; chunk+stride → 2; +1 more → 3
+    mk = lambda n: " ".join(str(x) for x in range(n))
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                 "text": [mk(8), mk(13), mk(14)]}))
+    per = {}
+    for r in ta.chunk_documents(ds, 8, 3).take_all():
+        per.setdefault(r["doc_id"], []).append(r)
+    assert len(per[1]) == 1 and per[1][0]["n_tokens"] == 8
+    assert len(per[2]) == 2 and per[2][1]["n_tokens"] == 8
+    assert len(per[3]) == 3
+    # overlap: chunk j starts at token j*5
+    assert per[3][1]["chunk_text"].startswith("5 ")
+    assert per[3][2]["n_tokens"] == 4          # tokens 10..13
+
+
+def test_chunk_documents_rejects_bad_overlap():
+    with pytest.raises(ValueError):
+        ta.chunk_documents(None, 8, 8)
