@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "language_stats": docs.language_stats,
         "docs_chunks": docs.docs_chunks,
+        "docs_pack_offsets": docs.docs_pack_offsets,
         "embeddings_label_count": docs.embeddings_label_count,
         "docs_fingerprints": docs.docs_fingerprints,
         "docs_language_id": docs.docs_language_id,
@@ -609,6 +610,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_grams
             FROM grams JOIN cnt USING (g)
             GROUP BY grams.doc_id ORDER BY doc_id""",
+        # concat-and-split sequence packing: where each doc's tokens
+        # land when the corpus is concatenated in doc_id order and
+        # split into 1024-token training sequences (distributed
+        # prefix sum on the Ray side, window function here)
+        "docs_pack_offsets": """
+            WITH t AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n
+                       FROM documents),
+            p AS (SELECT doc_id, n,
+                         CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS s
+                  FROM t)
+            SELECT doc_id, n AS n_tokens, s AS token_start,
+                   CAST(s // 1024 AS BIGINT) AS seq_id,
+                   CAST(s % 1024 AS BIGINT) AS seq_offset
+            FROM p ORDER BY doc_id""",
         # fixed-size training chunks: 64 whitespace tokens, overlap 16
         # (stride 48); a doc with <=64 tokens is one chunk; the chunk
         # count is ceil((n-64)/48)+1 so the last token is always reached

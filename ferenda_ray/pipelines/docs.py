@@ -330,6 +330,13 @@ def docs_chunks(sf_dir: str, chunk_tokens: int = 64, overlap: int = 16):
                            chunk_tokens=chunk_tokens, overlap=overlap)
 
 
+def docs_pack_offsets(sf_dir: str, seq_len: int = 1024):
+    """Concat-and-split packing offsets for 1024-token sequences."""
+    from ferenda_ray.stages.text_analysis import pack_sequence_offsets
+    return pack_sequence_offsets(_read_docs(sf_dir, ["doc_id", "text"]),
+                                 seq_len=seq_len)
+
+
 def docs_remove_dup_spans(sf_dir: str, n: int = 16):
     """Substring dedup in its removal form: the cleaned corpus with
     every byte covered by a corpus-duplicated 16-byte window deleted

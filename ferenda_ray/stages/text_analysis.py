@@ -494,3 +494,59 @@ def chunk_documents(docs, chunk_tokens: int = 64, overlap: int = 16,
                          "n_tokens": pa.array(out_n, pa.int64())})
 
     return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+def pack_sequence_offsets(docs, seq_len: int = 1024,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          docs_per_part: int = 4096):
+    """Concat-and-split sequence packing (the GPT-style pretraining
+    layout): conceptually concatenate every doc's tokens in ``id``
+    order and split every ``seq_len`` tokens.  Returns per doc
+    ``(doc_id, n_tokens, token_start, seq_id, seq_offset)`` — where
+    the doc's first token lands in the packed stream.
+
+    Distributed prefix sum, no global sort: (1) vectorized per-batch
+    token counts keyed by a coarse range partition (``id //
+    docs_per_part``), (2) per-partition sums — ONE tiny row per
+    partition — prefix-summed on the driver (bounded by doc count /
+    ``docs_per_part``, not the corpus), (3) a per-partition grouped
+    pass adds the broadcast partition offset to an in-partition
+    cumsum.  Ids need not be dense; ordering is by id."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        out = df.select(
+            pl.col(id_col),
+            (pl.col(text_col).str.count_matches(" ", literal=True)
+             + 1).cast(pl.Int64).alias("n_tokens"),
+            (pl.col(id_col) // docs_per_part).cast(pl.Int64)
+            .alias("__part"))
+        return out.to_arrow()
+
+    cnt = docs.map_batches(counts, batch_format="pyarrow")
+    psums = (cnt.groupby("__part")
+             .aggregate(_Sum("n_tokens", alias_name="__s")).take_all())
+    psums.sort(key=lambda r: r["__part"])
+    offsets, acc = {}, 0
+    for r in psums:
+        offsets[r["__part"]] = acc
+        acc += r["__s"]
+
+    def scan(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        n = group.column("n_tokens").to_numpy()
+        order = np.argsort(ids)
+        ids, n = ids[order], n[order]
+        base = offsets[group.column("__part")[0].as_py()]
+        start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "token_start": pa.array(start, pa.int64()),
+            "seq_id": pa.array(start // seq_len, pa.int64()),
+            "seq_offset": pa.array(start % seq_len, pa.int64())})
+
+    return (cnt.groupby("__part")
+            .map_groups(scan, batch_format="pyarrow"))

@@ -283,3 +283,29 @@ def test_chunk_documents_boundaries(ray_session):
 def test_chunk_documents_rejects_bad_overlap():
     with pytest.raises(ValueError):
         ta.chunk_documents(None, 8, 8)
+
+
+def test_pack_sequence_offsets_matches_brute_force(ray_session):
+    import random
+
+    import ray.data as rd
+    rng = random.Random(31)
+    # sparse, shuffled ids exercise the ordering + range partitioning
+    ids = sorted(rng.sample(range(0, 100000), 60))
+    texts = [" ".join("x" for _ in range(rng.randint(0, 50)))
+             for _ in ids]
+    perm = list(range(60))
+    rng.shuffle(perm)
+    ds = rd.from_arrow(pa.table({"doc_id": [ids[i] for i in perm],
+                                 "text": [texts[i] for i in perm]}))
+    # tiny partitions force many driver-prefix entries
+    got = {r["doc_id"]: r for r in ta.pack_sequence_offsets(
+        ds, seq_len=16, docs_per_part=8).take_all()}
+    acc = 0
+    for i, t in zip(ids, texts):
+        n = t.count(" ") + 1
+        r = got[i]
+        assert (r["n_tokens"], r["token_start"],
+                r["seq_id"], r["seq_offset"]) == (n, acc, acc // 16,
+                                                  acc % 16)
+        acc += n
