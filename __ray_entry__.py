@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_stats": docs.language_stats,
         "docs_chunks": docs.docs_chunks,
         "docs_pack_offsets": docs.docs_pack_offsets,
+        "docs_bpe_pair_counts": docs.docs_bpe_pair_counts,
+        "docs_bpe_merges": docs.docs_bpe_merges,        # rows-only
         "embeddings_label_count": docs.embeddings_label_count,
         "docs_fingerprints": docs.docs_fingerprints,
         "docs_language_id": docs.docs_language_id,
@@ -610,6 +612,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_grams
             FROM grams JOIN cnt USING (g)
             GROUP BY grams.doc_id ORDER BY doc_id""",
+        # round-1 BPE pair statistics (exact twin of the iterative
+        # bpe_train, whose later rounds are pytest-verified)
+        "docs_bpe_pair_counts": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            p AS (SELECT substr(word, CAST(i AS INT), 1) AS sym_left,
+                         substr(word, CAST(i AS INT) + 1, 1) AS sym_right
+                  FROM (SELECT word,
+                               unnest(generate_series(1, length(word) - 1))
+                                   AS i
+                        FROM w WHERE length(word) >= 2))
+            SELECT sym_left, sym_right, count(*) AS n
+            FROM p GROUP BY sym_left, sym_right
+            ORDER BY n DESC, sym_left, sym_right LIMIT 20""",
         # concat-and-split sequence packing: where each doc's tokens
         # land when the corpus is concatenated in doc_id order and
         # split into 1024-token training sequences (distributed

@@ -337,6 +337,51 @@ def docs_pack_offsets(sf_dir: str, seq_len: int = 1024):
                                  seq_len=seq_len)
 
 
+def docs_bpe_pair_counts(sf_dir: str, k: int = 20):
+    """Round-1 BPE statistics: top-k adjacent CHARACTER pair counts
+    over whitespace words (weighted by word frequency = plain corpus
+    pair counts) — the oracle-checked exact twin of the iterative
+    ``text_analysis.bpe_train`` (whose later rounds depend on applied
+    merges and are pytest-verified against an independent reference
+    implementation)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ferenda_ray.stages.text_analysis import (_pair_counts_batch,
+                                                  word_frequencies)
+
+    def init_syms(b: pa.Table) -> pa.Table:
+        ws = b.column("word").to_pylist()
+        return pa.table({
+            "syms": pa.array([list(w) for w in ws],
+                             pa.list_(pa.string())),
+            "freq": b.column("freq")})
+
+    counts = (word_frequencies(_read_docs(sf_dir, ["doc_id", "text"]))
+              .map_batches(init_syms, batch_format="pyarrow")
+              .map_batches(_pair_counts_batch, batch_format="pyarrow")
+              .groupby(["left", "right"])
+              .aggregate(_Sum("n", alias_name="n")))
+    top = counts.sort(["n", "left", "right"],
+                      descending=[True, False, False]).limit(k)
+    return top.map_batches(
+        lambda b: b.rename_columns(["sym_left", "sym_right", "n"]),
+        batch_format="pyarrow")
+
+
+def docs_bpe_merges(sf_dir: str, num_merges: int = 8):
+    """The learned BPE merge table as a Table (rows-only driver
+    check: later rounds depend on applied merges, not expressible in
+    one SQL pass; pytest verifies vs an independent reference)."""
+    from ferenda_ray.stages.text_analysis import bpe_train
+    m = bpe_train(_read_docs(sf_dir, ["doc_id", "text"]),
+                  num_merges=num_merges)
+    return pa.table({
+        "rank": pa.array([r for r, *_ in m], pa.int64()),
+        "sym_left": pa.array([l for _, l, _, _ in m], pa.string()),
+        "sym_right": pa.array([r for _, _, r, _ in m], pa.string()),
+        "freq": pa.array([f for *_, f in m], pa.int64())})
+
+
 def docs_remove_dup_spans(sf_dir: str, n: int = 16):
     """Substring dedup in its removal form: the cleaned corpus with
     every byte covered by a corpus-duplicated 16-byte window deleted

@@ -550,3 +550,122 @@ def pack_sequence_offsets(docs, seq_len: int = 1024,
 
     return (cnt.groupby("__part")
             .map_groups(scan, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) — distributed
+# broadcast-iterate like similarity.kmeans_iterate: the working set
+# after the first pass is the WORD-FREQUENCY table (vocabulary-sized,
+# orders of magnitude smaller than the corpus), each merge round is
+# one vectorized pair-count pass + a tiny top-1 reduce + a broadcast
+# merge application.
+
+
+def word_frequencies(docs, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """``(word, freq)`` over whitespace tokens — per-batch polars
+    value_counts combiner, one groupby sum."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def combine(b: pa.Table) -> pa.Table:
+        vc = (pl.from_arrow(b).select(
+            pl.col(text_col).str.split(" ").alias("w"))
+            .explode("w")["w"].value_counts())
+        t = pa.table({"word": vc["w"].to_arrow(),
+                      "c": vc["count"].to_arrow()})
+        return t.cast(pa.schema([("word", pa.string()),
+                                 ("c", pa.int64())]))
+
+    return (docs.map_batches(combine, batch_format="pyarrow")
+            .groupby("word").aggregate(_Sum("c", alias_name="freq")))
+
+
+def _pair_counts_batch(b: pa.Table) -> pa.Table:
+    """Adjacent-symbol pair counts of one batch of ``(syms, freq)``
+    rows, weighted by freq — vectorized: one flattened symbol array,
+    boundary-masked shifts, ``np.unique`` on integer codes."""
+    syms = b.column("syms").to_pylist()
+    freq = b.column("freq").to_numpy()
+    lens = np.fromiter((len(s) for s in syms), dtype=np.int64,
+                       count=len(syms))
+    if not len(lens) or int(lens.sum()) == 0:
+        return pa.table({"left": pa.array([], pa.string()),
+                         "right": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    flat = np.array([x for s in syms for x in s], dtype=object)
+    codes, inv = np.unique(flat, return_inverse=True)
+    w = np.repeat(freq, lens)
+    # adjacent pairs, masking the last symbol of every word
+    ends = np.cumsum(lens) - 1
+    keep = np.ones(len(flat), dtype=bool)
+    keep[ends] = False
+    left = inv[:-1][keep[:-1]]
+    right = inv[1:][keep[:-1]]
+    wp = w[:-1][keep[:-1]]
+    pair_key = left.astype(np.int64) * len(codes) + right
+    uk, pinv = np.unique(pair_key, return_inverse=True)
+    sums = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(sums, pinv, wp)
+    return pa.table({
+        "left": pa.array(codes[uk // len(codes)], pa.string()),
+        "right": pa.array(codes[uk % len(codes)], pa.string()),
+        "n": pa.array(sums, pa.int64())})
+
+
+def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Learn ``num_merges`` BPE merges over the corpus: highest
+    adjacent-pair frequency wins each round, ties break on
+    ``(left, right)`` lexicographically.  Returns ``[(rank, left,
+    right, freq)]``.
+
+    One corpus pass builds the word-frequency table; every round is
+    a pair-count ``map_batches`` (+ per-batch combine) over THAT
+    table, a groupby-sum, a top-1 ``sort.limit(1)`` reduce, and a
+    broadcast merge application — the corpus is never re-read."""
+    from ray.data.aggregate import Sum as _Sum
+
+    words = word_frequencies(docs, text_col, id_col)
+
+    def init_syms(b: pa.Table) -> pa.Table:
+        ws = b.column("word").to_pylist()
+        return pa.table({
+            "syms": pa.array([list(w) for w in ws],
+                             pa.list_(pa.string())),
+            "freq": b.column("freq")})
+
+    table = words.map_batches(init_syms,
+                              batch_format="pyarrow").materialize()
+    merges = []
+    for rank in range(num_merges):
+        counts = (table.map_batches(_pair_counts_batch,
+                                    batch_format="pyarrow")
+                  .groupby(["left", "right"])
+                  .aggregate(_Sum("n", alias_name="n")))
+        top = counts.sort(["n", "left", "right"],
+                          descending=[True, False, False]).limit(1) \
+            .take_all()
+        if not top or top[0]["n"] < 2:
+            break
+        l, r, f = top[0]["left"], top[0]["right"], top[0]["n"]
+        merges.append((rank, l, r, int(f)))
+
+        def apply(b: pa.Table, l=l, r=r) -> pa.Table:
+            out = []
+            for s in b.column("syms").to_pylist():
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                out.append(res)
+            return pa.table({"syms": pa.array(out,
+                                              pa.list_(pa.string())),
+                             "freq": b.column("freq")})
+
+        table = table.map_batches(apply,
+                                  batch_format="pyarrow").materialize()
+    return merges

@@ -309,3 +309,63 @@ def test_pack_sequence_offsets_matches_brute_force(ray_session):
                 r["seq_id"], r["seq_offset"]) == (n, acc, acc // 16,
                                                   acc % 16)
         acc += n
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+
+
+def _reference_bpe(texts, m):
+    # independent Sennrich-style implementation: word-freq dict,
+    # symbol tuples, argmax pair with (left, right) tie-break
+    from collections import Counter
+    wf = Counter(w for t in texts for w in t.split(" "))
+    table = {tuple(w): f for w, f in wf.items()}
+    merges = []
+    for rank in range(m):
+        pc_ = Counter()
+        for syms, f in table.items():
+            for a, b in zip(syms, syms[1:]):
+                pc_[(a, b)] += f
+        if not pc_:
+            break
+        (l, r), f = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        if f < 2:
+            break
+        merges.append((rank, l, r, f))
+        new = {}
+        for syms, fr in table.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i+1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new[tuple(res)] = new.get(tuple(res), 0) + fr
+        table = new
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    import random
+
+    import ray.data as rd
+    rng = random.Random(17)
+    words = ["banana", "bandana", "cabana", "anagram", "banal", "nab"]
+    texts = [" ".join(rng.choice(words) for _ in range(20))
+             for _ in range(25)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(25)),
+                                 "text": texts}))
+    got = ta.bpe_train(ds, num_merges=8)
+    assert got == _reference_bpe(texts, 8)
+    # merged symbols must grow (at least one multi-char merge)
+    assert any(len(l + r) > 2 for _, l, r, _ in got)
+
+
+def test_bpe_train_stops_when_no_pair_repeats(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["abcdefg"]}))
+    # every adjacent pair occurs once -> freq<2 -> no merges
+    assert ta.bpe_train(ds, num_merges=5) == []
