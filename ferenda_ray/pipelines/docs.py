@@ -814,6 +814,23 @@ def embeddings_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
     return assigns
 
 
+def embeddings_logreg(sf_dir: str, iters: int = 2, lr: float = 0.5):
+    """Trained quality-classifier weights ``(dim, weight)`` — batch-GD
+    logistic regression on (embedding → label>=5), unrolled-SQL
+    oracle-checkable exactly like ``embeddings_kmeans`` (zero init,
+    fixed lr and iteration count, float64 accumulation); bias is the
+    last dim.  Weights rounded to 6 digits for the float-stable
+    compare."""
+    import numpy as np
+
+    from ferenda_ray.stages.similarity import logreg_train
+    w = logreg_train(_read_emb(sf_dir).materialize(), iters=iters,
+                     lr=lr)
+    return pa.table({
+        "dim": pa.array(range(len(w)), pa.int64()),
+        "weight": pa.array(np.round(w, 6), pa.float64())})
+
+
 def ivf_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
     """IVF top-k run FULL-PROBE (n_probe = n_centroids), which is
     exact by construction — so the brute-force SQL oracle applies and

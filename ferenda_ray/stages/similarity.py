@@ -574,3 +574,61 @@ def ivf_topk_pruned(index_dir: str, queries, k: int = 10,
 
     return candidates.groupby("query_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+def logreg_train(embeddings, iters: int = 2, lr: float = 0.5,
+                 label_threshold: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 label_col: str = "label"):
+    """Distributed batch-gradient-descent logistic regression — the
+    model-based quality-classifier shape (features → keep/cut score)
+    trained in-engine, broadcast-iterate like :func:`kmeans_iterate`.
+
+    Binary target ``y = 1 if label >= label_threshold``; features are
+    the embedding plus a bias term; ``w`` starts at zero.  Per
+    iteration the (d+1)-vector ``w`` is ``ray.put`` once, each batch
+    emits ONE partial row ``(grad-sum vector, count)`` (float64
+    matmul), and the driver folds the ≤batch-count partials into the
+    update ``w -= lr * grad/N`` — nothing corpus-sized leaves the
+    workers, exchange is O(batches·d) per pass.
+
+    Determinism (oracle-checkable by unrolled SQL): zero init means
+    iteration 1's gradient is ``(0.5 - y)·x`` exactly; fixed ``lr``
+    and iteration count; float64 accumulation over float32-rounded
+    inputs.  Returns the trained ``w`` (ndarray, bias LAST)."""
+    import ray
+
+    from ferenda_ray.stages.broadcast import resolve, stateful_map
+
+    class _Grad:
+        def __init__(self, ref):
+            self.w = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            X = _col_matrix(b, vec_col)
+            y = (b.column(label_col).to_numpy()
+                 >= label_threshold).astype(np.float64)
+            z = X @ self.w[:-1] + self.w[-1]
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
+            g = np.concatenate((X.T @ r, [r.sum()]))
+            return pa.table({
+                "g": pa.array([g.tolist()], pa.list_(pa.float64())),
+                "n": pa.array([len(y)], pa.int64())})
+
+    w = None
+    for _ in range(iters):
+        if w is None:
+            # first pass needs the dimensionality: read one row
+            d = len(embeddings.take(1)[0][vec_col])
+            w = np.zeros(d + 1, dtype=np.float64)
+        parts = stateful_map(
+            embeddings.select_columns([id_col, vec_col, label_col]),
+            _Grad, w, batch_size=4096).take_all()  # ≤ batch count rows
+        G = np.zeros_like(w)
+        N = 0
+        for r in parts:
+            G += np.asarray(r["g"])
+            N += r["n"]
+        w = w - lr * G / N
+    return w

@@ -108,3 +108,53 @@ def test_k_larger_than_n(ray_session):
     got = sorted((r["vec_id"], r["cluster"]) for r in assigns.take_all())
     # seeds ordered by ascending id: id0→cluster0, id1→cluster1, id2→2
     assert got == [(0, 0), (1, 1), (2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# batch-GD logistic regression (same broadcast-iterate family)
+
+
+def _np_logreg(X, y, iters, lr):
+    w = np.zeros(X.shape[1] + 1)
+    for _ in range(iters):
+        z = X @ w[:-1] + w[-1]
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = np.concatenate((X.T @ (p - y), [(p - y).sum()])) / len(y)
+        w = w - lr * g
+    return w
+
+
+def test_logreg_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import logreg_train
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(120, 8)).astype(np.float32)
+    labels = rng.integers(0, 10, 120)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())}))
+    w = logreg_train(ds.materialize(), iters=3, lr=0.5)
+    ref = _np_logreg(X.astype(np.float64), (labels >= 5).astype(float),
+                     3, 0.5)
+    np.testing.assert_allclose(w, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_logreg_learns_separable_signal(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import logreg_train
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 4))
+    y = (X[:, 0] > 0)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float64())),
+        "label": pa.array(np.where(y, 9, 0), pa.int32())}))
+    w = logreg_train(ds.materialize(), iters=20, lr=1.0)
+    # the separating dimension dominates and points the right way
+    assert w[0] > 0.5 and abs(w[0]) > 3 * max(abs(w[1]), abs(w[2]),
+                                              abs(w[3]))
