@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_offsets": docs.docs_pack_offsets,
         "docs_bpe_pair_counts": docs.docs_bpe_pair_counts,
         "embeddings_logreg": docs.embeddings_logreg,
+        "docs_stratified_sample": docs.docs_stratified_sample,
         "docs_bpe_merges": docs.docs_bpe_merges,        # rows-only
         "embeddings_label_count": docs.embeddings_label_count,
         "docs_fingerprints": docs.docs_fingerprints,
@@ -613,6 +614,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_grams
             FROM grams JOIN cnt USING (g)
             GROUP BY grams.doc_id ORDER BY doc_id""",
+        # deterministic stratified sample: k smallest md5(id) per lang
+        "docs_stratified_sample": """
+            WITH h AS (SELECT doc_id, lang,
+                              CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                                   & 9223372036854775807 AS BIGINT) AS hk
+                       FROM documents),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY hk, doc_id) AS rn
+                  FROM h)
+            SELECT doc_id, lang FROM r WHERE rn <= 10
+            ORDER BY lang, doc_id""",
         # batch-GD logistic regression (quality classifier), unrolled
         # to its fixed lr=0.5 / iters=2 / zero-init instance: w0=0 so
         # iteration 1's p is exactly 0.5; bias is dim 64

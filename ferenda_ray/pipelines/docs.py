@@ -337,6 +337,14 @@ def docs_pack_offsets(sf_dir: str, seq_len: int = 1024):
                                  seq_len=seq_len)
 
 
+def docs_stratified_sample(sf_dir: str, k: int = 10):
+    """Deterministic k-per-language sample (md5-ordered)."""
+    from ferenda_ray.stages.sample import stratified_sample
+    out = stratified_sample(
+        _read_docs(sf_dir, ["doc_id", "lang"]), group_col="lang", k=k)
+    return out
+
+
 def docs_bpe_pair_counts(sf_dir: str, k: int = 20):
     """Round-1 BPE statistics: top-k adjacent CHARACTER pair counts
     over whitespace words (weighted by word frequency = plain corpus

@@ -51,3 +51,38 @@ def limit_per_group(ds, group_col: str, n: int, sort_col: str,
         return g.slice(0, n)
 
     return ds.groupby(group_col).map_groups(head, batch_format="pyarrow")
+
+
+def stratified_sample(docs, group_col: str = "lang", k: int = 10,
+                      id_col: str = "doc_id"):
+    """Deterministic k-per-group sample: the k rows with the smallest
+    md5 of the id (DuckDB ``md5_number_lower``-compatible, masked to
+    int63) win per group — a seedless, engine-reproducible stratified
+    draw.  Per-batch partial top-k combiner bounds every group's
+    shuffle input to k·batches rows; the final per-group head is a
+    tiny ``map_groups``."""
+    import hashlib
+
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    def hkey(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        hs = [(int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[8:16], "little")
+            & 0x7FFFFFFFFFFFFFFF) for i in ids]
+        t = b.append_column("__h", pa.array(hs, pa.int64()))
+        # partial top-k per group inside the batch
+        df = (pl.from_arrow(t).sort(["__h", id_col])
+              .group_by(group_col, maintain_order=True).head(k)
+              .select(t.schema.names))   # group_by reorders columns
+        return df.to_arrow().cast(t.schema)
+
+    def final(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort(["__h", id_col]).head(k)
+        return df.drop("__h").to_arrow()
+
+    return (docs.map_batches(hkey, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(final, batch_format="pyarrow"))

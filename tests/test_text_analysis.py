@@ -369,3 +369,28 @@ def test_bpe_train_stops_when_no_pair_repeats(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["abcdefg"]}))
     # every adjacent pair occurs once -> freq<2 -> no merges
     assert ta.bpe_train(ds, num_merges=5) == []
+
+
+def test_stratified_sample_deterministic_topk(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.stages.sample import stratified_sample
+    langs = ["en", "de", "fr"]
+    ids = list(range(300))
+    tbl = pa.table({"doc_id": ids,
+                    "lang": [langs[i % 3] for i in ids]})
+    # tiny blocks force cross-batch partial top-k merging
+    out = stratified_sample(rd.from_arrow(tbl).repartition(10),
+                            group_col="lang", k=5).take_all()
+    md5k = lambda i: (int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[8:16], "little")
+        & 0x7FFFFFFFFFFFFFFF)
+    for g in langs:
+        got = sorted(r["doc_id"] for r in out if r["lang"] == g)
+        exp = sorted(sorted((i for i in ids if langs[i % 3] == g),
+                            key=lambda i: (md5k(i), i))[:5])
+        assert got == exp
+    assert len(out) == 15
