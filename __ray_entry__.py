@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pair_counts": docs.docs_bpe_pair_counts,
         "embeddings_logreg": docs.embeddings_logreg,
         "docs_stratified_sample": docs.docs_stratified_sample,
+        "embeddings_quantized": docs.embeddings_quantized,
         "docs_bpe_merges": docs.docs_bpe_merges,        # rows-only
         "embeddings_label_count": docs.embeddings_label_count,
         "docs_fingerprints": docs.docs_fingerprints,
@@ -614,6 +615,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_grams
             FROM grams JOIN cnt USING (g)
             GROUP BY grams.doc_id ORDER BY doc_id""",
+        # symmetric per-vector int8 quantization (scale = max|x|/127,
+        # round half away from zero, zero vectors scale 0)
+        "embeddings_quantized": """
+            WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS x,
+                              list_max(list_transform(
+                                  embedding::DOUBLE[],
+                                  v -> abs(v))) AS ma
+                       FROM embeddings),
+            e AS (SELECT vec_id, ma,
+                         unnest(generate_series(1, len(x))) AS dim, x
+                  FROM m)
+            SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                   round(CASE WHEN ma > 0 THEN ma / 127.0
+                              ELSE 0.0 END, 6) AS scale,
+                   CAST(CASE WHEN x[CAST(dim AS INT)] >= 0
+                        THEN floor(x[CAST(dim AS INT)]
+                                   / (CASE WHEN ma > 0 THEN ma / 127.0
+                                      ELSE 1.0 END) + 0.5)
+                        ELSE -floor(-x[CAST(dim AS INT)]
+                                    / (CASE WHEN ma > 0 THEN ma / 127.0
+                                       ELSE 1.0 END) + 0.5)
+                   END AS BIGINT) AS q
+            FROM e ORDER BY vec_id, dim""",
         # deterministic stratified sample: k smallest md5(id) per lang
         "docs_stratified_sample": """
             WITH h AS (SELECT doc_id, lang,

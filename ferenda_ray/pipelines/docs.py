@@ -822,6 +822,33 @@ def embeddings_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
     return assigns
 
 
+def embeddings_quantized(sf_dir: str):
+    """int8-quantized embeddings EXPLODED to one row per dimension
+    (the fingerprints pattern: the driver's value hash needs scalar
+    cells), scale rounded to 6 — the operator itself stores int8
+    lists (``similarity.quantize_embeddings``)."""
+    import numpy as np
+
+    from ferenda_ray.stages.similarity import quantize_embeddings
+
+    def compare_form(b: pa.Table) -> pa.Table:
+        q = b.column("qvec").combine_chunks()
+        n, d = len(q), len(q[0])
+        flat = np.asarray(q.values, dtype=np.int64)
+        ids = np.repeat(b.column("vec_id").to_numpy(), d)
+        scale = np.repeat(
+            np.round(b.column("scale").to_numpy(), 6), d)
+        dim = np.tile(np.arange(1, d + 1, dtype=np.int64), n)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "dim": pa.array(dim, pa.int64()),
+            "scale": pa.array(scale, pa.float64()),
+            "q": pa.array(flat, pa.int64())})
+
+    return quantize_embeddings(_read_emb(sf_dir)).map_batches(
+        compare_form, batch_format="pyarrow")
+
+
 def embeddings_logreg(sf_dir: str, iters: int = 2, lr: float = 0.5):
     """Trained quality-classifier weights ``(dim, weight)`` — batch-GD
     logistic regression on (embedding → label>=5), unrolled-SQL

@@ -632,3 +632,29 @@ def logreg_train(embeddings, iters: int = 2, lr: float = 0.5,
             N += r["n"]
         w = w - lr * G / N
     return w
+
+
+def quantize_embeddings(embeddings, vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Symmetric per-vector int8 quantization — the ANN storage path
+    (4× smaller than float32, 8× than float64; scan kernels matmul
+    int8 and rescale).  ``scale = max|x| / 127`` per vector,
+    ``q = round_half_away(x / scale)`` (DuckDB ``round`` semantics,
+    NOT numpy's half-even), zero vectors get scale 0 / all-zero q.
+    Returns ``(vec_id, scale float64, qvec list<int8>)`` — fully
+    vectorized over the batch matrix."""
+    def quant(b: pa.Table) -> pa.Table:
+        X = _col_matrix(b, vec_col)
+        ma = np.abs(X).max(axis=1)
+        scale = np.where(ma > 0, ma / 127.0, 1.0)
+        r = X / scale[:, None]
+        q = (np.sign(r) * np.floor(np.abs(r) + 0.5)).astype(np.int8)
+        out_scale = np.where(ma > 0, ma / 127.0, 0.0)
+        return pa.table({
+            id_col: b.column(id_col),
+            "scale": pa.array(out_scale, pa.float64()),
+            "qvec": pa.array([row.tolist() for row in q],
+                             pa.list_(pa.int8()))})
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        quant, batch_format="pyarrow", batch_size=4096)

@@ -158,3 +158,32 @@ def test_ivf_pruned_index(emb, tmp_path):
         got_full.setdefault(r["query_id"], set()).add(r["vec_id"])
     for qi in exact:
         assert got_full[qi] == {j for j, _ in exact[qi]}
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+
+
+def test_quantize_embeddings_reconstruction(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import quantize_embeddings
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(50, 16))
+    X[7] = 0.0                                  # zero vector
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float64()))}))
+    rows = {r["vec_id"]: r for r in quantize_embeddings(ds).take_all()}
+    for i in range(50):
+        q = np.asarray(rows[i]["qvec"], dtype=np.int64)
+        s = rows[i]["scale"]
+        assert q.min() >= -127 and q.max() <= 127
+        if i == 7:
+            assert s == 0.0 and not q.any()
+            continue
+        # dequantized error bounded by half a quantization step
+        assert np.abs(q * s - X[i]).max() <= s / 2 + 1e-12
+        # the max-magnitude element hits ±127 exactly
+        assert np.abs(q).max() == 127
