@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_logreg": docs.embeddings_logreg,
         "docs_stratified_sample": docs.docs_stratified_sample,
         "embeddings_quantized": docs.embeddings_quantized,
+        "ann_topk_int8": docs.ann_topk_int8,            # rows-only
         "docs_bpe_merges": docs.docs_bpe_merges,        # rows-only
         "embeddings_label_count": docs.embeddings_label_count,
         "docs_fingerprints": docs.docs_fingerprints,

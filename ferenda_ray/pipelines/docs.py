@@ -894,6 +894,19 @@ def lsh_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
                     query_ids=list(query_ids))
 
 
+def ann_topk_int8(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
+    """int8-scan brute-force variant — rows-only check (quantization
+    keeps ~2-3 cosine digits; recall vs the exact float path is
+    measured in tests); ``ann_topk`` is the oracle-checked exact
+    twin."""
+    from ferenda_ray.stages.similarity import (brute_topk_int8,
+                                               quantize_embeddings)
+    emb = _read_emb(sf_dir).materialize()
+    Q = _query_matrix(emb, query_ids)
+    return brute_topk_int8(quantize_embeddings(emb), Q, k=k,
+                           query_ids=list(query_ids))
+
+
 def docs_repetition(sf_dir: str):
     """Gopher-style repetition filters (dup-line / dup-word fractions
     + pass flag) over the documents table."""

@@ -187,3 +187,31 @@ def test_quantize_embeddings_reconstruction(ray_session):
         assert np.abs(q * s - X[i]).max() <= s / 2 + 1e-12
         # the max-magnitude element hits ±127 exactly
         assert np.abs(q).max() == 127
+
+
+def test_int8_topk_recall_vs_float(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import (brute_topk,
+                                               brute_topk_int8,
+                                               quantize_embeddings)
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 32))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float64()))})).materialize()
+    Q = X[:3]
+    exact = {}
+    for r in brute_topk(ds, Q, k=10, query_ids=[0, 1, 2]).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qds = quantize_embeddings(ds).materialize()
+    got = {}
+    for r in brute_topk_int8(qds, Q, k=10,
+                             query_ids=[0, 1, 2]).take_all():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # int8 keeps ~2-3 digits of cosine: top-10 recall stays high and
+    # the self-match (cos=1) is always rank-1 material
+    for q in (0, 1, 2):
+        assert len(exact[q] & got[q]) >= 8
+        assert q in got[q]
