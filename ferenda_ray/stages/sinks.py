@@ -1,0 +1,101 @@
+"""Generic resumable partitioned sink for ANY table.
+
+:func:`materialize` (stages/materialize.py) implements the manifest +
+atomic-write + skip-finished-buckets discipline for the triple layout;
+this module generalizes the same machinery (``state/manifest``
+primitives: layout guard, per-partition manifests, tmp+rename) to an
+arbitrary Dataset — the cleaned-corpus / chunked-training-data output
+path, so a failed 100-TB cleaning run resumes by skipping finished
+buckets exactly like the KG sink does (reference analogue: per-
+basefile ``DocumentStore`` paths + ``needed``-gated reruns,
+``ferenda/documentstore.py``).
+
+Bucketing is ``polars 64-bit hash(key) % num_buckets`` for ANY key
+dtype (same idiom as ``materialize.add_bucket``); within-bucket order
+is ``sort_by`` (default: the key) so shard contents are deterministic
+and the manifest's content sha is reproducible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ferenda_ray.state import manifest as mf
+
+
+def write_partitioned(ds, out_dir: str, key_col: str,
+                      num_buckets: int = 32, resume: bool = True,
+                      sort_by: list | None = None) -> pa.Table:
+    """Hash-partitioned, manifested, resumable parquet sink; returns
+    the manifest table (one row per bucket WRITTEN this run — resumed
+    buckets are skipped before the exchange, so reruns cost one
+    filtered scan, not a shuffle)."""
+    import functools
+    os.makedirs(out_dir, exist_ok=True)
+    layout = mf.bucket_layout_probe()
+    layout["num_buckets"] = num_buckets
+    layout["key_col"] = key_col
+    mf.check_bucket_layout(out_dir, layout)
+    sort_by = sort_by or [key_col]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = pl.from_arrow(b.column(key_col)).rename("k").hash(seed=0)
+        return b.append_column(
+            "__bucket", (h % num_buckets).cast(pl.Int64).to_arrow())
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    if resume:
+        done = {int(p.split("=")[1])
+                for p in mf.done_partitions(out_dir)}
+        if done:
+            done_arr = pa.array(sorted(done), pa.int64())
+            bucketed = bucketed.map_batches(
+                lambda b: b.filter(pc.invert(
+                    pc.is_in(b.column("__bucket"),
+                             value_set=done_arr))),
+                batch_format="pyarrow")
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        import time
+        t0 = time.perf_counter()
+        bucket = group.column("__bucket")[0].as_py()
+        part = f"bucket={bucket:05d}"
+        data = (pl.from_arrow(
+            group.drop_columns(["__bucket"]).combine_chunks())
+            .sort(sort_by).to_arrow())
+        keys = data.column(key_col)
+        digest = hashlib.sha256()
+        digest.update("\x1f".join(
+            str(keys[i].as_py()) for i in range(len(keys))).encode())
+        p = os.path.join(out_dir, part, "part.parquet")
+        mf.atomic_write(p, lambda tmp: pq.write_table(data, tmp))
+        record = {
+            "partition": part, "shard_file": p,
+            "rows": data.num_rows,
+            "min_key": str(keys[0].as_py()) if len(keys) else "",
+            "max_key": str(keys[-1].as_py()) if len(keys) else "",
+            "content_sha256": digest.hexdigest(),
+            "elapsed_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        mf.write_manifest(out_dir, part, record)
+        return pa.table({k: [record[k]] for k in record})
+
+    result = (bucketed.groupby("__bucket")
+              .map_groups(write_bucket, batch_format="pyarrow")
+              .take_all())  # tiny: one row per bucket
+    return pa.Table.from_pylist(result) if result else pa.table({})
+
+
+def read_partitioned(out_dir: str):
+    """Read every finished bucket back as one Dataset."""
+    import ray.data as rd
+    parts = sorted(mf.done_partitions(out_dir))
+    paths = [os.path.join(out_dir, p, "part.parquet") for p in parts]
+    return rd.read_parquet(paths)
