@@ -98,4 +98,10 @@ def read_partitioned(out_dir: str):
     import ray.data as rd
     parts = sorted(mf.done_partitions(out_dir))
     paths = [os.path.join(out_dir, p, "part.parquet") for p in parts]
-    return rd.read_parquet(paths)
+    ds = rd.read_parquet(paths)
+    # read_parquet hive-infers a "bucket" column from the partition
+    # dirs — that is sink plumbing, not user data; drop it
+    if "bucket" in (ds.schema().names or []):
+        ds = ds.map_batches(lambda b: b.drop_columns(["bucket"]),
+                            batch_format="pyarrow")
+    return ds

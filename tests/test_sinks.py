@@ -74,3 +74,24 @@ def test_string_keys_and_custom_sort(ray_session, out_dir):
     back = sinks.read_partitioned(out_dir).take_all()
     assert sorted(r["word"] for r in back) == sorted(
         f"w{i:03d}" for i in range(40))
+
+
+def test_cleaning_pipeline_into_resumable_sink(ray_session, out_dir):
+    # the composed path a 100-TB cleaning job takes: substring-dedup
+    # removal -> resumable partitioned sink; rerun resumes to zero work
+    import ray.data as rd
+
+    from ferenda_ray.stages.dedup import remove_duplicated_spans
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    cleaned = remove_duplicated_spans(docs, n=16).materialize()
+    man = sinks.write_partitioned(cleaned, out_dir, "doc_id",
+                                  num_buckets=6)
+    assert sum(man.column("rows").to_pylist()) == docs.count()
+    back = sinks.read_partitioned(out_dir)
+    assert back.count() == docs.count()
+    assert set(back.schema().names) == {"doc_id", "clean_text",
+                                        "n_removed"}
+    # resume: nothing left to write
+    assert sinks.write_partitioned(cleaned, out_dir, "doc_id",
+                                   num_buckets=6).num_rows == 0
