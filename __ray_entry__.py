@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": docs.docs_stratified_sample,
         "embeddings_quantized": docs.embeddings_quantized,
         "ann_topk_int8": docs.ann_topk_int8,            # rows-only
+        "embeddings_logreg_scores": docs.embeddings_logreg_scores,
         "docs_bpe_merges": docs.docs_bpe_merges,        # rows-only
         "embeddings_label_count": docs.embeddings_label_count,
         "docs_fingerprints": docs.docs_fingerprints,
@@ -686,6 +687,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, round(w, 6) AS weight
             FROM (SELECT * FROM w2 UNION ALL SELECT * FROM w2b)
             ORDER BY dim""",
+        "embeddings_logreg_scores": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x,
+                              CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y
+                       FROM embeddings),
+            dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+            ex AS (SELECT e.vec_id, d.dim,
+                          e.x[CAST(d.dim AS INT)] AS xv, e.y
+                   FROM e, dims d),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM e),
+            g1 AS (SELECT dim, sum((0.5 - y) * xv) AS g
+                   FROM ex GROUP BY dim),
+            g1b AS (SELECT sum(0.5 - y) AS g FROM e),
+            w1 AS (SELECT dim, -0.5 * g / (SELECT cnt FROM n) AS w
+                   FROM g1),
+            w1b AS (SELECT -0.5 * g / (SELECT cnt FROM n) AS w FROM g1b),
+            z AS (SELECT x.vec_id, any_value(x.y) AS y,
+                         sum(w1.w * x.xv) + (SELECT w FROM w1b) AS z
+                  FROM ex x JOIN w1 USING (dim) GROUP BY x.vec_id),
+            p2 AS (SELECT vec_id, y, 1.0 / (1.0 + exp(-z)) AS p FROM z),
+            g2 AS (SELECT x.dim, sum((p2.p - p2.y) * x.xv) AS g
+                   FROM ex x JOIN p2 USING (vec_id) GROUP BY x.dim),
+            g2b AS (SELECT sum(p - y) AS g FROM p2),
+            w2 AS (SELECT w1.dim AS dim,
+                          w1.w - 0.5 * g2.g / (SELECT cnt FROM n) AS w
+                   FROM w1 JOIN g2 USING (dim)),
+            w2b AS (SELECT (SELECT w FROM w1b)
+                           - 0.5 * g / (SELECT cnt FROM n) AS w
+                    FROM g2b)
+            SELECT x.vec_id,
+                   round(1.0 / (1.0 + exp(-(sum(w2.w * x.xv)
+                                            + (SELECT w FROM w2b)))), 6)
+                       AS score
+            FROM ex x JOIN w2 USING (dim)
+            GROUP BY x.vec_id ORDER BY x.vec_id""",
+
         # round-1 BPE pair statistics (exact twin of the iterative
         # bpe_train, whose later rounds are pytest-verified)
         "docs_bpe_pair_counts": """

@@ -866,6 +866,23 @@ def embeddings_logreg(sf_dir: str, iters: int = 2, lr: float = 0.5):
         "weight": pa.array(np.round(w, 6), pa.float64())})
 
 
+def embeddings_logreg_scores(sf_dir: str, iters: int = 2,
+                             lr: float = 0.5):
+    """Train-then-score: the classifier trained by ``logreg_train``
+    applied back over the table distributed — ``(vec_id, score)``
+    sigmoid probabilities rounded to 6 (the model-filter statistic;
+    the oracle re-derives the same 2-step weights and scores in
+    SQL)."""
+    from ferenda_ray.stages.similarity import logreg_score, logreg_train
+    emb = _read_emb(sf_dir).materialize()
+    w = logreg_train(emb, iters=iters, lr=lr)
+    out = logreg_score(emb, w)
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b.column("vec_id"),
+                            "score": pc.round(b.column("score"), 6)}),
+        batch_format="pyarrow")
+
+
 def ivf_ann_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 10):
     """IVF top-k run FULL-PROBE (n_probe = n_centroids), which is
     exact by construction — so the brute-force SQL oracle applies and

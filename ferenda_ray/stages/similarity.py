@@ -717,3 +717,28 @@ def brute_topk_int8(quantized, queries, k: int = 10,
 
     return candidates.groupby("query_id").map_groups(
         merge, batch_format="pyarrow")
+
+
+def logreg_score(embeddings, w: np.ndarray,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Apply trained :func:`logreg_train` weights distributed:
+    per-batch float64 matmul against the broadcast ``w`` (bias last),
+    emitting ``(id, score)`` sigmoid probabilities — the classifier
+    side of model-based corpus filtering (keep rows with score ≥ the
+    operating threshold)."""
+    from ferenda_ray.stages.broadcast import resolve, stateful_map
+
+    class Scorer:
+        def __init__(self, ref):
+            self.w = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            X = _col_matrix(b, vec_col)
+            z = X @ self.w[:-1] + self.w[-1]
+            p = 1.0 / (1.0 + np.exp(-z))
+            return pa.table({id_col: b.column(id_col),
+                             "score": pa.array(p, pa.float64())})
+
+    return stateful_map(
+        embeddings.select_columns([id_col, vec_col]), Scorer,
+        np.asarray(w, dtype=np.float64), batch_size=4096)

@@ -158,3 +158,21 @@ def test_logreg_learns_separable_signal(ray_session):
     # the separating dimension dominates and points the right way
     assert w[0] > 0.5 and abs(w[0]) > 3 * max(abs(w[1]), abs(w[2]),
                                               abs(w[3]))
+
+
+def test_logreg_score_matches_direct_sigmoid(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import logreg_score
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(60, 6))
+    w = rng.normal(size=7)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float64()))}))
+    got = {r["vec_id"]: r["score"]
+           for r in logreg_score(ds, w).take_all()}
+    exp = 1.0 / (1.0 + np.exp(-(X @ w[:-1] + w[-1])))
+    for i in range(60):
+        assert abs(got[i] - exp[i]) < 1e-12
