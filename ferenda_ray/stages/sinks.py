@@ -105,3 +105,68 @@ def read_partitioned(out_dir: str):
         ds = ds.map_batches(lambda b: b.drop_columns(["bucket"]),
                             batch_format="pyarrow")
     return ds
+
+
+def upsert_partitioned(ds, out_dir: str, key_col: str) -> pa.Table:
+    """Incremental update: merge new/changed rows into an existing
+    :func:`write_partitioned` layout, rewriting ONLY the buckets that
+    contain affected keys (the daily-increment path: a 0.1% delta
+    touches ~min(num_buckets, delta-rows) shards, not the corpus).
+
+    Per affected bucket the existing shard is read, rows whose key
+    appears in the delta are replaced (delta wins), the merged shard
+    is sorted and atomically swapped, and the manifest is refreshed —
+    same crash-ordering as ``fulltext.upsert``: the old file is only
+    ever replaced by a complete merged one (tmp + rename), so a crash
+    leaves either the old or the new shard, never a mix.  Buckets not
+    in the delta keep byte-identical shards and manifests."""
+    import json
+    with open(os.path.join(out_dir, "_layout.json")) as f:
+        layout = json.load(f)
+    num_buckets = layout["num_buckets"]
+    sort_by = [key_col]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = pl.from_arrow(b.column(key_col)).rename("k").hash(seed=0)
+        return b.append_column(
+            "__bucket", (h % num_buckets).cast(pl.Int64).to_arrow())
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        import time
+        t0 = time.perf_counter()
+        bucket = group.column("__bucket")[0].as_py()
+        part = f"bucket={bucket:05d}"
+        delta = pl.from_arrow(
+            group.drop_columns(["__bucket"]).combine_chunks())
+        p = os.path.join(out_dir, part, "part.parquet")
+        if os.path.exists(p):
+            old = pl.from_arrow(pq.read_table(p))
+            keys = delta[key_col].implode()
+            kept = old.filter(~pl.col(key_col).is_in(keys))
+            merged = pl.concat([kept, delta.select(old.columns)])
+        else:
+            merged = delta
+        merged = merged.sort(sort_by)
+        data = merged.to_arrow()
+        keys_col = data.column(key_col)
+        digest = hashlib.sha256()
+        digest.update("\x1f".join(
+            str(keys_col[i].as_py())
+            for i in range(len(keys_col))).encode())
+        mf.atomic_write(p, lambda tmp: pq.write_table(data, tmp))
+        record = {
+            "partition": part, "shard_file": p,
+            "rows": data.num_rows,
+            "min_key": str(keys_col[0].as_py()) if len(keys_col) else "",
+            "max_key": str(keys_col[-1].as_py()) if len(keys_col) else "",
+            "content_sha256": digest.hexdigest(),
+            "elapsed_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        mf.write_manifest(out_dir, part, record)
+        return pa.table({k: [record[k]] for k in record})
+
+    result = (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(merge_bucket, batch_format="pyarrow")
+              .take_all())  # one row per AFFECTED bucket
+    return pa.Table.from_pylist(result) if result else pa.table({})

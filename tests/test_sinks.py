@@ -95,3 +95,33 @@ def test_cleaning_pipeline_into_resumable_sink(ray_session, out_dir):
     # resume: nothing left to write
     assert sinks.write_partitioned(cleaned, out_dir, "doc_id",
                                    num_buckets=6).num_rows == 0
+
+
+def test_upsert_rewrites_only_affected_buckets(ray_session, out_dir):
+    import ray.data as rd
+    base = _docs(200)
+    sinks.write_partitioned(rd.from_arrow(base), out_dir, "doc_id",
+                            num_buckets=8)
+    before = {p: open(os.path.join(out_dir, p, "part.parquet"),
+                      "rb").read()
+              for p in os.listdir(out_dir) if p.startswith("bucket=")}
+    # delta: update 2 docs, add 1 new
+    delta = pa.table({"doc_id": [5, 17, 1000],
+                      "text": ["updated five", "updated seventeen",
+                               "brand new"]})
+    man = sinks.upsert_partitioned(rd.from_arrow(delta), out_dir,
+                                   "doc_id")
+    touched = set(man.column("partition").to_pylist())
+    assert 1 <= len(touched) <= 3
+    back = {r["doc_id"]: r["text"]
+            for r in sinks.read_partitioned(out_dir).take_all()}
+    assert len(back) == 201
+    assert back[5] == "updated five"
+    assert back[17] == "updated seventeen"
+    assert back[1000] == "brand new"
+    assert back[6] == "doc 6 body"           # untouched row survives
+    # untouched buckets are byte-identical
+    for p, blob in before.items():
+        if p not in touched:
+            assert open(os.path.join(out_dir, p, "part.parquet"),
+                        "rb").read() == blob
