@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantized": docs.embeddings_quantized,
         "ann_topk_int8": docs.ann_topk_int8,            # rows-only
         "embeddings_logreg_scores": docs.embeddings_logreg_scores,
+        "docs_tfidf_top_terms": docs.docs_tfidf_top_terms,
         "docs_bpe_merges": docs.docs_bpe_merges,        # rows-only
         "embeddings_label_count": docs.embeddings_label_count,
         "docs_fingerprints": docs.docs_fingerprints,
@@ -722,6 +723,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ex x JOIN w2 USING (dim)
             GROUP BY x.vec_id ORDER BY x.vec_id""",
 
+        # tf-idf top terms: selection ranked by INTEGER keys
+        # (tf desc, df asc, term) so float ln() ulps cannot flip rank;
+        # the reported tfidf rounds half-away to 6 on both sides
+        "docs_tfidf_top_terms": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            tf AS (SELECT doc_id, t, count(*) AS tf
+                   FROM tok GROUP BY doc_id, t),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.t, tf.tf, dfreq.df,
+                          row_number() OVER (
+                              PARTITION BY tf.doc_id
+                              ORDER BY tf.tf DESC, dfreq.df, tf.t)
+                              AS rn
+                   FROM tf JOIN dfreq USING (t))
+            SELECT doc_id, t AS term, tf, df,
+                   floor(tf * ln((SELECT n FROM nn) / df) * 1e6
+                         + 0.5) / 1e6 AS tfidf
+            FROM sc WHERE rn <= 3 ORDER BY doc_id, rn""",
         # round-1 BPE pair statistics (exact twin of the iterative
         # bpe_train, whose later rounds are pytest-verified)
         "docs_bpe_pair_counts": """

@@ -345,6 +345,13 @@ def docs_stratified_sample(sf_dir: str, k: int = 10):
     return out
 
 
+def docs_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Top-3 characteristic terms per doc (integer-keyed tf-idf
+    ranking — see ``text_analysis.tfidf_top_terms``)."""
+    from ferenda_ray.stages.text_analysis import tfidf_top_terms
+    return tfidf_top_terms(_read_docs(sf_dir, ["doc_id", "text"]), k=k)
+
+
 def docs_bpe_pair_counts(sf_dir: str, k: int = 20):
     """Round-1 BPE statistics: top-k adjacent CHARACTER pair counts
     over whitespace words (weighted by word frequency = plain corpus

@@ -669,3 +669,68 @@ def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
         table = table.map_batches(apply,
                                   batch_format="pyarrow").materialize()
     return merges
+
+
+def tfidf_top_terms(docs, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    docs_per_part: int = 4096):
+    """Top-k characteristic terms per doc, tf-idf ranked.  The RANK
+    key is pure integers — ``(tf desc, df asc, term asc)`` — so the
+    selection is bit-reproducible across engines (float tf·idf ties
+    cannot flip on last-ulp ``ln`` differences); the reported
+    ``tfidf = tf · ln(N/df)`` is informational, rounded to 6.
+
+    Plan: per-batch term counts (docs never split across batches, so
+    per-doc tf is complete in one pass) → df = one groupby over
+    (doc, term) rows → hash join tf⋈df → per-coarse-group vectorized
+    top-k (one Python call per ~4096 docs, polars head)."""
+    from ray.data.aggregate import Count as _Count
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        df_ = (pl.from_arrow(b.select([id_col, text_col]))
+               .with_columns(pl.col(text_col).str.split(" ")
+                             .alias("t"))
+               .explode("t")
+               .group_by([id_col, "t"]).len()
+               .rename({"len": "tf"}))
+        t = df_.to_arrow()
+        return t.cast(pa.schema([(id_col, pa.int64()),
+                                 ("t", pa.string()),
+                                 ("tf", pa.int64())]))
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow")
+    dfreq = tf.groupby("t").aggregate(_Count(alias_name="df"))
+    n_docs = docs.count()
+
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        tf, dfreq = tf.repartition(co), dfreq.repartition(co)
+    j = tf.join(dfreq, join_type="inner", num_partitions=np_,
+                on=("t",))
+
+    def topk(group: pa.Table) -> pa.Table:
+        df_ = (pl.from_arrow(group.combine_chunks())
+               .sort([id_col, "tf", "df", "t"],
+                     descending=[False, True, False, False])
+               .group_by(id_col, maintain_order=True).head(k)
+               .rename({"t": "term"}))
+        t = df_.select([id_col, "term", "tf", "df"]).to_arrow().cast(
+            pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                       ("tf", pa.int64()), ("df", pa.int64())]))
+        # numpy TRUE division for the rounding step: polars' `/scalar`
+        # multiplies by the reciprocal, which is off by one ulp from
+        # SQL's floor(x*1e6+0.5)/1e6
+        tfv = t.column("tf").to_numpy().astype(np.float64)
+        dfv = t.column("df").to_numpy().astype(np.float64)
+        tfidf = np.floor(tfv * np.log(n_docs / dfv) * 1e6 + 0.5) / 1e6
+        return t.append_column("tfidf", pa.array(tfidf, pa.float64()))
+
+    return (j.add_column("__grp",
+                         lambda d: d[id_col] % docs_per_part)
+            .groupby("__grp")
+            .map_groups(lambda g: topk(g.drop_columns(["__grp"])),
+                        batch_format="pyarrow"))

@@ -394,3 +394,30 @@ def test_stratified_sample_deterministic_topk(ray_session):
                             key=lambda i: (md5k(i), i))[:5])
         assert got == exp
     assert len(out) == 15
+
+
+def test_tfidf_top_terms_matches_brute_force(ray_session):
+    import math
+    import random
+    from collections import Counter
+
+    import ray.data as rd
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(15)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+             for _ in range(40)]
+    ids = list(range(40))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {}
+    for r in ta.tfidf_top_terms(ds, k=3, docs_per_part=7).take_all():
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["df"], r["tfidf"]))
+    tf = {i: Counter(t.split(" ")) for i, t in zip(ids, texts)}
+    df = Counter(w for c in tf.values() for w in c)
+    for i in ids:
+        exp = sorted(((w, c, df[w]) for w, c in tf[i].items()),
+                     key=lambda x: (-x[1], x[2], x[0]))[:3]
+        exp = [(w, c, d,
+                math.floor(c * math.log(40.0 / d) * 1e6 + 0.5) / 1e6)
+               for w, c, d in exp]
+        assert sorted(got[i]) == sorted(exp), i
