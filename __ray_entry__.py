@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_int8": docs.ann_topk_int8,            # rows-only
         "embeddings_logreg_scores": docs.embeddings_logreg_scores,
         "docs_tfidf_top_terms": docs.docs_tfidf_top_terms,
+        "docs_snapshot_diff": docs.docs_snapshot_diff,
         "docs_bpe_merges": docs.docs_bpe_merges,        # rows-only
         "embeddings_label_count": docs.embeddings_label_count,
         "docs_fingerprints": docs.docs_fingerprints,
@@ -641,6 +642,23 @@ def oracle_sql() -> dict[str, str]:
                                        ELSE 1.0 END) + 0.5)
                    END AS BIGINT) AS q
             FROM e ORDER BY vec_id, dim""",
+        # corpus snapshot diff: OLD = id%10!=0, NEW = id%10!=1 with
+        # id%7==0 rows edited; unchanged rows dropped
+        "docs_snapshot_diff": """
+            WITH o AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 10 != 0),
+            nw AS (SELECT doc_id,
+                          CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                               ELSE text END AS text
+                   FROM documents WHERE doc_id % 10 != 1)
+            SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN nw.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+            WHERE o.doc_id IS NULL OR nw.doc_id IS NULL
+                  OR o.text != nw.text
+            ORDER BY doc_id""",
         # deterministic stratified sample: k smallest md5(id) per lang
         "docs_stratified_sample": """
             WITH h AS (SELECT doc_id, lang,

@@ -337,6 +337,44 @@ def docs_pack_offsets(sf_dir: str, seq_len: int = 1024):
                                  seq_len=seq_len)
 
 
+def docs_snapshot_diff(sf_dir: str):
+    """Corpus-diff demo on deterministic snapshots of the documents
+    table: OLD = ids with ``id %% 10 != 0``, NEW = ids with
+    ``id %% 10 != 1`` where ids with ``id %% 7 == 0`` carry edited
+    text — producing all three statuses (added/removed/changed)
+    against the same rule in SQL."""
+    import polars as pl
+
+    from ferenda_ray.stages.dedup import corpus_diff
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def mod_filter(m, r):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            keep = pc.not_equal(
+                pc.subtract(ids, pc.multiply(
+                    pc.divide(ids, pa.scalar(m, pa.int64())),
+                    pa.scalar(m, pa.int64()))),
+                pa.scalar(r, pa.int64()))
+            return b.filter(keep)
+        return f
+
+    old = docs.map_batches(mod_filter(10, 0), batch_format="pyarrow")
+
+    def edit(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.with_columns(
+            pl.when(pl.col("doc_id") % 7 == 0)
+            .then(pl.col("text") + pl.lit(" v2"))
+            .otherwise(pl.col("text")).alias("text")
+        ).to_arrow().cast(b.schema)
+
+    new = docs.map_batches(mod_filter(10, 1),
+                           batch_format="pyarrow").map_batches(
+        edit, batch_format="pyarrow")
+    return corpus_diff(old, new)
+
+
 def docs_stratified_sample(sf_dir: str, k: int = 10):
     """Deterministic k-per-language sample (md5-ordered)."""
     from ferenda_ray.stages.sample import stratified_sample

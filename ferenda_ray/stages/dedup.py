@@ -1171,3 +1171,55 @@ def remove_duplicated_spans(docs, n: int = 16, text_col: str = "text",
                          "n_removed": pa.array(removed, pa.int64())})
 
     return j.map_batches(surgery, batch_format="pyarrow")
+
+
+def corpus_diff(old, new, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Snapshot diff between two corpus versions — the dataset-
+    versioning primitive behind incremental reprocessing (feed the
+    ``added``/``changed`` rows to :func:`~ferenda_ray.stages.sinks.
+    upsert_partitioned`, retire the ``removed`` keys).  Returns
+    ``(doc_id, status)`` with status ∈ {added, removed, changed};
+    unchanged rows are dropped.
+
+    One content-hash pass per side (the :func:`add_content_hash`
+    sha256 lineage idiom), one full-outer hash join on the id —
+    nothing corpus-sized leaves the workers."""
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+
+    def side(ds, out):
+        def prep(b: pa.Table) -> pa.Table:
+            b = add_content_hash(b, text_col)
+            return pa.table({id_col: b.column(id_col),
+                             out: b.column("content_sha256")})
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    o = side(old, "__h_old")
+    n = side(new, "__h_new")
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        o, n = o.repartition(co), n.repartition(co)
+    j = o.join(n, join_type="full_outer", num_partitions=np_,
+               on=(id_col,))
+
+    def classify(b: pa.Table) -> pa.Table:
+        ho = b.column("__h_old")
+        hn = b.column("__h_new")
+        added = pc.is_null(ho)
+        removed = pc.is_null(hn)
+        changed = pc.and_(pc.and_(pc.invert(added), pc.invert(removed)),
+                          pc.not_equal(ho, hn))
+        status = pc.if_else(
+            added, pa.scalar("added"),
+            pc.if_else(removed, pa.scalar("removed"),
+                       pc.if_else(changed, pa.scalar("changed"),
+                                  pa.scalar(""))))
+        keep = pc.not_equal(status, pa.scalar(""))
+        out = pa.table({id_col: b.column(id_col),
+                        "status": status})
+        return out.filter(keep)
+
+    return j.map_batches(classify, batch_format="pyarrow")

@@ -390,3 +390,16 @@ def test_remove_duplicated_spans_overlap_merges(ray_session):
     assert rows[1]["n_removed"] == 20
     assert rows[1]["clean_text"] == "XXYY"
     assert rows[2]["clean_text"] == "PPQQ"
+
+
+def test_corpus_diff_statuses(ray_session):
+    import ray.data as rd
+    old = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["one", "two", "three", "four"]}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": [2, 3, 4, 5],
+        "text": ["two", "three EDITED", "four", "five"]}))
+    got = {r["doc_id"]: r["status"]
+           for r in dedup.corpus_diff(old, new).take_all()}
+    assert got == {1: "removed", 3: "changed", 5: "added"}
