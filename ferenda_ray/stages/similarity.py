@@ -207,8 +207,38 @@ def kmeans_fit(X: np.ndarray, n_centroids: int, n_iter: int = 10,
     return C
 
 
+def _ckpt_path(d: str, name: str) -> str:
+    import os
+    return os.path.join(d, f"{name}.ckpt.json")
+
+
+def _load_checkpoint(d: str, name: str):
+    """Iterative-trainer checkpoint: ``{iter, state}`` JSON written
+    atomically after every pass — a killed long job resumes at the
+    last finished iteration instead of restarting (the sink's
+    manifest-resume discipline applied to model state)."""
+    import json
+    import os
+    p = _ckpt_path(d, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_checkpoint(d: str, name: str, record: dict) -> None:
+    import json
+    import os
+
+    from ferenda_ray.state import manifest as mf
+    os.makedirs(d, exist_ok=True)
+    mf.atomic_write(_ckpt_path(d, name),
+                    lambda tmp: open(tmp, "w").write(json.dumps(record)))
+
+
 def kmeans_iterate(embeddings, k: int = 8, iters: int = 2,
-                   vec_col: str = "embedding", id_col: str = "vec_id"):
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   checkpoint_dir: str | None = None):
     """Distributed Lloyd's k-means — the scale path that
     :func:`kmeans_fit` (driver-side, over a sample) approximates.
 
@@ -270,13 +300,22 @@ def kmeans_iterate(embeddings, k: int = 8, iters: int = 2,
             "n": pa.array([int(g.column("n").to_numpy().sum())],
                           pa.int64())})
 
-    for _ in range(max(iters - 1, 0)):
+    start_pass = 0
+    if checkpoint_dir is not None:
+        ck = _load_checkpoint(checkpoint_dir, "kmeans")
+        if ck is not None:
+            start_pass = ck["iter"]
+            C = np.asarray(ck["state"], dtype=C.dtype)
+    for it in range(start_pass, max(iters - 1, 0)):
         partials = stateful_map(embeddings, _Partial, C,
                                 batch_size=4096)
         merged = (partials.groupby("cluster")
                   .map_groups(_merge, batch_format="pyarrow"))
         for r in merged.take_all():  # ≤ k rows by construction
             C[r["cluster"]] = np.asarray(r["s"]) / r["n"]
+        if checkpoint_dir is not None:
+            _save_checkpoint(checkpoint_dir, "kmeans",
+                             {"iter": it + 1, "state": C.tolist()})
 
     class _Assign:
         def __init__(self, ref):
@@ -579,7 +618,8 @@ def ivf_topk_pruned(index_dir: str, queries, k: int = 10,
 def logreg_train(embeddings, iters: int = 2, lr: float = 0.5,
                  label_threshold: int = 5,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 label_col: str = "label"):
+                 label_col: str = "label",
+                 checkpoint_dir: str | None = None):
     """Distributed batch-gradient-descent logistic regression — the
     model-based quality-classifier shape (features → keep/cut score)
     trained in-engine, broadcast-iterate like :func:`kmeans_iterate`.
@@ -617,7 +657,13 @@ def logreg_train(embeddings, iters: int = 2, lr: float = 0.5,
                 "n": pa.array([len(y)], pa.int64())})
 
     w = None
-    for _ in range(iters):
+    start_iter = 0
+    if checkpoint_dir is not None:
+        ck = _load_checkpoint(checkpoint_dir, "logreg")
+        if ck is not None:
+            start_iter = ck["iter"]
+            w = np.asarray(ck["state"], dtype=np.float64)
+    for it in range(start_iter, iters):
         if w is None:
             # first pass needs the dimensionality: read one row
             d = len(embeddings.take(1)[0][vec_col])
@@ -631,6 +677,9 @@ def logreg_train(embeddings, iters: int = 2, lr: float = 0.5,
             G += np.asarray(r["g"])
             N += r["n"]
         w = w - lr * G / N
+        if checkpoint_dir is not None:
+            _save_checkpoint(checkpoint_dir, "logreg",
+                             {"iter": it + 1, "state": w.tolist()})
     return w
 
 

@@ -176,3 +176,49 @@ def test_logreg_score_matches_direct_sigmoid(ray_session):
     exp = 1.0 / (1.0 + np.exp(-(X @ w[:-1] + w[-1])))
     for i in range(60):
         assert abs(got[i] - exp[i]) < 1e-12
+
+
+def test_logreg_checkpoint_resume(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import logreg_train
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(80, 5))
+    labels = rng.integers(0, 10, 80)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(80), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float64())),
+        "label": pa.array(labels, pa.int32())})).materialize()
+    full = logreg_train(ds, iters=3, lr=0.5)
+    ck = str(tmp_path / "ck")
+    # simulate a kill after iteration 1: train 1 iter with checkpoint
+    logreg_train(ds, iters=1, lr=0.5, checkpoint_dir=ck)
+    rec = json.load(open(os.path.join(ck, "logreg.ckpt.json")))
+    assert rec["iter"] == 1
+    # resume to 3 total — identical to the uninterrupted run
+    resumed = logreg_train(ds, iters=3, lr=0.5, checkpoint_dir=ck)
+    np.testing.assert_array_equal(resumed, full)
+    # idempotent rerun at the same target: loads, no extra passes
+    again = logreg_train(ds, iters=3, lr=0.5, checkpoint_dir=ck)
+    np.testing.assert_array_equal(again, full)
+
+
+def test_kmeans_checkpoint_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import kmeans_iterate
+    rng = np.random.default_rng(29)
+    X = rng.normal(size=(60, 4))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float64()))})).materialize()
+    C_full, _ = kmeans_iterate(ds, k=3, iters=4)
+    ck = str(tmp_path / "ck")
+    kmeans_iterate(ds, k=3, iters=2, checkpoint_dir=ck)   # 1 update pass
+    C_res, _ = kmeans_iterate(ds, k=3, iters=4, checkpoint_dir=ck)
+    np.testing.assert_array_equal(C_res, C_full)
