@@ -613,7 +613,8 @@ def _pair_counts_batch(b: pa.Table) -> pa.Table:
 
 
 def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
-              id_col: str = "doc_id"):
+              id_col: str = "doc_id",
+              checkpoint_dir: str | None = None):
     """Learn ``num_merges`` BPE merges over the corpus: highest
     adjacent-pair frequency wins each round, ties break on
     ``(left, right)`` lexicographically.  Returns ``[(rank, left,
@@ -637,7 +638,19 @@ def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
     table = words.map_batches(init_syms,
                               batch_format="pyarrow").materialize()
     merges = []
-    for rank in range(num_merges):
+    if checkpoint_dir is not None:
+        from ferenda_ray.stages.similarity import _load_checkpoint
+        ck = _load_checkpoint(checkpoint_dir, "bpe")
+        if ck is not None:
+            # resume: replay the saved merges over the fresh word
+            # table (deterministic, one pass per saved merge) and
+            # continue from the recorded rank
+            merges = [tuple(m) for m in ck["state"]]
+            for _, l_, r_, _f in merges:
+                table = table.map_batches(
+                    _apply_merge(l_, r_),
+                    batch_format="pyarrow").materialize()
+    for rank in range(len(merges), num_merges):
         counts = (table.map_batches(_pair_counts_batch,
                                     batch_format="pyarrow")
                   .groupby(["left", "right"])
@@ -649,26 +662,32 @@ def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
             break
         l, r, f = top[0]["left"], top[0]["right"], top[0]["n"]
         merges.append((rank, l, r, int(f)))
-
-        def apply(b: pa.Table, l=l, r=r) -> pa.Table:
-            out = []
-            for s in b.column("syms").to_pylist():
-                res, i = [], 0
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
-                        res.append(l + r)
-                        i += 2
-                    else:
-                        res.append(s[i])
-                        i += 1
-                out.append(res)
-            return pa.table({"syms": pa.array(out,
-                                              pa.list_(pa.string())),
-                             "freq": b.column("freq")})
-
-        table = table.map_batches(apply,
+        table = table.map_batches(_apply_merge(l, r),
                                   batch_format="pyarrow").materialize()
+        if checkpoint_dir is not None:
+            from ferenda_ray.stages.similarity import _save_checkpoint
+            _save_checkpoint(checkpoint_dir, "bpe",
+                             {"iter": rank + 1,
+                              "state": [list(m) for m in merges]})
     return merges
+
+
+def _apply_merge(l: str, r: str):
+    def apply(b: pa.Table) -> pa.Table:
+        out = []
+        for s in b.column("syms").to_pylist():
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            out.append(res)
+        return pa.table({"syms": pa.array(out, pa.list_(pa.string())),
+                         "freq": b.column("freq")})
+    return apply
 
 
 def tfidf_top_terms(docs, k: int = 3, text_col: str = "text",

@@ -421,3 +421,16 @@ def test_tfidf_top_terms_matches_brute_force(ray_session):
                 math.floor(c * math.log(40.0 / d) * 1e6 + 0.5) / 1e6)
                for w, c, d in exp]
         assert sorted(got[i]) == sorted(exp), i
+
+
+def test_bpe_checkpoint_resume(ray_session, tmp_path):
+    import ray.data as rd
+    texts = ["banana bandana cabana"] * 10
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(10)),
+                                 "text": texts})).materialize()
+    full = ta.bpe_train(ds, num_merges=6)
+    ck = str(tmp_path / "ck")
+    part = ta.bpe_train(ds, num_merges=2, checkpoint_dir=ck)
+    assert part == full[:2]
+    resumed = ta.bpe_train(ds, num_merges=6, checkpoint_dir=ck)
+    assert resumed == full
