@@ -125,7 +125,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (dup_ngrams, remove_dup_spans, perplexity, top_tokens, kmeans)
     # are promoted so their first driver check lands in r4 — together
     # displacing 19 stable-core entries that were driver-green in
-    # rounds 1-3 (rotate those back in round 5); queries whose
+    # rounds 1-3 (rotate those back in round 5, together with the
+    # session-3 additions now past the window: chunks, pack_offsets,
+    # bpe_pair_counts, logreg/logreg_scores, tfidf_top_terms,
+    # snapshot_diff, stratified_sample, quantized, top_tokens,
+    # dup_ngrams twins — all oracle-pytest-checked per commit by
+    # tests/test_query_oracles.py meanwhile); queries whose
     # implementation changed this round (doc_facets via the BGP path,
     # minhash broadcast plan, latest_value_per_user polars combiner)
     # are all kept/promoted in-window.  EVERY entry past position 50 is verified per-commit
