@@ -1156,10 +1156,13 @@ def remove_duplicated_spans(docs, n: int = 16, text_col: str = "text",
         buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
         kept = buf[~cov]
         edges = np.concatenate((doc_off, [total]))
-        removed = np.add.reduceat(cov.astype(np.int64), doc_off) \
+        # reduceat quirks: a zero-length doc at the END of the batch
+        # puts its offset at len(cov) (out of bounds — clamp), and any
+        # zero-length doc repeats the next slice's value — both fixed
+        # by zeroing lens==0 rows after
+        removed = np.add.reduceat(
+            cov.astype(np.int64), np.minimum(doc_off, total - 1)) \
             if total else np.zeros(len(encs), np.int64)
-        # reduceat quirk: a zero-length doc slice repeats the next
-        # value — zero-length docs removed nothing by definition
         removed[lens == 0] = 0
         kept_lens = lens - removed
         kb = np.concatenate(([0], np.cumsum(kept_lens)))

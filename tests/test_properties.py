@@ -250,3 +250,80 @@ def test_jpeg_roundtrip_psnr(h, w, seed):
     assert out.shape == px.shape
     mse = np.mean((out.astype(float) - px.astype(float)) ** 2)
     assert mse < 255**2 / 10**(30 / 10)       # PSNR > 30 dB
+
+
+# ---------------------------------------------------------------------------
+# chunking / packing / substring-dedup invariants (no Ray needed for
+# the pure kernels: drive tiny Datasets through the session fixture)
+
+ascii_texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=0, max_size=60),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(ascii_texts, st.integers(2, 10), st.integers(1, 5))
+def test_chunks_cover_every_token_in_order(ray_session, texts, c, o):
+    from ferenda_ray.stages.text_analysis import chunk_documents
+    if o >= c:
+        o = c - 1
+    import pyarrow as pa
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    per = {}
+    for r in chunk_documents(ds, c, o).take_all():
+        per.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        rows = sorted(per[i], key=lambda r: r["chunk_id"])
+        # first chunk starts at token 0; consecutive starts differ by
+        # stride; the last chunk reaches the final token
+        stride = c - o
+        assert rows[0]["chunk_text"].startswith(
+            " ".join(toks[:c])[:len(rows[0]["chunk_text"])])
+        last = rows[-1]
+        s_last = (len(rows) - 1) * stride
+        assert " ".join(toks[s_last:s_last + c]) == last["chunk_text"]
+        assert s_last + last["n_tokens"] == len(toks)
+        # overlap reconstruction: stitching chunks at stride
+        # boundaries reproduces the doc exactly
+        stitched = list(toks[:0])
+        for j, r in enumerate(rows):
+            ct = r["chunk_text"].split(" ") if r["chunk_text"] or \
+                r["n_tokens"] else []
+            start = j * stride
+            stitched[start:start + len(ct)] = ct
+        assert stitched == toks
+
+
+@settings(max_examples=15, deadline=None)
+@given(ascii_texts)
+def test_ngram_stats_bounds(ray_session, texts):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.dedup import ngram_dup_stats
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    for r in ngram_dup_stats(ds, n=4, stride=2).take_all():
+        assert 0 <= r["dup_grams"] <= r["total_grams"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(ascii_texts)
+def test_remove_spans_never_lengthens(ray_session, texts):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.dedup import remove_duplicated_spans
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    rows = {r["doc_id"]: r for r in
+            remove_duplicated_spans(ds, n=6).take_all()}
+    assert len(rows) == len(texts)
+    for i, t in enumerate(texts):
+        r = rows[i]
+        assert len(r["clean_text"]) + r["n_removed"] == len(t)
+        # removal deletes contiguous spans: the cleaned text is a
+        # subsequence of the original
+        it = iter(t)
+        assert all(c in it for c in r["clean_text"])
