@@ -409,9 +409,27 @@ def perplexity_score(docs, train=None, alpha: float = 0.5,
                                      join_partitions,
                                      ray_join_handles_empty_blocks)
 
-    cb, cu, v = bigram_lm_counts(train if train is not None else docs,
-                                 text_col, id_col)
-    big = _bigram_explode(docs, text_col, id_col)
+    # materialize the scored-side bigram table: it feeds the join AND
+    # (in the default self-trained arrangement) the count tables — one
+    # explode pass instead of three, and the empty-corpus guard below
+    # needs a count.  Blocks live in the object store (spillable).
+    big = _bigram_explode(docs, text_col, id_col).materialize()
+    if big.count() == 0:
+        # no doc has two tokens: nothing to score (and Acero cannot
+        # infer the schema of a zero-row join side)
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "n_bigrams": pa.array([], pa.int64()),
+             "bits_per_bigram": pa.array([], pa.float64())}))
+    if train is None:
+        from ray.data.aggregate import Count as _C
+        cb = big.groupby(["w1", "w2"]).aggregate(_C(alias_name="c12"))
+        cu = big.groupby("w1").aggregate(_C(alias_name="c1"))
+        v = int(big.groupby("w2").aggregate(
+            _C(alias_name="__n")).count())
+    else:
+        cb, cu, v = bigram_lm_counts(train, text_col, id_col)
     np_ = join_partitions()
     if not ray_join_handles_empty_blocks():
         co = coalesce_partitions()

@@ -327,3 +327,41 @@ def test_remove_spans_never_lengthens(ray_session, texts):
         # subsequence of the original
         it = iter(t)
         assert all(c in it for c in r["clean_text"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(ascii_texts, st.integers(2, 50))
+def test_pack_offsets_are_exact_prefix_sums(ray_session, texts, seq):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.text_analysis import pack_sequence_offsets
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    rows = sorted(pack_sequence_offsets(ds, seq_len=seq,
+                                        docs_per_part=3).take_all(),
+                  key=lambda r: r["doc_id"])
+    acc = 0
+    for r in rows:
+        assert r["token_start"] == acc
+        assert r["seq_id"] == acc // seq
+        assert r["seq_offset"] == acc % seq
+        acc += r["n_tokens"]
+    assert acc == sum(t.count(" ") + 1 for t in texts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ascii_texts)
+def test_perplexity_bigram_counts(ray_session, texts):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.text_analysis import perplexity_score
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    rows = {r["doc_id"]: r for r in perplexity_score(ds).take_all()}
+    for i, t in enumerate(texts):
+        n_tok = t.count(" ") + 1
+        if n_tok < 2:
+            assert i not in rows
+        else:
+            assert rows[i]["n_bigrams"] == n_tok - 1
+            assert rows[i]["bits_per_bigram"] >= 0
