@@ -1199,8 +1199,24 @@ def corpus_diff(old, new, id_col: str = "doc_id",
                              out: b.column("content_sha256")})
         return ds.map_batches(prep, batch_format="pyarrow")
 
-    o = side(old, "__h_old")
-    n = side(new, "__h_new")
+    # materialize both hash sides: each is (id, 16-B hash) — the diff
+    # working set, spillable — and an entirely-empty snapshot (first
+    # run, emptied corpus) breaks Acero schema inference in the join
+    o = side(old, "__h_old").materialize()
+    n = side(new, "__h_new").materialize()
+
+    def _all_as(ds_, status):
+        return ds_.map_batches(
+            lambda b: pa.table({
+                id_col: b.column(id_col),
+                "status": pa.array([status] * b.num_rows,
+                                   pa.string())}),
+            batch_format="pyarrow")
+
+    if o.count() == 0:
+        return _all_as(n, "added")
+    if n.count() == 0:
+        return _all_as(o, "removed")
     np_ = join_partitions()
     if not ray_join_handles_empty_blocks():
         co = coalesce_partitions()

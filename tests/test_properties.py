@@ -365,3 +365,46 @@ def test_perplexity_bigram_counts(ray_session, texts):
         else:
             assert rows[i]["n_bigrams"] == n_tok - 1
             assert rows[i]["bits_per_bigram"] >= 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=40,
+                unique=True),
+       st.integers(1, 6))
+def test_stratified_sample_bounds_and_stability(ray_session, ids, k):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.sample import stratified_sample
+    langs = ["en", "de"]
+    tbl = pa.table({"doc_id": ids,
+                    "lang": [langs[i % 2] for i in ids]})
+    a = stratified_sample(rd.from_arrow(tbl), "lang", k=k).take_all()
+    b = stratified_sample(rd.from_arrow(tbl).repartition(5),
+                          "lang", k=k).take_all()
+    per = {}
+    for r in a:
+        per.setdefault(r["lang"], set()).add(r["doc_id"])
+    for g, members in per.items():
+        avail = sum(1 for i in ids if langs[i % 2] == g)
+        assert len(members) == min(k, avail)
+    # partitioning-independent (deterministic md5 order)
+    assert sorted((r["lang"], r["doc_id"]) for r in a) == \
+        sorted((r["lang"], r["doc_id"]) for r in b)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ascii_texts)
+def test_corpus_diff_self_is_empty_and_antisymmetric(ray_session,
+                                                     texts):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.dedup import corpus_diff
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ds = rd.from_arrow(t).materialize()
+    assert corpus_diff(ds, ds).take_all() == []
+    # drop the first doc from one side: added<->removed swap
+    rest = rd.from_arrow(t.slice(1)).materialize()
+    fwd = corpus_diff(ds, rest).take_all()
+    rev = corpus_diff(rest, ds).take_all()
+    assert [(r["doc_id"], r["status"]) for r in fwd] == [(0, "removed")]
+    assert [(r["doc_id"], r["status"]) for r in rev] == [(0, "added")]
