@@ -408,3 +408,28 @@ def test_corpus_diff_self_is_empty_and_antisymmetric(ray_session,
     rev = corpus_diff(rest, ds).take_all()
     assert [(r["doc_id"], r["status"]) for r in fwd] == [(0, "removed")]
     assert [(r["doc_id"], r["status"]) for r in rev] == [(0, "added")]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 60), min_size=1, max_size=30,
+                unique=True),
+       st.lists(st.integers(0, 80), min_size=1, max_size=15,
+                unique=True))
+def test_upsert_equals_dict_merge(ray_session, tmp_path_factory,
+                                  base_ids, delta_ids):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages import sinks
+    out = str(tmp_path_factory.mktemp("ups") / "out")
+    base = pa.table({"doc_id": base_ids,
+                     "text": [f"base {i}" for i in base_ids]})
+    delta = pa.table({"doc_id": delta_ids,
+                      "text": [f"delta {i}" for i in delta_ids]})
+    sinks.write_partitioned(rd.from_arrow(base), out, "doc_id",
+                            num_buckets=4)
+    sinks.upsert_partitioned(rd.from_arrow(delta), out, "doc_id")
+    got = {r["doc_id"]: r["text"]
+           for r in sinks.read_partitioned(out).take_all()}
+    exp = {i: f"base {i}" for i in base_ids}
+    exp.update({i: f"delta {i}" for i in delta_ids})
+    assert got == exp
