@@ -26,9 +26,9 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["HyperLogLog", "QuantileDigest", "SpaceSaving",
+__all__ = ["HyperLogLog", "QuantileDigest", "SpaceSaving", "CountMin",
            "hll_count_distinct", "sketch_quantiles",
-           "heavy_hitter_tokens"]
+           "heavy_hitter_tokens", "cm_token_counts"]
 
 
 class HyperLogLog:
@@ -331,3 +331,92 @@ def heavy_hitter_tokens(ds, col: str, k: int = 20,
     for r in parts:
         acc.merge(SpaceSaving.loads(r["sketch"]))
     return acc.heavy_hitters(k)
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``d`` rows of
+    ``w`` counters; estimate = min over rows.  Never undercounts;
+    overcount ≤ 2N/w with probability ≥ 1 - (1/2)^d.  Mergeable by
+    element-wise addition (identical seeds/shape)."""
+
+    def __init__(self, width: int = 1024, depth: int = 4,
+                 seed: int = 97):
+        self.width = width
+        self.depth = depth
+        self.seed = seed
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.n = 0
+
+    def _rows(self, items) -> np.ndarray:
+        import hashlib
+        out = np.empty((len(items), self.depth), dtype=np.int64)
+        for i, it in enumerate(items):
+            h = hashlib.blake2b(str(it).encode(),
+                                digest_size=8 * self.depth,
+                                key=str(self.seed).encode()).digest()
+            for j in range(self.depth):
+                out[i, j] = int.from_bytes(
+                    h[8 * j:8 * j + 8], "little") % self.width
+        return out
+
+    def add_many(self, items, weights=None) -> "CountMin":
+        if not len(items):
+            return self
+        idx = self._rows(list(items))
+        w = (np.asarray(weights, dtype=np.int64) if weights is not None
+             else np.ones(len(idx), dtype=np.int64))
+        for j in range(self.depth):        # d tiny; rows vectorized
+            np.add.at(self.table[j], idx[:, j], w)
+        self.n += int(w.sum())
+        return self
+
+    def estimate(self, item) -> int:
+        idx = self._rows([item])[0]
+        return int(min(self.table[j, idx[j]]
+                       for j in range(self.depth)))
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.width, self.depth, self.seed) == \
+            (other.width, other.depth, other.seed)
+        self.table += other.table
+        self.n += other.n
+        return self
+
+    def dumps(self) -> bytes:
+        import pickle
+        return pickle.dumps((self.width, self.depth, self.seed,
+                             self.table, self.n))
+
+    @classmethod
+    def loads(cls, blob: bytes) -> "CountMin":
+        import pickle
+        w, d, seed, table, n = pickle.loads(blob)
+        s = cls(w, d, seed)
+        s.table, s.n = table, n
+        return s
+
+
+def cm_token_counts(ds, col: str, items, width: int = 4096,
+                    depth: int = 4):
+    """Point-frequency estimates for ``items`` over whitespace tokens
+    of ``col``: one Count-Min partial per batch (from the batch's own
+    value_counts), merged driver-side — reduce input = batch count.
+    Returns ``{item: estimated_count}`` (never under the true
+    count)."""
+    import polars as pl
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = (pl.from_arrow(b).select(
+            pl.col(col).str.split(" ").alias("t"))
+            .explode("t")["t"].value_counts())
+        s = CountMin(width, depth).add_many(
+            vc["t"].to_list(), vc["count"].to_numpy())
+        return pa.table({"sketch": pa.array([s.dumps()],
+                                            pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).take_all()
+    acc = CountMin(width, depth)
+    for r in parts:
+        acc.merge(CountMin.loads(r["sketch"]))
+    return {it: acc.estimate(it) for it in items}

@@ -140,3 +140,47 @@ def test_heavy_hitter_tokens_vs_exact(ray_session):
     # capacity 256 >> vocab (31) → sketch IS exact here
     assert [(t, c) for t, c, _ in hh] == exact
     assert all(e == 0 for _, _, e in hh)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+
+
+def test_count_min_never_undercounts():
+    import collections
+    import random
+    rng = random.Random(3)
+    stream = [f"i{rng.randint(0, 400)}" for _ in range(30000)]
+    true = collections.Counter(stream)
+    s = sketches.CountMin(width=512, depth=4).add_many(stream)
+    for it, c in true.items():
+        est = s.estimate(it)
+        assert est >= c
+        assert est - c <= 2 * len(stream) / 512 * 4  # loose CM bound
+
+
+def test_count_min_merge_equals_single_pass():
+    a = ["x"] * 100 + ["y"] * 7
+    b = ["x"] * 50 + ["z"] * 3
+    sa = sketches.CountMin(256, 3).add_many(a)
+    sb = sketches.CountMin(256, 3).add_many(b)
+    sa.merge(sketches.CountMin.loads(sb.dumps()))
+    whole = sketches.CountMin(256, 3).add_many(a + b)
+    assert (sa.table == whole.table).all()
+    assert sa.estimate("x") >= 150
+
+
+def test_cm_token_counts_vs_exact(ray_session):
+    import collections
+
+    import ray.data as rd
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    true = collections.Counter(
+        t for r in docs.take_all() for t in r["text"].split(" "))
+    probes = [w for w, _ in true.most_common(5)] + ["absent-token"]
+    est = sketches.cm_token_counts(docs, "text", probes, width=4096)
+    for w in probes[:5]:
+        assert est[w] >= true[w]
+        assert est[w] - true[w] <= 2 * sum(true.values()) / 4096 * 4
+    assert est["absent-token"] <= 2 * sum(true.values()) / 4096 * 4
