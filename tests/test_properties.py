@@ -433,3 +433,21 @@ def test_upsert_equals_dict_merge(ray_session, tmp_path_factory,
     exp = {i: f"base {i}" for i in base_ids}
     exp.update({i: f"delta {i}" for i in delta_ids})
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=30),
+                min_size=1, max_size=8),
+       st.integers(1, 5))
+def test_bpe_train_matches_reference_on_random_corpora(
+        ray_session, texts, m):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.stages.text_analysis import bpe_train
+    from tests.test_text_analysis import _reference_bpe
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    # tiny alphabet forces heavy pair-count ties: the (freq desc,
+    # left, right) tie-break must agree exactly with the reference
+    assert bpe_train(ds, num_merges=m) == _reference_bpe(texts, m)
