@@ -165,7 +165,7 @@ def dedup_exact(triples):
 # --------------------------------------------------------------------------
 # scale path: distributed connected components (min-label propagation)
 
-def label_propagation(edges, max_iter: int = 20):
+def label_propagation(edges, max_iter: int = 20, dtype=None):
     """Connected components over an edge Dataset with columns
     ``subj``/``obj`` → Dataset ``(member, canonical)``.
 
@@ -175,6 +175,10 @@ def label_propagation(edges, max_iter: int = 20):
     plus a join — all shuffles, no driver-side state.  Use when the
     sameAs edge set is too large to collect (the union-find path
     assumes it fits on the driver).
+
+    ``dtype`` is the Arrow node-id type (default ``pa.string()`` for
+    URI edges; pass ``pa.int64()`` for integer doc-id graphs — the
+    whole algorithm is min/join/groupby, so any ordered key works).
 
     RAY VERSION DEPENDENCY: the per-iteration ``_coalesce``
     (count + repartition + materialize) exists solely to work around
@@ -194,7 +198,8 @@ def label_propagation(edges, max_iter: int = 20):
                                      b.column("subj").combine_chunks()]),
         })
 
-    _LBL = pa.schema([("node", pa.string()), ("label", pa.string())])
+    _LBL = pa.schema([("node", dtype or pa.string()),
+                      ("label", dtype or pa.string())])
 
     def _scrub(b: pa.Table, label_col: str = "label") -> pa.Table:
         # Ray's hash-shuffle join can emit column-less empty blocks for
@@ -258,7 +263,8 @@ def label_propagation(edges, max_iter: int = 20):
 def _labels_fingerprint(labels) -> int:
     def h(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
-        v = (df.select((pl.col("node") + "\x00" + pl.col("label"))
+        v = (df.select((pl.col("node").cast(pl.Utf8) + "\x00"
+                        + pl.col("label").cast(pl.Utf8))
                        .hash(seed=7).alias("h"))["h"]
              .cast(pl.Int64, wrap_numerical=True).sum())
         return pa.table({"h": pa.array([v or 0], pa.int64())})

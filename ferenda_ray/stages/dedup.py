@@ -1155,15 +1155,16 @@ def remove_duplicated_spans(docs, n: int = 16, text_col: str = "text",
         cov = np.cumsum(diff[:-1]) > 0
         buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
         kept = buf[~cov]
-        edges = np.concatenate((doc_off, [total]))
-        # reduceat quirks: a zero-length doc at the END of the batch
-        # puts its offset at len(cov) (out of bounds — clamp), and any
-        # zero-length doc repeats the next slice's value — both fixed
-        # by zeroing lens==0 rows after
-        removed = np.add.reduceat(
-            cov.astype(np.int64), np.minimum(doc_off, total - 1)) \
-            if total else np.zeros(len(encs), np.int64)
-        removed[lens == 0] = 0
+        # reduceat only over docs with bytes: zero-length docs share
+        # their offset with the next doc (or sit out of bounds at the
+        # batch end) and any clamp/repeat correction corrupts the
+        # NEIGHBOR's segment sum — nonzero-length offsets are strictly
+        # increasing and in-bounds, so the segments are exact
+        removed = np.zeros(len(encs), np.int64)
+        nz = lens > 0
+        if total and nz.any():
+            removed[nz] = np.add.reduceat(cov.astype(np.int64),
+                                          doc_off[nz])
         kept_lens = lens - removed
         kb = np.concatenate(([0], np.cumsum(kept_lens)))
         kept_bytes = kept.tobytes()
