@@ -252,6 +252,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_share": events.event_type_share,
         "events_top_values_ties": events.top_values_with_ties,
         "events_value_histogram": events.value_histogram,
+        # --- near-dup RESOLUTION (new, round-4 session 4): cluster
+        # assignment + keep-best over the SimHash pair graph ---
+        "docs_neardup_clusters": docs.docs_neardup_clusters,
+        "docs_dedup_keep_best": docs.docs_dedup_keep_best,
     }
 
 
@@ -1354,6 +1358,27 @@ def oracle_sql() -> dict[str, str]:
                   || lpad(CAST(1 + doc_id % 300 AS VARCHAR), 4, '0')
               END AS uri
             FROM documents""",
+        # connected components (min-id label) over the exact-recall
+        # SimHash pair graph as a recursive-CTE reachability; shared
+        # by the cluster-assignment and keep-best queries
+        "docs_neardup_clusters": _SIMHASH_CLUSTER_CTE + """
+            SELECT doc_id, cluster_id FROM cl""",
+        "docs_dedup_keep_best": _SIMHASH_CLUSTER_CTE + """
+            , sz AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM cl GROUP BY cluster_id
+            ), best AS (
+              SELECT c.doc_id, c.cluster_id, d.n_chars,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY d.n_chars DESC,
+                                                 c.doc_id) AS rn
+              FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+            )
+            SELECT b.doc_id, b.cluster_id,
+                   CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                   b.n_chars
+            FROM best b JOIN sz s ON s.cluster_id = b.cluster_id
+            WHERE b.rn = 1""",
         # docs_minhash_pairs / lsh_ann_topk: intentionally no SQL
         # equivalent (sketch-estimate / approximate-by-design) →
         # driver records rows-only checks; their exactness properties
@@ -1395,3 +1420,44 @@ def _build_lang_id_sql() -> str:
 
 
 _LANG_ID_SQL = _build_lang_id_sql()
+
+#: SimHash pair graph (identical to the docs_simhash_pairs oracle) →
+#: undirected edges → recursive reachability → min-reachable-id
+#: cluster per doc (``cl``): the SQL restatement of distributed
+#: min-label propagation (stages/canonicalize.label_propagation)
+_SIMHASH_CLUSTER_CTE = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th, (SELECT unnest(range(0, 64)) AS bit) b
+      GROUP BY doc_id, bit
+    ), sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0
+                 THEN (CAST(1 AS UBIGINT) << CAST(bit AS INTEGER))
+                 ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(CAST(a.simhash AS UBIGINT),
+                          CAST(b.simhash AS UBIGINT))) <= 3
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION SELECT id_b, id_a FROM p
+    ), reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+      WHERE e2.v <> r.u
+    ), cl AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id
+    )"""

@@ -548,6 +548,31 @@ def docs_simhash_pairs(sf_dir: str, max_hamming: int = 3):
                          max_hamming=max_hamming, token_hash="md5")
 
 
+def docs_neardup_clusters(sf_dir: str, max_hamming: int = 3):
+    """Full near-dup cluster assignment: connected components (min-id
+    label) over the exact-recall SimHash pair graph — one row per doc,
+    singletons map to themselves.  Distributed label propagation over
+    the edge set; the corpus side pays a single left-outer join.
+    ORACLE: recursive-CTE reachability over the same pair SQL."""
+    from ferenda_ray.stages.dedup import neardup_clusters, simhash_pairs
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    pairs = simhash_pairs(docs, max_hamming=max_hamming,
+                          token_hash="md5")
+    return neardup_clusters(docs, pairs)
+
+
+def docs_dedup_keep_best(sf_dir: str, max_hamming: int = 3):
+    """Near-dedup RESOLUTION: per SimHash cluster keep the single best
+    doc (max ``n_chars``, ties → min id); singletons survive.  The
+    cleaned-corpus keep set with provenance (cluster id + size)."""
+    from ferenda_ray.stages.dedup import dedup_keep_best, simhash_pairs
+    docs = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+    pairs = simhash_pairs(
+        _read_docs(sf_dir, ["doc_id", "text"]),
+        max_hamming=max_hamming, token_hash="md5")
+    return dedup_keep_best(docs, pairs, score_col="n_chars")
+
+
 #: named statutes cycled through the synthesized citation column of
 #: ``docs_legal_refs`` (name -> SFS number via legalref.KNOWN_LAWS)
 _CITE_LAWS = [("brottsbalken", "1962:700"),

@@ -20,6 +20,11 @@ not present"; its closest analogue is exact ``(basefile, link)`` dedup
   100 TB route).
 * :func:`embedding_neardup_pairs` — exact cosine near-dup over an
   embedding column via broadcast matrix + per-batch matmul.
+* :func:`neardup_clusters` / :func:`dedup_keep_best` — pair list →
+  full cluster assignment (distributed min-label propagation) → one
+  kept representative per cluster (max score, ties → min id): the
+  near-dedup *resolution* step that turns pair detection into a
+  cleaned corpus.
 
 Determinism: all hash seeds fixed; MinHash permutations derive from a
 seeded ``numpy.random.Generator`` built in ``__init__`` (actor) or at
@@ -1243,3 +1248,105 @@ def corpus_diff(old, new, id_col: str = "doc_id",
         return out.filter(keep)
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster assignment + keep-best dedup (the step AFTER pair
+# listing: the reference stops at exact dedup — documentrepository.py
+# :913,932-933 — near-dup *resolution* is the beyond-reference part)
+
+def neardup_clusters(docs, pairs, id_col: str = "doc_id"):
+    """Full cluster assignment from a near-dup PAIR list: connected
+    components over ``(id_a, id_b)`` edges → one row per input doc
+    ``(id, cluster_id)`` where ``cluster_id`` is the component's
+    minimum doc id (singletons map to themselves).
+
+    Scale shape: the edge set (≪ corpus) runs through distributed
+    min-label propagation (:func:`~ferenda_ray.stages.canonicalize.
+    label_propagation`, O(diameter) shuffle rounds, no driver state);
+    the corpus-sized side only pays ONE left-outer hash join to pick
+    up its label.  Contrast :func:`minhash_clusters`, which collects
+    the pair list onto the driver (fine for small pair sets only)."""
+    from ferenda_ray.cluster import (coalesce_partitions, join_partitions,
+                                     ray_join_handles_empty_blocks)
+    from ferenda_ray.stages.canonicalize import label_propagation
+
+    edges = pairs.map_batches(
+        lambda b: pa.table({"subj": b.column("id_a"),
+                            "obj": b.column("id_b")}),
+        batch_format="pyarrow").materialize()
+    ids = docs.select_columns([id_col])
+    if edges.count() == 0:   # no near-dups anywhere: all singletons
+        return ids.map_batches(
+            lambda b: pa.table({id_col: b.column(id_col),
+                                "cluster_id": b.column(id_col)}),
+            batch_format="pyarrow")
+    # (node, label) for every node that appears in >=1 edge
+    labels = label_propagation(edges, dtype=pa.int64()).map_batches(
+        lambda b: pa.table({"__lnode": b.column("node"),
+                            "__label": b.column("label")}),
+        batch_format="pyarrow").materialize()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        ids, labels = ids.repartition(co), labels.repartition(co)
+    j = ids.join(labels, join_type="left_outer",
+                 num_partitions=join_partitions(),
+                 on=(id_col,), right_on=("__lnode",))
+
+    def pick(b: pa.Table) -> pa.Table:
+        lbl = pc.coalesce(b.column("__label"), b.column(id_col))
+        return pa.table({id_col: b.column(id_col),
+                         "cluster_id": lbl.cast(pa.int64())})
+
+    return j.map_batches(pick, batch_format="pyarrow")
+
+
+def dedup_keep_best(docs, pairs, id_col: str = "doc_id",
+                    score_col: str = "n_chars"):
+    """Near-dedup RESOLUTION: per connected component of the pair
+    graph keep the single best doc (max ``score_col``, ties → min
+    id); singletons survive.  Returns ``(id, cluster_id, cluster_size,
+    score)`` for the kept docs — the cleaned-corpus keep set.
+
+    Plan: cluster assignment (:func:`neardup_clusters`) ⋈ scores, then
+    a per-batch polars best-per-cluster combiner so the final
+    ``groupby(cluster_id)`` shuffles at most one row per (cluster ×
+    batch) — cluster size rides the same exchange as a partial count."""
+    clusters = neardup_clusters(docs, pairs, id_col=id_col)
+    from ferenda_ray.cluster import (coalesce_partitions, join_partitions,
+                                     ray_join_handles_empty_blocks)
+    scores = docs.select_columns([id_col, score_col])
+    clusters = clusters.materialize()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        clusters = clusters.repartition(co)
+        scores = scores.repartition(co)
+    j = clusters.join(scores, join_type="inner",
+                      num_partitions=join_partitions(), on=(id_col,))
+
+    def combine(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b)
+              .group_by("cluster_id")
+              .agg(pl.col(id_col).sort_by(
+                       [pl.col(score_col), -pl.col(id_col)],
+                       descending=True).first(),
+                   pl.col(score_col).max(),
+                   pl.len().cast(pl.Int64).alias("__n")))
+        return df.to_arrow().cast(pa.schema([
+            ("cluster_id", pa.int64()), (id_col, pa.int64()),
+            (score_col, pa.int64()), ("__n", pa.int64())]))
+
+    def final(group: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(group)
+              .sort([score_col, id_col], descending=[True, False])
+              .head(1))
+        size = int(group.column("__n").to_pandas().sum())
+        return pa.table({
+            id_col: df[id_col].to_arrow(),
+            "cluster_id": df["cluster_id"].to_arrow(),
+            "cluster_size": pa.array([size], pa.int64()),
+            score_col: df[score_col].to_arrow()})
+
+    return (j.map_batches(combine, batch_format="pyarrow")
+            .groupby("cluster_id")
+            .map_groups(final, batch_format="pyarrow"))

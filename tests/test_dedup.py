@@ -403,3 +403,48 @@ def test_corpus_diff_statuses(ray_session):
     got = {r["doc_id"]: r["status"]
            for r in dedup.corpus_diff(old, new).take_all()}
     assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_neardup_clusters_chain_transitivity(ray_session):
+    # A-B and B-C pairs (no A-C edge): label propagation must still
+    # put all three in one min-id cluster; 4/5 form a second cluster;
+    # 6 is a singleton mapping to itself
+    import ray.data as rd
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["a", "b", "c", "d", "e", "f"]}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": [1, 2, 4], "id_b": [2, 3, 5]}))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.neardup_clusters(docs, pairs).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_neardup_clusters_no_pairs(ray_session):
+    import ray.data as rd
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [7, 8], "text": ["a", "b"]}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64())}))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.neardup_clusters(docs, pairs).take_all()}
+    assert got == {7: 7, 8: 8}
+
+
+def test_dedup_keep_best_score_and_ties(ray_session):
+    # cluster {1,2,3}: 3 wins on n_chars; cluster {4,5}: tie on score
+    # -> min id 4 wins; singleton 6 kept as its own cluster of 1
+    import ray.data as rd
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["a", "b", "c", "d", "e", "f"],
+        "n_chars": [10, 20, 30, 7, 7, 1]}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": [1, 2, 4], "id_b": [2, 3, 5]}))
+    rows = {r["doc_id"]: r for r in
+            dedup.dedup_keep_best(docs, pairs).take_all()}
+    assert set(rows) == {3, 4, 6}
+    assert rows[3]["cluster_id"] == 1 and rows[3]["cluster_size"] == 3
+    assert rows[4]["cluster_id"] == 4 and rows[4]["cluster_size"] == 2
+    assert rows[6]["cluster_size"] == 1 and rows[6]["n_chars"] == 1
