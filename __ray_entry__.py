@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assignment + keep-best over the SimHash pair graph ---
         "docs_neardup_clusters": docs.docs_neardup_clusters,
         "docs_dedup_keep_best": docs.docs_dedup_keep_best,
+        # --- training-data mixing (new, round-4 session 4) ---
+        "docs_token_budget": docs.docs_token_budget,
+        "docs_weighted_mix": docs.docs_weighted_mix,
     }
 
 
@@ -1379,6 +1382,36 @@ def oracle_sql() -> dict[str, str]:
                    b.n_chars
             FROM best b JOIN sz s ON s.cluster_id = b.cluster_id
             WHERE b.rn = 1""",
+        # per-language token-budget head: md5-ordered window cumsum,
+        # keep while the running total stays <= 2000 (the engine runs
+        # a distributed prefix sum over md5 hash ranges)
+        "docs_token_budget": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                          & 9223372036854775807 AS BIGINT) AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang
+                                         ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                         AS cum
+              FROM t
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum <= 2000""",
+        # source srcK keeps fraction (K+1)/20 by md5 threshold — the
+        # integer threshold (K+1)*50000 is computed exactly on both
+        # sides (no float rounding in the comparison)
+        "docs_weighted_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix')
+                   & 9223372036854775807) % 1000000
+                  < (1 + CAST(substr(source, 4) AS BIGINT)) * 50000""",
         # docs_minhash_pairs / lsh_ann_topk: intentionally no SQL
         # equivalent (sketch-estimate / approximate-by-design) →
         # driver records rows-only checks; their exactness properties

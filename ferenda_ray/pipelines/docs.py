@@ -1090,3 +1090,25 @@ def docs_clean_corpus(sf_dir: str, n: int = 8):
         out = out.repartition(coalesce_partitions())
     return out.join(clean, join_type="inner", num_partitions=np_,
                     on=("doc_id",))
+
+
+def docs_token_budget(sf_dir: str, budget: int = 2000):
+    """Per-language token-budget head (md5-ordered deterministic
+    shuffle, keep while the running whitespace-token total ≤ 2000) —
+    the "N tokens per language" mixing step, as a distributed prefix
+    sum.  ORACLE: window cumsum over the same md5 ordering."""
+    from ferenda_ray.stages.sample import token_budget_sample
+    return token_budget_sample(
+        _read_docs(sf_dir, ["doc_id", "lang", "text"]), budget=budget)
+
+
+def docs_weighted_mix(sf_dir: str):
+    """Deterministic source-weighted mixing: source ``srcK`` keeps
+    fraction (K+1)/20 of its docs by md5 threshold — seedless,
+    cluster-size-independent, exactly restatable in SQL."""
+    from ferenda_ray.stages.sample import weighted_mix
+    weights = {f"src{k}": (k + 1) / 20 for k in range(20)}
+    out = weighted_mix(
+        _read_docs(sf_dir, ["doc_id", "source"]), weights)
+    return out.map_batches(lambda b: b.select(["doc_id", "source"]),
+                           batch_format="pyarrow")

@@ -86,3 +86,105 @@ def stratified_sample(docs, group_col: str = "lang", k: int = 10,
     return (docs.map_batches(hkey, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(final, batch_format="pyarrow"))
+
+
+def _md5_int63(values) -> list[int]:
+    """``md5_number_lower``-compatible int63 per value (little-endian
+    bytes 8:16 of the digest, masked positive) — the shared key idiom
+    that keeps every hash-ordered operator DuckDB-oracle-checkable."""
+    return [(int.from_bytes(
+        hashlib.md5(str(v).encode()).digest()[8:16], "little")
+        & 0x7FFFFFFFFFFFFFFF) for v in values]
+
+
+def token_budget_sample(docs, budget: int, group_col: str = "lang",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_parts: int = 64):
+    """Per-group TOKEN-BUDGET head: order each group's docs by
+    ``md5(id)`` (a seedless deterministic shuffle) and keep docs while
+    the group's running whitespace-token total stays ≤ ``budget`` —
+    the "sample N tokens per language" step of training-data mixing.
+    Returns ``(id, group, n_tokens, cum_tokens)`` for kept docs.
+
+    Distributed prefix sum, no global sort: the md5 keyspace is cut
+    into ``hash_parts`` ranges; per-(group, range) token sums — one
+    tiny row each — prefix-sum on the driver, and a grouped second
+    pass adds the broadcast base offset to an in-partition cumsum
+    (same shape as ``text_analysis.pack_sequence_offsets``)."""
+    import numpy as np
+    import polars as pl
+
+    from ray.data.aggregate import Sum as _Sum
+
+    shift = 63 - max(1, hash_parts - 1).bit_length()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: b.column(id_col),
+            group_col: b.column(group_col),
+            "n_tokens": pl.from_arrow(b.select([text_col]))[text_col]
+                .str.count_matches(r"\S+").cast(pl.Int64).to_arrow(),
+            "__h": pa.array(_md5_int63(b.column(id_col).to_pylist()),
+                            pa.int64())})
+        part = pc.shift_right(t.column("__h"), shift)
+        gp = pc.binary_join_element_wise(
+            t.column(group_col), pc.cast(part, pa.string()), "\x00")
+        return t.append_column("__gp", gp)
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+    psums = (keyed_ds.groupby("__gp")
+             .aggregate(_Sum("n_tokens", alias_name="__s")).take_all())
+    # driver-side prefix sum over (group, part) — rows = groups ×
+    # hash_parts, independent of corpus size
+    by_group: dict = {}
+    for r in psums:
+        g, p = r["__gp"].rsplit("\x00", 1)
+        by_group.setdefault(g, []).append((int(p), r["__s"]))
+    base = {}
+    for g, parts in by_group.items():
+        acc = 0
+        for p, s in sorted(parts):
+            base[f"{g}\x00{p}"] = acc
+            acc += s
+
+    def scan(group: pa.Table) -> pa.Table:
+        h = group.column("__h").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        n = group.column("n_tokens").to_numpy()
+        order = np.lexsort((ids, h))
+        ids, n = ids[order], n[order]
+        cum = base[group.column("__gp")[0].as_py()] + np.cumsum(n)
+        keep = cum <= budget
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            group_col: pa.array(
+                [group.column(group_col)[0].as_py()] * int(keep.sum()),
+                pa.string()),
+            "n_tokens": pa.array(n[keep], pa.int64()),
+            "cum_tokens": pa.array(cum[keep], pa.int64())})
+
+    return (keyed_ds.groupby("__gp")
+            .map_groups(scan, batch_format="pyarrow"))
+
+
+def weighted_mix(docs, weights: dict, key_col: str = "source",
+                 id_col: str = "doc_id", salt: str = "mix",
+                 default_weight: float = 1.0):
+    """Deterministic source-weighted subsample (the domain-mixing
+    step): keep a row iff ``md5(f"{id}:{salt}") % 1e6`` falls under
+    its source's weight × 1e6 — seedless, reproducible across runs
+    and cluster sizes, and exactly restatable in SQL.  ``weights``
+    maps ``key_col`` values to keep fractions in [0, 1]."""
+    thresholds = {k: int(round(w * 1_000_000))
+                  for k, w in weights.items()}
+    dflt = int(round(default_weight * 1_000_000))
+
+    def flt(b: pa.Table) -> pa.Table:
+        hs = _md5_int63(f"{i}:{salt}"
+                        for i in b.column(id_col).to_pylist())
+        keys = b.column(key_col).to_pylist()
+        mask = pa.array([h % 1_000_000 < thresholds.get(k, dflt)
+                         for h, k in zip(hs, keys)])
+        return b.filter(mask)
+
+    return docs.map_batches(flt, batch_format="pyarrow")

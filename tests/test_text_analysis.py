@@ -434,3 +434,63 @@ def test_bpe_checkpoint_resume(ray_session, tmp_path):
     assert part == full[:2]
     resumed = ta.bpe_train(ds, num_merges=6, checkpoint_dir=ck)
     assert resumed == full
+
+
+def test_token_budget_sample_greedy_prefix(ray_session):
+    # hand-computable: single group, md5 order decides who fits
+    import hashlib
+
+    import ray.data as rd
+    from ferenda_ray.stages.sample import token_budget_sample
+    texts = {i: "w " * (i + 1) for i in range(8)}   # doc i: i+1 tokens
+    tbl = pa.table({"doc_id": list(texts),
+                    "lang": ["en"] * len(texts),
+                    "text": [t.strip() for t in texts.values()]})
+    out = token_budget_sample(rd.from_arrow(tbl).repartition(4),
+                              budget=10, hash_parts=4)
+    rows = sorted(out.take_all(), key=lambda r: r["cum_tokens"])
+
+    def h(i):
+        return (int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[8:16], "little")
+            & 0x7FFFFFFFFFFFFFFF)
+
+    order = sorted(texts, key=lambda i: (h(i), i))
+    acc, expect = 0, []
+    for i in order:
+        acc += i + 1
+        if acc > 10:
+            break
+        expect.append((i, acc))
+    assert [(r["doc_id"], r["cum_tokens"]) for r in rows] == expect
+    assert all(r["lang"] == "en" for r in rows)
+
+
+def test_token_budget_groups_independent(ray_session):
+    # each group gets its own budget; exact-boundary doc is KEPT
+    import ray.data as rd
+    from ferenda_ray.stages.sample import token_budget_sample
+    tbl = pa.table({"doc_id": [1, 2],
+                    "lang": ["en", "de"],
+                    "text": ["a b c", "x y z"]})
+    out = token_budget_sample(rd.from_arrow(tbl), budget=3)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["n_tokens"], r["cum_tokens"])
+            for r in rows] == [(1, 3, 3), (2, 3, 3)]
+
+
+def test_weighted_mix_thresholds(ray_session):
+    # weight 1.0 keeps everything, weight 0.0 keeps nothing; an
+    # unknown source falls back to default_weight
+    import ray.data as rd
+    from ferenda_ray.stages.sample import weighted_mix
+    tbl = pa.table({"doc_id": list(range(40)),
+                    "source": (["keep"] * 15 + ["drop"] * 15
+                               + ["other"] * 10)})
+    out = weighted_mix(rd.from_arrow(tbl),
+                       {"keep": 1.0, "drop": 0.0},
+                       default_weight=1.0).take_all()
+    srcs = [r["source"] for r in out]
+    assert srcs.count("keep") == 15
+    assert srcs.count("drop") == 0
+    assert srcs.count("other") == 10
