@@ -259,6 +259,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data mixing (new, round-4 session 4) ---
         "docs_token_budget": docs.docs_token_budget,
         "docs_weighted_mix": docs.docs_weighted_mix,
+        # --- embedding feature analysis (new, round-4 session 4) ---
+        "embeddings_covariance": docs.embeddings_covariance,
+        "embeddings_pca": docs.embeddings_pca,   # rows-only: eigh is
+        # not SQL-expressible; its covariance INPUT is the oracle-
+        # checked exact twin and the decomposition is pytest-verified
     }
 
 
@@ -1412,11 +1417,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix')
                    & 9223372036854775807) % 1000000
                   < (1 + CAST(substr(source, 4) AS BIGINT)) * 50000""",
-        # docs_minhash_pairs / lsh_ann_topk: intentionally no SQL
-        # equivalent (sketch-estimate / approximate-by-design) →
-        # driver records rows-only checks; their exactness properties
-        # are pytest-verified (recall vs brute force, subset vs exact
-        # jaccard).
+        # upper-triangle population covariance of the embedding dims:
+        # the engine ships one keyed partial-sum row set per batch;
+        # the oracle unnests and aggregates per dimension pair
+        "embeddings_covariance": """
+            WITH x AS (
+              SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+                     CAST(embedding[CAST(t.i AS INTEGER) + 1]
+                          AS DOUBLE) AS v
+              FROM embeddings, unnest(range(0, 64)) t(i)
+            )
+            SELECT a.i AS i, b.i AS j,
+                   round(sum(a.v * b.v) / count(*)
+                         - (sum(a.v) / count(*))
+                           * (sum(b.v) / count(*)), 6) AS cov
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i""",
+        # docs_minhash_pairs / lsh_ann_topk / embeddings_pca:
+        # intentionally no SQL equivalent (sketch-estimate /
+        # approximate-by-design / eigendecomposition) → driver records
+        # rows-only checks; their exactness properties are
+        # pytest-verified (recall vs brute force, subset vs exact
+        # jaccard, eigh vs the oracle-checked covariance).
     }
 
 

@@ -1112,3 +1112,23 @@ def docs_weighted_mix(sf_dir: str):
         _read_docs(sf_dir, ["doc_id", "source"]), weights)
     return out.map_batches(lambda b: b.select(["doc_id", "source"]),
                            batch_format="pyarrow")
+
+
+def embeddings_covariance(sf_dir: str):
+    """Upper-triangle population covariance of the 64 embedding
+    dimensions, via distributed second-moment partial sums (one tiny
+    keyed partial per batch; the vectors never shuffle).  ORACLE:
+    per-dimension-pair SQL aggregates over the unnested vectors."""
+    from ferenda_ray.stages.similarity import embedding_covariance
+    return embedding_covariance(_read_emb(sf_dir))
+
+
+def embeddings_pca(sf_dir: str, k: int = 4):
+    """Top-4 principal components (eigendecomposition of the
+    distributed covariance on the driver — d=64 ≪ corpus).  Rows-only
+    driver check by design (eigenvectors are not SQL-expressible);
+    the covariance input IS the oracle-checked exact twin, and the
+    decomposition is pytest-verified against ``numpy.linalg.eigh`` on
+    the full matrix."""
+    from ferenda_ray.stages.similarity import pca_components
+    return pca_components(_read_emb(sf_dir), k=k)

@@ -791,3 +791,99 @@ def logreg_score(embeddings, w: np.ndarray,
     return stateful_map(
         embeddings.select_columns([id_col, vec_col]), Scorer,
         np.asarray(w, dtype=np.float64), batch_size=4096)
+
+
+# ---------------------------------------------------------------------------
+# distributed covariance + PCA (feature analysis over the embedding
+# column: whitening/decorrelation prep, dead-dimension detection)
+
+def _cov_sums(embeddings, vec_col: str = "embedding"):
+    """Distributed second-moment sums: per batch ONE partial
+    (n, Σx, ΣxᵀX) flattened to keyed rows, reduced by a single
+    vectorized ``groupby(key).sum`` — d(d+1)/2 + d + 1 rows per
+    batch travel, never the vectors.  Returns (n, sx[d], sxy[d,d
+    upper]) on the driver (size O(d²), independent of corpus)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        X = _col_matrix(b, vec_col)          # float64
+        d = X.shape[1]
+        iu, ju = np.triu_indices(d)
+        sxy = (X.T @ X)[iu, ju]
+        sx = X.sum(axis=0)
+        # key layout: (i+1)*(d+1) + (j+1); n -> key 0; Σx_i -> j=-1
+        keys = np.concatenate((
+            [0],
+            (np.arange(d) + 1) * (d + 1),
+            (iu + 1) * (d + 1) + (ju + 1)))
+        vals = np.concatenate(([float(len(X))], sx, sxy))
+        return pa.table({"__k": pa.array(keys, pa.int64()),
+                         "v": pa.array(vals, pa.float64())})
+
+    rows = (embeddings.select_columns([vec_col])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("__k").aggregate(_Sum("v", alias_name="v"))
+            .take_all())
+    return {r["__k"]: r["v"] for r in rows}
+
+
+def covariance_from_sums(kv: dict, d: int):
+    """(n, Σx, Σxy) dict (``_cov_sums`` layout) → (d, d) population
+    covariance matrix."""
+    n = kv[0]
+    sx = np.array([kv[(i + 1) * (d + 1)] for i in range(d)])
+    cov = np.zeros((d, d))
+    iu, ju = np.triu_indices(d)
+    vals = np.array([kv[(i + 1) * (d + 1) + (j + 1)]
+                     for i, j in zip(iu, ju)])
+    cov[iu, ju] = vals / n - (sx[iu] / n) * (sx[ju] / n)
+    cov[ju, iu] = cov[iu, ju]
+    return cov
+
+
+def embedding_covariance(embeddings, vec_col: str = "embedding",
+                         digits: int = 6):
+    """Upper-triangle population covariance of the embedding columns
+    as ``(i, j, cov)`` rows — the oracle-checkable exact twin of the
+    PCA below (which is a deterministic driver-side function of this
+    matrix)."""
+    dim = _embedding_dim(embeddings, vec_col)
+    kv = _cov_sums(embeddings, vec_col)
+    cov = covariance_from_sums(kv, dim)
+    iu, ju = np.triu_indices(dim)
+    return pa.table({
+        "i": pa.array(iu.astype(np.int64), pa.int64()),
+        "j": pa.array(ju.astype(np.int64), pa.int64()),
+        "cov": pa.array(np.round(cov[iu, ju], digits), pa.float64())})
+
+
+def _embedding_dim(embeddings, vec_col: str) -> int:
+    first = embeddings.select_columns([vec_col]).limit(1).take_all()
+    return len(first[0][vec_col])
+
+
+def pca_components(embeddings, k: int = 4, vec_col: str = "embedding"):
+    """Top-k principal components via the distributed covariance sums
+    + driver-side ``eigh`` of the tiny (d, d) matrix (d ≪ corpus; the
+    heavy pass is the same one ``embedding_covariance`` ships).  Signs
+    are fixed deterministically (largest-|entry| coordinate positive).
+    Returns ``(component, dim, value, explained_var)`` rows."""
+    dim = _embedding_dim(embeddings, vec_col)
+    kv = _cov_sums(embeddings, vec_col)
+    cov = covariance_from_sums(kv, dim)
+    w, v = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(w)[::-1][:k]
+    total = float(w.sum()) or 1.0
+    comps, dims, vals, ev = [], [], [], []
+    for c, idx in enumerate(order):
+        vec = v[:, idx]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        comps.extend([c] * dim)
+        dims.extend(range(dim))
+        vals.extend(np.round(vec, 6))
+        ev.extend([round(float(w[idx] / total), 6)] * dim)
+    return pa.table({"component": pa.array(comps, pa.int64()),
+                     "dim": pa.array(dims, pa.int64()),
+                     "value": pa.array(vals, pa.float64()),
+                     "explained_var": pa.array(ev, pa.float64())})

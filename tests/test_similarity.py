@@ -215,3 +215,39 @@ def test_int8_topk_recall_vs_float(ray_session):
     for q in (0, 1, 2):
         assert len(exact[q] & got[q]) >= 8
         assert q in got[q]
+
+
+def test_covariance_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from ferenda_ray.stages.similarity import embedding_covariance
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(300, 5)).astype(np.float32)
+    ds = rd.from_items([{"embedding": r.tolist()} for r in X])
+    got = embedding_covariance(ds.repartition(7)).to_pandas()
+    C = np.cov(np.asarray(X, np.float64), rowvar=False, bias=True)
+    for r in got.itertuples(index=False):
+        assert abs(r.cov - round(C[r.i, r.j], 6)) < 2e-6, (r.i, r.j)
+    assert len(got) == 5 * 6 // 2
+
+
+def test_pca_components_match_eigh(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from ferenda_ray.stages.similarity import pca_components
+    rng = np.random.default_rng(11)
+    # anisotropic data so eigenvalues are well separated
+    X = rng.normal(size=(400, 6)) * np.array([5, 3, 2, 1, 0.5, 0.1])
+    ds = rd.from_items([{"embedding": r.tolist()} for r in X])
+    got = pca_components(ds.repartition(5), k=3).to_pandas()
+    C = np.cov(X, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1]
+    for c in range(3):
+        vec = v[:, order[c]]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        mine = got[got.component == c].sort_values("dim").value.values
+        assert np.allclose(mine, vec, atol=1e-5), c
+        ev = got[got.component == c].explained_var.iloc[0]
+        assert abs(ev - w[order[c]] / w.sum()) < 1e-5
