@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pca": docs.embeddings_pca,   # rows-only: eigh is
         # not SQL-expressible; its covariance INPUT is the oracle-
         # checked exact twin and the decomposition is pytest-verified
+        # --- full cleaning composition incl. near-dup keep-best ---
+        "docs_clean_corpus_v2": docs.docs_clean_corpus_v2,
     }
 
 
@@ -1433,6 +1435,54 @@ def oracle_sql() -> dict[str, str]:
                            * (sum(b.v) / count(*)), 6) AS cov
             FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i""",
+        # the full cleaning composition: the clean_corpus legs (exact
+        # dedup + repetition gates + decontamination) further
+        # intersected with the SimHash near-dup keep-best set
+        "docs_clean_corpus_v2": _SIMHASH_CLUSTER_CTE + r"""
+            , best AS (
+              SELECT c.doc_id,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY d.n_chars DESC,
+                                                 c.doc_id) AS rn
+              FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+            ), kept AS (
+              SELECT doc_id FROM best WHERE rn = 1
+            ), t2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '\s+'),
+                                 x -> x != '') AS w,
+                     string_split(text, chr(10)) AS lines,
+                     text
+              FROM documents
+            ), keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents
+              GROUP BY text
+            ), rep AS (
+              SELECT doc_id FROM t2
+              WHERE 1.0 - len(list_distinct(lines))
+                      / CAST(greatest(len(lines), 1) AS DOUBLE) < 0.3
+                AND 1.0 - len(list_distinct(w))
+                      / CAST(greatest(len(w), 1) AS DOUBLE) < 0.7
+                AND len(w) >= 5
+            ), bench AS (
+              SELECT DISTINCT array_to_string(w[1:8], ' ') AS gram
+              FROM t2 WHERE doc_id % 50 = 0 AND len(w) >= 8
+            ), grams AS (
+              SELECT doc_id,
+                     unnest([array_to_string(w[i:i+7], ' ')
+                             for i in generate_series(
+                                 1, greatest(len(w) - 7, 0))])
+                         AS gram
+              FROM t2
+            ), dirty AS (
+              SELECT DISTINCT g.doc_id
+              FROM grams g JOIN bench b ON g.gram = b.gram
+            )
+            SELECT k.doc_id FROM keep k
+            JOIN rep r USING (doc_id)
+            JOIN kept USING (doc_id)
+            WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
         # docs_minhash_pairs / lsh_ann_topk / embeddings_pca:
         # intentionally no SQL equivalent (sketch-estimate /
         # approximate-by-design / eigendecomposition) → driver records

@@ -1132,3 +1132,23 @@ def embeddings_pca(sf_dir: str, k: int = 4):
     the full matrix."""
     from ferenda_ray.stages.similarity import pca_components
     return pca_components(_read_emb(sf_dir), k=k)
+
+
+def docs_clean_corpus_v2(sf_dir: str):
+    """The FULL cleaning composition: exact dedup ∩ repetition gates
+    ∩ NOT contaminated (``docs_clean_corpus``) ∩ near-dup keep-best
+    (one representative per SimHash cluster) — every leg an
+    oracle-checked operator, composed as one more id-keyed hash join;
+    nothing corpus-sized touches the driver."""
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+    base = docs_clean_corpus(sf_dir)
+    kept = docs_dedup_keep_best(sf_dir).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        base, kept = base.repartition(co), kept.repartition(co)
+    return base.join(kept, join_type="inner", num_partitions=np_,
+                     on=("doc_id",))
