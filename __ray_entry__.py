@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checked exact twin and the decomposition is pytest-verified
         # --- full cleaning composition incl. near-dup keep-best ---
         "docs_clean_corpus_v2": docs.docs_clean_corpus_v2,
+        "docs_epoch_shards": docs.docs_epoch_shards,
     }
 
 
@@ -1483,6 +1484,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # per-epoch deterministic shard assignment (multi-epoch
+        # training layout): md5(epoch:id) mod n_shards, 2 epochs
+        "docs_epoch_shards": """
+            SELECT doc_id, CAST(t.e AS BIGINT) AS epoch,
+                   CAST((md5_number_lower(CAST(t.e AS VARCHAR) || ':'
+                                          || CAST(doc_id AS VARCHAR))
+                         & 9223372036854775807) % 8 AS BIGINT)
+                       AS shard
+            FROM documents, unnest(range(0, 2)) t(e)""",
         # docs_minhash_pairs / lsh_ann_topk / embeddings_pca:
         # intentionally no SQL equivalent (sketch-estimate /
         # approximate-by-design / eigendecomposition) → driver records

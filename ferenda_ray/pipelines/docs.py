@@ -1152,3 +1152,11 @@ def docs_clean_corpus_v2(sf_dir: str):
         base, kept = base.repartition(co), kept.repartition(co)
     return base.join(kept, join_type="inner", num_partitions=np_,
                      on=("doc_id",))
+
+
+def docs_epoch_shards(sf_dir: str, n_epochs: int = 2, n_shards: int = 8):
+    """Deterministic per-epoch shard assignment (md5(epoch:id) mod 8,
+    2 epochs) — multi-epoch training layout with no RNG state."""
+    from ferenda_ray.stages.sample import epoch_shards
+    return epoch_shards(_read_docs(sf_dir, ["doc_id"]),
+                        n_epochs=n_epochs, n_shards=n_shards)

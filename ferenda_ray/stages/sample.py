@@ -188,3 +188,26 @@ def weighted_mix(docs, weights: dict, key_col: str = "source",
         return b.filter(mask)
 
     return docs.map_batches(flt, batch_format="pyarrow")
+
+
+def epoch_shards(docs, n_epochs: int = 2, n_shards: int = 8,
+                 id_col: str = "doc_id"):
+    """Deterministic epoch-wise shard assignment for multi-epoch
+    training: every (epoch, doc) gets ``shard = md5(f"{epoch}:{id}")
+    % n_shards`` — a seedless reshuffle per epoch that is stable
+    across runs and cluster sizes (workers can open exactly their
+    shard's docs; no RNG state to synchronize).  Returns one row per
+    (doc × epoch): ``(id, epoch, shard)``."""
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        out_id, out_e, out_s = [], [], []
+        for e in range(n_epochs):
+            hs = _md5_int63(f"{e}:{i}" for i in ids)
+            out_id.extend(ids)
+            out_e.extend([e] * len(ids))
+            out_s.extend(h % n_shards for h in hs)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "epoch": pa.array(out_e, pa.int64()),
+                         "shard": pa.array(out_s, pa.int64())})
+
+    return docs.map_batches(assign, batch_format="pyarrow")

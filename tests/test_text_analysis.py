@@ -494,3 +494,22 @@ def test_weighted_mix_thresholds(ray_session):
     assert srcs.count("keep") == 15
     assert srcs.count("drop") == 0
     assert srcs.count("other") == 10
+
+
+def test_epoch_shards_deterministic_and_balanced(ray_session):
+    import ray.data as rd
+    from ferenda_ray.stages.sample import epoch_shards
+    tbl = pa.table({"doc_id": list(range(400))})
+    ds = rd.from_arrow(tbl).repartition(4)
+    a = sorted(map(tuple, (r.values() for r in
+                           epoch_shards(ds, 2, 8).take_all())))
+    b = sorted(map(tuple, (r.values() for r in
+                           epoch_shards(ds, 2, 8).take_all())))
+    assert a == b and len(a) == 800
+    # epochs shuffle differently and shards are roughly balanced
+    e0 = {i: s for i, e, s in a if e == 0}
+    e1 = {i: s for i, e, s in a if e == 1}
+    assert any(e0[i] != e1[i] for i in e0)
+    from collections import Counter
+    for cnt in (Counter(e0.values()), Counter(e1.values())):
+        assert len(cnt) == 8 and min(cnt.values()) > 20
