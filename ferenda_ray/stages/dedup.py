@@ -1255,32 +1255,55 @@ def corpus_diff(old, new, id_col: str = "doc_id",
 # listing: the reference stops at exact dedup — documentrepository.py
 # :913,932-933 — near-dup *resolution* is the beyond-reference part)
 
-def neardup_clusters(docs, pairs, id_col: str = "doc_id"):
+def neardup_clusters(docs, pairs, id_col: str = "doc_id",
+                     max_collect_edges: int = 2_000_000):
     """Full cluster assignment from a near-dup PAIR list: connected
     components over ``(id_a, id_b)`` edges → one row per input doc
     ``(id, cluster_id)`` where ``cluster_id`` is the component's
     minimum doc id (singletons map to themselves).
 
-    Scale shape: the edge set (≪ corpus) runs through distributed
-    min-label propagation (:func:`~ferenda_ray.stages.canonicalize.
-    label_propagation`, O(diameter) shuffle rounds, no driver state);
-    the corpus-sized side only pays ONE left-outer hash join to pick
-    up its label.  Contrast :func:`minhash_clusters`, which collects
-    the pair list onto the driver (fine for small pair sets only)."""
+    Physical plan picked from the MEASURED edge count (the same
+    size-gated pattern as :func:`minhash_lsh_pairs`): a near-dup edge
+    set is normally ≪ corpus, so up to ``max_collect_edges`` (~32 MB
+    of int64 pairs) the components resolve via driver-side union-find
+    broadcast once with ``ray.put`` — one pass over the corpus, no
+    per-round shuffles.  Above the cap the edges run through
+    distributed min-label propagation (:func:`~ferenda_ray.stages.
+    canonicalize.label_propagation`, O(diameter) shuffle rounds, no
+    driver state) and the corpus side pays one left-outer hash join.
+    Both plans produce identical assignments (pytest-asserted)."""
     from ferenda_ray.cluster import (coalesce_partitions, join_partitions,
                                      ray_join_handles_empty_blocks)
     from ferenda_ray.stages.canonicalize import label_propagation
+    from ferenda_ray.state.unionfind import canonical_map_from_edges
 
     edges = pairs.map_batches(
         lambda b: pa.table({"subj": b.column("id_a"),
                             "obj": b.column("id_b")}),
         batch_format="pyarrow").materialize()
     ids = docs.select_columns([id_col])
-    if edges.count() == 0:   # no near-dups anywhere: all singletons
+    n_edges = edges.count()
+    if n_edges == 0:   # no near-dups anywhere: all singletons
         return ids.map_batches(
             lambda b: pa.table({id_col: b.column(id_col),
                                 "cluster_id": b.column(id_col)}),
             batch_format="pyarrow")
+    if n_edges <= max_collect_edges:
+        mapping = canonical_map_from_edges(
+            (r["subj"], r["obj"]) for r in edges.take_all())
+
+        class Assign:
+            def __init__(self, ref):
+                self.m = resolve(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                vals = b.column(id_col).to_pylist()
+                return pa.table({
+                    id_col: b.column(id_col),
+                    "cluster_id": pa.array(
+                        [self.m.get(i, i) for i in vals], pa.int64())})
+
+        return stateful_map(ids, Assign, mapping)
     # (node, label) for every node that appears in >=1 edge
     labels = label_propagation(edges, dtype=pa.int64()).map_batches(
         lambda b: pa.table({"__lnode": b.column("node"),

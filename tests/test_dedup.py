@@ -448,3 +448,23 @@ def test_dedup_keep_best_score_and_ties(ray_session):
     assert rows[3]["cluster_id"] == 1 and rows[3]["cluster_size"] == 3
     assert rows[4]["cluster_id"] == 4 and rows[4]["cluster_size"] == 2
     assert rows[6]["cluster_size"] == 1 and rows[6]["n_chars"] == 1
+
+
+def test_neardup_clusters_plans_agree(ray_session):
+    # broadcast union-find (default) and distributed label propagation
+    # (forced by a zero collect cap) must assign identical clusters
+    import ray.data as rd
+    docs = rd.from_arrow(pa.table({
+        "doc_id": list(range(30)),
+        "text": ["x"] * 30}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": [0, 1, 5, 6, 20],
+        "id_b": [1, 2, 6, 7, 25]}))
+    small = sorted(map(tuple, ((r["doc_id"], r["cluster_id"]) for r in
+                   dedup.neardup_clusters(docs, pairs).take_all())))
+    big = sorted(map(tuple, ((r["doc_id"], r["cluster_id"]) for r in
+                 dedup.neardup_clusters(docs, pairs,
+                                        max_collect_edges=0).take_all())))
+    assert small == big
+    as_map = dict(small)
+    assert as_map[2] == 0 and as_map[7] == 5 and as_map[25] == 20
