@@ -147,6 +147,18 @@ def token_budget_sample(docs, budget: int, group_col: str = "lang",
             base[f"{g}\x00{p}"] = acc
             acc += s
 
+    # BUDGET PRUNING: a partition whose base offset already exceeds
+    # the budget cannot contribute a kept row (its first cum ≥ base),
+    # so the second shuffle moves only the ~budget-token prefix of
+    # each group, not the corpus — the admissible key set is bounded
+    # by groups × hash_parts and rides the task closure
+    admissible = pa.array(
+        [k for k, v in base.items() if v <= budget], pa.string())
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("__gp"),
+                                 value_set=admissible))
+
     def scan(group: pa.Table) -> pa.Table:
         h = group.column("__h").to_numpy()
         ids = group.column(id_col).to_numpy()
@@ -163,7 +175,8 @@ def token_budget_sample(docs, budget: int, group_col: str = "lang",
             "n_tokens": pa.array(n[keep], pa.int64()),
             "cum_tokens": pa.array(cum[keep], pa.int64())})
 
-    return (keyed_ds.groupby("__gp")
+    return (keyed_ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("__gp")
             .map_groups(scan, batch_format="pyarrow"))
 
 
