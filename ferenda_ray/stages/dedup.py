@@ -1360,16 +1360,25 @@ def dedup_keep_best(docs, pairs, id_col: str = "doc_id",
             (score_col, pa.int64()), ("__n", pa.int64())]))
 
     def final(group: pa.Table) -> pa.Table:
+        # one polars call per SHARD of clusters (not per cluster):
+        # frame order after the sort feeds .first() per group
         df = (pl.from_arrow(group)
               .sort([score_col, id_col], descending=[True, False])
-              .head(1))
-        size = int(group.column("__n").to_pandas().sum())
-        return pa.table({
-            id_col: df[id_col].to_arrow(),
-            "cluster_id": df["cluster_id"].to_arrow(),
-            "cluster_size": pa.array([size], pa.int64()),
-            score_col: df[score_col].to_arrow()})
+              .group_by("cluster_id")
+              .agg(pl.col(id_col).first(),
+                   pl.col(score_col).first(),
+                   pl.col("__n").sum().alias("cluster_size")))
+        return (df.select([id_col, "cluster_id", "cluster_size",
+                           score_col]).to_arrow()
+                .cast(pa.schema([(id_col, pa.int64()),
+                                 ("cluster_id", pa.int64()),
+                                 ("cluster_size", pa.int64()),
+                                 (score_col, pa.int64())])))
 
+    from ferenda_ray.cluster import cluster_cpus
+    nsh = max(2 * cluster_cpus(), 16)
     return (j.map_batches(combine, batch_format="pyarrow")
-            .groupby("cluster_id")
-            .map_groups(final, batch_format="pyarrow"))
+            .add_column("__shard", lambda d: d["cluster_id"] % nsh)
+            .groupby("__shard")
+            .map_groups(lambda g: final(g.drop_columns(["__shard"])),
+                        batch_format="pyarrow"))
