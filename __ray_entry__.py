@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- full cleaning composition incl. near-dup keep-best ---
         "docs_clean_corpus_v2": docs.docs_clean_corpus_v2,
         "docs_epoch_shards": docs.docs_epoch_shards,
+        "docs_minhash_clusters": docs.docs_minhash_clusters,
     }
 
 
@@ -1484,6 +1485,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # minhash-verified dup pairs are word-set equivalence classes,
+        # so the cluster min is a plain window min over the partition
+        "docs_minhash_clusters": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                         regexp_extract_all(text, '\S+'))) AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY ws) AS cluster_id
+            FROM w""",
         # per-epoch deterministic shard assignment (multi-epoch
         # training layout): md5(epoch:id) mod n_shards, 2 epochs
         "docs_epoch_shards": """

@@ -1160,3 +1160,14 @@ def docs_epoch_shards(sf_dir: str, n_epochs: int = 2, n_shards: int = 8):
     from ferenda_ray.stages.sample import epoch_shards
     return epoch_shards(_read_docs(sf_dir, ["doc_id"]),
                         n_epochs=n_epochs, n_shards=n_shards)
+
+
+def docs_minhash_clusters(sf_dir: str):
+    """Cluster assignment over the MinHash-LSH VERIFIED dup pairs
+    (identical word sets ⇒ equivalence classes): every doc mapped to
+    its class's min id.  ORACLE: window-min over the word-set
+    partition — exact because word-set equality is transitive."""
+    from ferenda_ray.stages.dedup import neardup_clusters
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    pairs = docs_minhash_verified_dups(sf_dir)
+    return neardup_clusters(docs, pairs)
