@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus_v2": docs.docs_clean_corpus_v2,
         "docs_epoch_shards": docs.docs_epoch_shards,
         "docs_minhash_clusters": docs.docs_minhash_clusters,
+        "events_user_zscore": events.user_zscore_outliers,
     }
 
 
@@ -1485,6 +1486,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # per-user z-score anomaly detection: population moments per
+        # user, events beyond 3 sigma of the user's own mean
+        "events_user_zscore": """
+            WITH s AS (
+              SELECT user_id, avg(value) AS m,
+                     stddev_pop(value) AS sd
+              FROM events GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id, round(e.value, 6) AS value,
+                   round((e.value - s.m) / s.sd, 4) AS zscore
+            FROM events e JOIN s USING (user_id)
+            WHERE s.sd > 0 AND abs(e.value - s.m) / s.sd > 3""",
         # minhash-verified dup pairs are word-set equivalence classes,
         # so the cluster min is a plain window min over the partition
         "docs_minhash_clusters": r"""

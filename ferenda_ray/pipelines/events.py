@@ -490,3 +490,71 @@ def latest_value_per_user(sf_dir: str):
                          batch_size=65536)
             .groupby("__shard")
             .map_groups(finalize, batch_format="pyarrow"))
+
+
+def user_zscore_outliers(sf_dir: str, z: float = 3.0):
+    """Anomaly detection: events whose ``value`` deviates more than
+    ``z`` population standard deviations from the USER's own mean.
+    Two-phase: per-batch (user, n, Σv, Σv²) polars combiner shrinks
+    the exchange to one row per (user × batch), one groupby-sum, then
+    a hash join back and a vectorized filter — no per-user Python.
+    Zero-variance users are excluded (z undefined)."""
+    import polars as pl
+    from ray.data.aggregate import Sum as _Sum
+
+    from ferenda_ray.cluster import (coalesce_partitions, join_partitions,
+                                     ray_join_handles_empty_blocks)
+    from ferenda_ray.pipelines.relational import _round_cols
+
+    ev = _read_events(sf_dir, ["event_id", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select(["user_id", "value"]))
+              .group_by("user_id")
+              .agg(pl.len().cast(pl.Int64).alias("n"),
+                   pl.col("value").sum().alias("s"),
+                   (pl.col("value") ** 2).sum().alias("s2")))
+        return df.to_arrow().cast(pa.schema([
+            ("user_id", pa.int64()), ("n", pa.int64()),
+            ("s", pa.float64()), ("s2", pa.float64())]))
+
+    stats = (ev.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("user_id")
+             .aggregate(_Sum("n", alias_name="n"),
+                        _Sum("s", alias_name="s"),
+                        _Sum("s2", alias_name="s2")))
+
+    def moments(b: pa.Table) -> pa.Table:
+        import numpy as np
+        n = b.column("n").to_numpy().astype(np.float64)
+        m = b.column("s").to_numpy() / n
+        var = np.maximum(b.column("s2").to_numpy() / n - m * m, 0.0)
+        return pa.table({"__u": b.column("user_id"),
+                         "__m": pa.array(m, pa.float64()),
+                         "__sd": pa.array(np.sqrt(var), pa.float64())})
+
+    stats = stats.map_batches(moments, batch_format="pyarrow")
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        ev, stats = ev.repartition(co), stats.repartition(co)
+    j = ev.join(stats, join_type="inner", num_partitions=np_,
+                on=("user_id",), right_on=("__u",))
+
+    def flag(b: pa.Table) -> pa.Table:
+        import numpy as np
+        v = b.column("value").to_numpy()
+        m = b.column("__m").to_numpy()
+        sd = b.column("__sd").to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zs = (v - m) / sd
+        keep = (sd > 0) & (np.abs(zs) > z)
+        out = pa.table({
+            "event_id": b.column("event_id").filter(pa.array(keep)),
+            "user_id": b.column("user_id").filter(pa.array(keep)),
+            "value": b.column("value").filter(pa.array(keep)),
+            "zscore": pa.array(zs[keep], pa.float64())})
+        return _round_cols(out, {"value": 6, "zscore": 4})
+
+    return j.map_batches(flag, batch_format="pyarrow")
