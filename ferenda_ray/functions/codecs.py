@@ -489,3 +489,46 @@ def audio_features(x: np.ndarray, rate: int) -> dict:
         "zcr": round(zcr, 6),
         "spectral_centroid_hz": round(centroid, 2),
     }
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis (same construction as the JPEG
+    codec's 8×8 transform, ``functions/jpeg.py``) — cached module-
+    level: phash calls it per image."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)
+        M = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        M *= np.sqrt(2.0 / n)
+        M[0] *= np.sqrt(0.5)
+        _DCT32 = M
+    return _DCT32
+
+
+def phash64(px: np.ndarray, size: int = 32, keep: int = 8) -> int:
+    """64-bit perceptual image hash (the classic pHash recipe):
+    grayscale → ``size``×``size`` nearest resize → 2-D DCT → top-left
+    ``keep``×``keep`` low-frequency block minus the DC term → bit i
+    set iff coefficient i > median.  Deterministic, pure numpy; near-
+    duplicate images (re-encodes, small edits, brightness shifts)
+    land within a few bits — feed through
+    ``stages.dedup.hamming_pairs64`` for corpus-wide pairs."""
+    if px.ndim == 3:
+        gray = px.astype(np.float64).mean(axis=2)
+    else:
+        gray = px.astype(np.float64)
+    small = resize_nearest(gray[..., None], size, size)[..., 0] \
+        if gray.ndim == 2 else gray
+    D = _dct_matrix(size)
+    coef = D @ small @ D.T
+    block = coef[:keep, :keep].flatten()[1:]   # drop DC
+    med = np.median(block)
+    bits = block > med
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h

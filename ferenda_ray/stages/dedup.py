@@ -532,9 +532,27 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
     4-band default's ≤3 — PROVIDED no touched bucket exceeds
     ``max_bucket``: over-cap buckets emit a min-id hub star only, so
     recall above the cap is approximate (see the body comment)."""
+    sh = docs.map_batches(SimHasher(text_col=text_col, id_col=id_col,
+                                    token_hash=token_hash),
+                          batch_format="pyarrow", batch_size=512)
+    return hamming_pairs64(sh, hash_col="simhash", id_col=id_col,
+                           max_hamming=max_hamming,
+                           max_bucket=max_bucket)
+
+
+def hamming_pairs64(hashed, hash_col: str = "simhash",
+                    id_col: str = "doc_id", max_hamming: int = 3,
+                    max_bucket: int = 512):
+    """All pairs with Hamming distance ≤ ``max_hamming`` over ANY
+    64-bit hash column (SimHash text sketches, perceptual image
+    hashes, …) via pigeonhole band blocking + exact verify — the
+    shared kernel behind :func:`simhash_pairs` and
+    :func:`~ferenda_ray.stages.multimodal.phash_pairs`.  Exact recall
+    while every touched bucket stays ≤ ``max_bucket`` (over-cap
+    buckets degrade to a min-id hub star)."""
     bands = max_hamming + 1
     if bands > 64:
-        raise ValueError("max_hamming must be <= 63 for 64-bit SimHash")
+        raise ValueError("max_hamming must be <= 63 for a 64-bit hash")
     width = 64 // bands
     # band bi covers bits [bi*width, (bi+1)*width) — last band takes
     # the remainder bits too
@@ -543,14 +561,10 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
         hi = 64 if bi == bands - 1 else lo + width
         return (h >> lo) & ((1 << (hi - lo)) - 1)
 
-    sh = docs.map_batches(SimHasher(text_col=text_col, id_col=id_col,
-                                    token_hash=token_hash),
-                          batch_format="pyarrow", batch_size=512)
-
     def explode(b: pa.Table) -> pa.Table:
         ids, band, key, full = [], [], [], []
         for i, h in zip(b.column(id_col).to_pylist(),
-                        b.column("simhash").to_pylist()):
+                        b.column(hash_col).to_pylist()):
             for bi in range(bands):
                 ids.append(i)
                 band.append(bi)
@@ -559,7 +573,7 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
         return pa.table({id_col: pa.array(ids),
                          "band": pa.array(band, pa.int32()),
                          "key": pa.array(key, pa.int64()),
-                         "simhash": pa.array(full, pa.uint64())})
+                         "__h64": pa.array(full, pa.uint64())})
 
     def band_pairs(group: pa.Table) -> pa.Table:
         # one call per BAND with numpy bucket segmentation (the
@@ -575,7 +589,7 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
         # ≤max_bucket (always true on the oracle corpus).
         ids = group.column(id_col).to_numpy()
         keys = group.column("key").to_numpy()
-        hs = group.column("simhash").to_numpy().astype(np.uint64)
+        hs = group.column("__h64").to_numpy().astype(np.uint64)
         order = np.lexsort((ids, keys))
         ids, keys, hs = ids[order], keys[order], hs[order]
         bounds = np.flatnonzero(np.diff(keys)) + 1
@@ -608,7 +622,7 @@ def simhash_pairs(docs, max_hamming: int = 3, text_col: str = "text",
                          "hamming": pa.array(d[keep], pa.int64())})
 
     from ray.data.aggregate import Min as _Min
-    pairs = (sh.map_batches(explode, batch_format="pyarrow")
+    pairs = (hashed.map_batches(explode, batch_format="pyarrow")
              .groupby("band")
              .map_groups(band_pairs, batch_format="pyarrow"))
     # cross-band dedup: vectorized aggregate (hamming identical in

@@ -343,3 +343,48 @@ def sample_avi_frames(media, n_frames: int = 4, concurrency=(1, 4),
         SampleAviFrames, fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+class ImagePHash:
+    """Actor-pool stage: image payload → 64-bit perceptual hash
+    (``codecs.phash64``) — the multimodal analogue of the SimHash
+    text sketch; pairs come from the shared banded-Hamming kernel
+    (``dedup.hamming_pairs64``).  Undecodable rows are dropped from
+    the hash table (they carry no visual content to match)."""
+
+    def __init__(self, fake: bool = False):
+        self._decode = DecodeImage(fake=fake)._decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            try:
+                px = self._decode(payload)
+            except NotImplementedError:
+                raise
+            except Exception:
+                continue
+            ids.append(mid)
+            hashes.append(codecs.phash64(px))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "phash": pa.array(hashes, pa.uint64())})
+
+
+def image_phashes(media, fake: bool = False, concurrency=(1, 4),
+                  batch_size: int = 64):
+    return media.map_batches(ImagePHash, fn_constructor_kwargs={
+        "fake": fake}, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def phash_pairs(media, max_hamming: int = 6, fake: bool = False,
+                concurrency=(1, 4)):
+    """Near-duplicate IMAGE pairs: perceptual hash per image (actor
+    pool), then the exact-recall banded Hamming join — re-encoded,
+    brightness-shifted or lightly edited copies collide within a few
+    bits while distinct images stay far apart."""
+    from ferenda_ray.stages.dedup import hamming_pairs64
+    return hamming_pairs64(
+        image_phashes(media, fake=fake, concurrency=concurrency),
+        hash_col="phash", id_col="media_id", max_hamming=max_hamming)

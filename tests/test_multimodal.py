@@ -273,3 +273,45 @@ def test_sample_avi_frames_distributed(ray_session):
     bad = out[out["media_id"] == 4]
     assert bad["frame_idx"].tolist() == [-1]
     assert bad["error"].notna().all()
+
+
+def test_phash_near_dup_images(ray_session):
+    # corpus: 6 distinct images + a brightness-shifted copy of image 0
+    # and a PNG re-encode of image 3 — exactly those two pairs collide
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.functions import codecs
+    from ferenda_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            for _ in range(6)]
+    shifted = np.clip(imgs[0].astype(np.int16) + 10, 0,
+                      255).astype(np.uint8)
+    payloads = [codecs.encode_png(p) for p in imgs]
+    payloads.append(codecs.encode_png(shifted))        # id 6 ~ id 0
+    payloads.append(codecs.encode_png(imgs[3]))        # id 7 == id 3
+    tbl = pa.table({"media_id": list(range(8)),
+                    "payload": pa.array(payloads, pa.binary())})
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in mm.phash_pairs(
+                 rd.from_arrow(tbl).repartition(3),
+                 max_hamming=6).take_all()}
+    assert set(pairs) == {(0, 6), (3, 7)}
+    assert pairs[(3, 7)] == 0 and pairs[(0, 6)] <= 6
+
+
+def test_phash_undecodable_rows_dropped(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.functions import codecs
+    from ferenda_ray.stages import multimodal as mm
+    import numpy as np
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": [1, 2],
+        "payload": pa.array([codecs.encode_png(px),
+                             b"\x89PNG\r\n\x1a\ncorrupt"], pa.binary())})
+    got = mm.image_phashes(rd.from_arrow(tbl)).take_all()
+    assert [r["media_id"] for r in got] == [1]
