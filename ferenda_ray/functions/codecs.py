@@ -525,10 +525,56 @@ def phash64(px: np.ndarray, size: int = 32, keep: int = 8) -> int:
     D = _dct_matrix(size)
     coef = D @ small @ D.T
     block = coef[:keep, :keep].flatten()[1:]   # drop DC
+    # dust floor: on spectrally sparse images (flat fills, pure
+    # gradients) most coefficients are float noise around the median
+    # and their sign bits flip under trivial edits — zero them
+    peak = np.abs(block).max()
+    if peak > 0:
+        block = np.where(np.abs(block) < 1e-6 * peak, 0.0, block)
     med = np.median(block)
     bits = block > med
     h = 0
     for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h
+
+
+def audio_fingerprint64(x: np.ndarray, rate: int, n_frames: int = 4,
+                        n_bands: int = 17,
+                        floor_frac: float = 0.01) -> int:
+    """64-bit audio fingerprint (band-energy signature in the
+    Haitsma–Kalker family): split the signal into ``n_frames`` equal
+    windows, measure energy in ``n_bands`` log-spaced frequency bands
+    per window, zero every band below ``floor_frac`` of the frame's
+    peak band (noise floor — otherwise empty-band comparisons encode
+    pure noise), and set bit (t, b) iff E[t,b] > E[t,b+1] (the
+    spectral-slope sign) — n_frames×(n_bands−1) = 64 bits.  Slope
+    signs are gain-invariant; with the floor, re-noised / re-gained
+    copies land ≤~4 bits apart while different tonal content differs
+    by ≥~8 (the classic temporal-difference variant flips ~half its
+    bits on stationary content).  Pairs via
+    ``dedup.hamming_pairs64``."""
+    if len(x) < n_frames:
+        x = np.pad(x, (0, n_frames - len(x)))
+    step = len(x) // n_frames
+    frames = x[: step * n_frames].reshape(n_frames, step)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    nyq = spec.shape[1]
+    # log-spaced band START indices, strictly inside [1, nyq-1]; the
+    # int cast can collapse neighbors on tiny spectra — refill with
+    # consecutive bins so reduceat always gets n_bands valid starts
+    starts = list(np.unique(
+        np.geomspace(1, nyq, n_bands + 1)[:-1]
+        .astype(int).clip(1, max(nyq - 1, 1))))[:n_bands]
+    while len(starts) < n_bands:
+        starts.append(min(starts[-1] + 1, max(nyq - 1, 1)))
+    E = np.add.reduceat(spec, starts, axis=1)[:, :n_bands]
+    floor = E.max(axis=1, keepdims=True) * floor_frac
+    E = np.where(E < floor, 0.0, E)
+    bits = (E[:, :-1] > E[:, 1:])            # (n_frames, n_bands-1)
+    h = 0
+    for i, b in enumerate(bits.flatten()):
         if b:
             h |= 1 << i
     return h

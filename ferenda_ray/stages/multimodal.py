@@ -388,3 +388,119 @@ def phash_pairs(media, max_hamming: int = 6, fake: bool = False,
     return hamming_pairs64(
         image_phashes(media, fake=fake, concurrency=concurrency),
         hash_col="phash", id_col="media_id", max_hamming=max_hamming)
+
+
+class AudioFingerprint:
+    """Actor-pool stage: WAV payload → 64-bit band-energy fingerprint
+    (``codecs.audio_fingerprint64``) — the audio analogue of
+    ``ImagePHash``; undecodable rows are dropped."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            try:
+                x, rate = codecs.decode_wav(payload)
+            except Exception:
+                continue
+            ids.append(mid)
+            hashes.append(codecs.audio_fingerprint64(x, rate))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "afp": pa.array(hashes, pa.uint64())})
+
+
+def audio_fingerprints(media, concurrency=(1, 4), batch_size: int = 64):
+    return media.map_batches(AudioFingerprint, batch_format="pyarrow",
+                             batch_size=batch_size,
+                             concurrency=concurrency)
+
+
+def audio_neardup_pairs(media, max_hamming: int = 6,
+                        concurrency=(1, 4)):
+    """Near-duplicate AUDIO pairs: re-noised / gain-shifted copies of
+    the same signal collide within a few bits through the shared
+    banded-Hamming kernel; distinct content stays far."""
+    from ferenda_ray.stages.dedup import hamming_pairs64
+    return hamming_pairs64(
+        audio_fingerprints(media, concurrency=concurrency),
+        hash_col="afp", id_col="media_id", max_hamming=max_hamming)
+
+
+class VideoFramePHash:
+    """Actor-pool stage: animated-GIF / MJPEG-AVI payload → one
+    perceptual hash per sampled frame (``codecs.phash64`` over really
+    decoded pixels).  Feeds :func:`video_neardup_pairs`."""
+
+    def __init__(self, n_frames: int = 4):
+        from ferenda_ray.functions.avi import decode_avi_mjpeg
+        self.n_frames = n_frames
+        self._avi = decode_avi_mjpeg
+
+    def _frames(self, payload: bytes):
+        kind = codecs.sniff_media(payload)
+        if kind == "gif":
+            return [f["px"] for f in codecs.decode_gif(payload)]
+        return [f["px"] for f in self._avi(payload)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, hashes = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            try:
+                frames = self._frames(bytes(payload))
+            except Exception:
+                continue
+            n = len(frames)
+            picks = sorted({min(n - 1, (i * n) // self.n_frames)
+                            for i in range(self.n_frames)})
+            for i in picks:
+                ids.append(mid)
+                fidx.append(i)
+                hashes.append(codecs.phash64(np.asarray(frames[i])))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_idx": pa.array(fidx, pa.int64()),
+                         "phash": pa.array(hashes, pa.uint64())})
+
+
+def video_neardup_pairs(media, max_hamming: int = 6, n_frames: int = 4,
+                        concurrency=(1, 4)):
+    """Near-duplicate VIDEO pairs: perceptual-hash each sampled frame,
+    run the banded-Hamming join over the frame hashes, then collapse
+    frame matches to video pairs (min frame distance, distinct
+    videos).  Re-encoded or brightness-shifted copies of a clip
+    collide on every sampled frame; unrelated clips share none."""
+    from ray.data.aggregate import Min as _Min
+
+    from ferenda_ray.stages.dedup import hamming_pairs64
+
+    fh = media.map_batches(
+        VideoFramePHash, fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow", batch_size=64, concurrency=concurrency)
+    # composite key: (video, frame) — videos small per frame count
+    FRAMES_PER_VIDEO = 1 << 20
+
+    def pack(b: pa.Table) -> pa.Table:
+        vid = b.column("media_id").to_numpy()
+        fi = b.column("frame_idx").to_numpy()
+        return pa.table({
+            "fid": pa.array(vid * FRAMES_PER_VIDEO + fi, pa.int64()),
+            "phash": b.column("phash")})
+
+    pairs = hamming_pairs64(
+        fh.map_batches(pack, batch_format="pyarrow"),
+        hash_col="phash", id_col="fid", max_hamming=max_hamming)
+
+    def to_videos(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy() // FRAMES_PER_VIDEO
+        c = b.column("id_b").to_numpy() // FRAMES_PER_VIDEO
+        lo = np.minimum(a, c)
+        hi = np.maximum(a, c)
+        keep = lo != hi
+        return pa.table({"id_a": pa.array(lo[keep], pa.int64()),
+                         "id_b": pa.array(hi[keep], pa.int64()),
+                         "hamming": b.column("hamming").filter(
+                             pa.array(keep))})
+
+    return (pairs.map_batches(to_videos, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(_Min("hamming", alias_name="hamming")))

@@ -315,3 +315,61 @@ def test_phash_undecodable_rows_dropped(ray_session):
                              b"\x89PNG\r\n\x1a\ncorrupt"], pa.binary())})
     got = mm.image_phashes(rd.from_arrow(tbl)).take_all()
     assert [r["media_id"] for r in got] == [1]
+
+
+def test_audio_neardup_pairs(ray_session):
+    # 4 distinct signals + a re-noised copy of signal 0 and a
+    # gain-shifted copy of signal 2: exactly those two pairs collide
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.functions import codecs
+    from ferenda_ray.stages import multimodal as mm
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    rng = np.random.default_rng(4)
+    sigs = [0.5 * np.sin(2 * np.pi * f * t)
+            + 0.1 * np.sin(2 * np.pi * 3.1 * f * t)
+            for f in (220, 330, 495, 742)]
+    payloads = [codecs.encode_wav(s + 0.02 * rng.standard_normal(len(t)),
+                                  rate) for s in sigs]
+    payloads.append(codecs.encode_wav(
+        sigs[0] + 0.02 * rng.standard_normal(len(t)), rate))   # 4 ~ 0
+    payloads.append(codecs.encode_wav(
+        0.7 * sigs[2] + 0.02 * rng.standard_normal(len(t)), rate))  # 5 ~ 2
+    tbl = pa.table({"media_id": list(range(6)),
+                    "payload": pa.array(payloads, pa.binary())})
+    pairs = {(r["id_a"], r["id_b"]) for r in mm.audio_neardup_pairs(
+        rd.from_arrow(tbl).repartition(2), max_hamming=6).take_all()}
+    assert pairs == {(0, 4), (2, 5)}
+
+
+def test_video_neardup_pairs_gif(ray_session):
+    # two copies of the same animated GIF (one brightness-shifted) +
+    # one unrelated clip: only the copy pair collides, on every frame
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.functions import codecs
+    from ferenda_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(12)
+    # spectrum-rich frames from a small gray palette (GIF caps at 256
+    # colors); the copy is brightness-shifted within the same palette
+    palette = np.arange(0, 240, 16, dtype=np.uint8)
+    base = [np.repeat(rng.choice(palette, (24, 24))[..., None],
+                      3, axis=2) for _ in range(4)]
+    shifted = [np.clip(f.astype(np.int16) + 8, 0, 255).astype(np.uint8)
+               for f in base]
+    other = [np.repeat(rng.choice(palette, (24, 24))[..., None],
+                       3, axis=2) for _ in range(4)]
+    payloads = [codecs.encode_gif(base), codecs.encode_gif(shifted),
+                codecs.encode_gif(other)]
+    tbl = pa.table({"media_id": [0, 1, 2],
+                    "payload": pa.array(payloads, pa.binary())})
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in mm.video_neardup_pairs(
+                 rd.from_arrow(tbl), max_hamming=6).take_all()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] <= 6
