@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_epoch_shards": docs.docs_epoch_shards,
         "docs_minhash_clusters": docs.docs_minhash_clusters,
         "events_user_zscore": events.user_zscore_outliers,
+        "docs_fuzzy_decontaminate": docs.docs_fuzzy_decontaminate,
     }
 
 
@@ -1486,6 +1487,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # NEAR-duplicate decontamination: word-set Jaccard vs the
+        # every-50th-doc benchmark set, threshold on the ROUNDED value
+        # (both sides round to 6 digits before the >= comparison)
+        "docs_fuzzy_decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(text, '\S+'))
+                         AS ws
+              FROM documents
+            ), tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+            sizes AS (SELECT doc_id, len(ws) AS n FROM w),
+            ptok AS (
+              SELECT doc_id AS pid, tok FROM tok WHERE doc_id % 50 = 0
+            ), inter AS (
+              SELECT t.doc_id, p.pid, count(*) AS i
+              FROM tok t JOIN ptok p USING (tok)
+              GROUP BY t.doc_id, p.pid
+            ), j AS (
+              SELECT i.doc_id,
+                     max(CAST(i.i AS DOUBLE) / (s.n + ps.n - i.i))
+                         AS mj
+              FROM inter i JOIN sizes s ON s.doc_id = i.doc_id
+                   JOIN sizes ps ON ps.doc_id = i.pid
+              GROUP BY i.doc_id
+            )
+            SELECT d.doc_id,
+                   round(coalesce(j.mj, 0), 6) AS max_jaccard,
+                   round(coalesce(j.mj, 0), 6) >= 0.5 AS contaminated
+            FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id""",
         # per-user z-score anomaly detection: population moments per
         # user, events beyond 3 sigma of the user's own mean
         "events_user_zscore": """

@@ -1171,3 +1171,25 @@ def docs_minhash_clusters(sf_dir: str):
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     pairs = docs_minhash_verified_dups(sf_dir)
     return neardup_clusters(docs, pairs)
+
+
+def docs_fuzzy_decontaminate(sf_dir: str, threshold: float = 0.5):
+    """NEAR-duplicate decontamination: every 50th doc is the
+    'benchmark'; flag docs whose word-set Jaccard vs any benchmark
+    doc ≥ 0.5 — the paraphrase-level companion to the exact n-gram
+    ``docs_decontaminate``."""
+    from ferenda_ray.stages.text_analysis import fuzzy_decontaminate
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def mod50(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        rem = pc.subtract(ids, pc.multiply(
+            pc.divide(ids, pa.scalar(50, pa.int64())),
+            pa.scalar(50, pa.int64())))
+        return b.filter(pc.equal(rem, pa.scalar(0, pa.int64()))) \
+                .select(["doc_id"])
+
+    # benchmark-sized id list (distributed filter, tiny take)
+    probe_ids = [r["doc_id"] for r in docs.map_batches(
+        mod50, batch_format="pyarrow").take_all()]
+    return fuzzy_decontaminate(docs, probe_ids, threshold=threshold)

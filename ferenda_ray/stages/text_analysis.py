@@ -15,6 +15,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import polars as pl
 
 # tiny per-language stopword profiles for the heuristic language ID
@@ -771,3 +772,102 @@ def tfidf_top_terms(docs, k: int = 3, text_col: str = "text",
             .groupby("__grp")
             .map_groups(lambda g: topk(g.drop_columns(["__grp"])),
                         batch_format="pyarrow"))
+
+
+def fuzzy_decontaminate(docs, probe_ids, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """NEAR-duplicate benchmark decontamination: flag every doc whose
+    distinct-word-set Jaccard vs ANY benchmark doc reaches
+    ``threshold`` — catches paraphrase-level leakage the exact n-gram
+    pass (:func:`decontaminate`) misses.  Returns one row per doc:
+    ``(id, max_jaccard, contaminated)``.
+
+    Distributed shape: both sides explode to (id, token) rows and meet
+    in ONE hash join on the token (the probe side is benchmark-sized,
+    so the join is effectively a semi-broadcast); intersection counts
+    come from a vectorized groupby, probe set sizes broadcast as a
+    dict (small by construction), and the per-doc max is one more
+    aggregate.  No driver-side pass over the corpus."""
+    import numpy as np
+    from ray.data.aggregate import Count as _Count, Max as _Max
+
+    from ferenda_ray.cluster import (coalesce_partitions, join_partitions,
+                                     ray_join_handles_empty_blocks)
+
+    probe_ids = set(int(i) for i in probe_ids)
+
+    def words(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        return (df.select(pl.col(id_col),
+                          pl.col(text_col).str.extract_all(r"\S+")
+                          .list.unique().alias("__w"))
+                .explode("__w").drop_nulls("__w").to_arrow())
+
+    tok = docs.map_batches(words, batch_format="pyarrow").materialize()
+    sizes = tok.groupby(id_col).aggregate(
+        _Count(alias_name="__n")).materialize()
+
+    def probe_side(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column(id_col),
+                        value_set=pa.array(sorted(probe_ids), pa.int64()))
+        t = b.filter(keep)
+        return pa.table({"__pid": t.column(id_col),
+                         "__w": t.column("__w")})
+
+    ptok = tok.map_batches(probe_side,
+                           batch_format="pyarrow").materialize()
+    # probe sizes: benchmark-sized, safe to collect + close over
+    psize = {r[id_col]: r["__n"] for r in sizes.take_all()
+             if r[id_col] in probe_ids}
+
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        tok, ptok = tok.repartition(co), ptok.repartition(co)
+    inter = (tok.join(ptok, join_type="inner", num_partitions=np_,
+                      on=("__w",))
+             .groupby([id_col, "__pid"])
+             .aggregate(_Count(alias_name="__i")))
+
+    def jac(b: pa.Table) -> pa.Table:
+        i = b.column("__i").to_numpy().astype(np.float64)
+        pn = np.array([psize[p] for p in
+                       b.column("__pid").to_pylist()], dtype=np.float64)
+        n = b.column("__nd").to_numpy().astype(np.float64)
+        return pa.table({id_col: b.column(id_col),
+                         "__j": pa.array(i / (n + pn - i), pa.float64())})
+
+    sized = sizes.map_batches(
+        lambda b: pa.table({"__sid": b.column(id_col),
+                            "__nd": b.column("__n")}),
+        batch_format="pyarrow")
+    inter = inter.materialize()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        inter, sized = inter.repartition(co), sized.repartition(co)
+    best = (inter.join(sized, join_type="inner", num_partitions=np_,
+                       on=(id_col,), right_on=("__sid",))
+            .map_batches(jac, batch_format="pyarrow")
+            .groupby(id_col).aggregate(_Max("__j", alias_name="__j"))
+            .map_batches(lambda b: pa.table(
+                {"__bid": b.column(id_col),
+                 "__j": b.column("__j")}), batch_format="pyarrow"))
+
+    ids = docs.select_columns([id_col])
+    best = best.materialize()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        ids, best = ids.repartition(co), best.repartition(co)
+    j = ids.join(best, join_type="left_outer", num_partitions=np_,
+                 on=(id_col,), right_on=("__bid",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        mj = pc.coalesce(b.column("__j"), pa.scalar(0.0, pa.float64()))
+        mj = pc.round(mj, 6)
+        return pa.table({
+            id_col: b.column(id_col),
+            "max_jaccard": mj,
+            "contaminated": pc.greater_equal(
+                mj, pa.scalar(float(threshold), pa.float64()))})
+
+    return j.map_batches(finish, batch_format="pyarrow")
