@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_clusters": docs.docs_minhash_clusters,
         "events_user_zscore": events.user_zscore_outliers,
         "docs_fuzzy_decontaminate": docs.docs_fuzzy_decontaminate,
+        "docs_corpus_stats": docs.docs_corpus_stats,
     }
 
 
@@ -1487,6 +1488,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # one-row dataset-card summary (every component a distributed
+        # aggregate; only six scalars reach the driver)
+        "docs_corpus_stats": r"""
+            SELECT count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '\S+')))
+                        AS BIGINT) AS n_tokens,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources,
+                   count(DISTINCT text) AS n_distinct_texts,
+                   round(avg(n_chars), 4) AS mean_chars
+            FROM documents""",
         # NEAR-duplicate decontamination: word-set Jaccard vs the
         # every-50th-doc benchmark set, threshold on the ROUNDED value
         # (both sides round to 6 digits before the >= comparison)

@@ -1193,3 +1193,43 @@ def docs_fuzzy_decontaminate(sf_dir: str, threshold: float = 0.5):
     probe_ids = [r["doc_id"] for r in docs.map_batches(
         mod50, batch_format="pyarrow").take_all()]
     return fuzzy_decontaminate(docs, probe_ids, threshold=threshold)
+
+
+def docs_corpus_stats(sf_dir: str):
+    """One-row corpus report (the dataset-card summary): doc count,
+    whitespace-token total, distinct languages / sources / texts,
+    mean doc length.  Every component is a distributed aggregate;
+    only the six scalars reach the driver."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = _read_docs(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["text", "n_chars"]))
+        toks = int(df["text"].str.count_matches(r"\S+").sum() or 0)
+        return pa.table({
+            "n_docs": pa.array([b.num_rows], pa.int64()),
+            "n_tokens": pa.array([toks], pa.int64()),
+            "sum_chars": pa.array(
+                [int(df["n_chars"].sum() or 0)], pa.int64())})
+
+    sums = (docs.map_batches(partial, batch_format="pyarrow")
+            .aggregate(_Sum("n_docs", alias_name="n_docs"),
+                       _Sum("n_tokens", alias_name="n_tokens"),
+                       _Sum("sum_chars", alias_name="sum_chars")))
+    n_langs = docs.select_columns(["lang"]).groupby("lang").count().count()
+    n_sources = (docs.select_columns(["source"])
+                 .groupby("source").count().count())
+    from ferenda_ray.stages.dedup import exact_dedup
+    n_distinct = exact_dedup(docs).count()
+    return pa.table({
+        "n_docs": pa.array([sums["n_docs"]], pa.int64()),
+        "n_tokens": pa.array([sums["n_tokens"]], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "n_distinct_texts": pa.array([n_distinct], pa.int64()),
+        "mean_chars": pa.array(
+            [round(sums["sum_chars"] / sums["n_docs"], 4)],
+            pa.float64())})
