@@ -129,8 +129,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # session-3 additions now past the window: chunks, pack_offsets,
     # bpe_pair_counts, logreg/logreg_scores, tfidf_top_terms,
     # snapshot_diff, stratified_sample, quantized, top_tokens,
-    # dup_ngrams twins — all oracle-pytest-checked per commit by
-    # tests/test_query_oracles.py meanwhile); queries whose
+    # dup_ngrams twins — and the session-4 additions: neardup_clusters,
+    # dedup_keep_best, minhash_clusters, clean_corpus_v2, token_budget,
+    # weighted_mix, epoch_shards, covariance, user_zscore,
+    # fuzzy_decontaminate, corpus_stats — all oracle-pytest-checked
+    # per commit by tests/test_query_oracles.py meanwhile); queries whose
     # implementation changed this round (doc_facets via the BGP path,
     # minhash broadcast plan, latest_value_per_user polars combiner)
     # are all kept/promoted in-window.  EVERY entry past position 50 is verified per-commit
