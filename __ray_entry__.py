@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_zscore": events.user_zscore_outliers,
         "docs_fuzzy_decontaminate": docs.docs_fuzzy_decontaminate,
         "docs_corpus_stats": docs.docs_corpus_stats,
+        "docs_quality_filter": docs.docs_quality_filter,
     }
 
 
@@ -294,7 +295,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE len(regexp_extract_all(text, '\\b{a}\\b')) > 0"
         for a in ["batch", "shuffle", "spark", "stream", "vector", "window"])
     stop_re = r"(?i)\b(?:a|and|for|in|is|it|of|that|the|to)\b"
-    return {
+    d = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1491,6 +1492,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # percentile-thresholded quality gate: keep docs at or above
+        # the corpus p25 of alpha_ratio (exact k-th-smallest via the
+        # bounded-domain histogram; SQL states the same order
+        # statistic with a window)
+        "docs_quality_filter": """
+            WITH qual AS ({DOCS_QUALITY}),
+            r AS (SELECT doc_id, alpha_ratio,
+                         row_number() OVER (ORDER BY alpha_ratio,
+                                            doc_id) AS rn,
+                         count(*) OVER () AS n
+                  FROM qual)
+            SELECT doc_id, alpha_ratio FROM r
+            WHERE alpha_ratio >= (SELECT alpha_ratio FROM r
+                                  WHERE rn = CAST(ceil(0.25 * n)
+                                                  AS BIGINT) LIMIT 1)""",
         # one-row dataset-card summary (every component a distributed
         # aggregate; only six scalars reach the driver)
         "docs_corpus_stats": r"""
@@ -1571,6 +1587,10 @@ def oracle_sql() -> dict[str, str]:
         # pytest-verified (recall vs brute force, subset vs exact
         # jaccard, eigh vs the oracle-checked covariance).
     }
+    # the quality-filter oracle embeds the docs_quality SQL as a CTE
+    d["docs_quality_filter"] = d["docs_quality_filter"].replace(
+        "{DOCS_QUALITY}", d["docs_quality"])
+    return d
 
 
 def _lang_expr(lang: str, words) -> str:

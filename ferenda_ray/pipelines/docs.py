@@ -1233,3 +1233,12 @@ def docs_corpus_stats(sf_dir: str):
         "mean_chars": pa.array(
             [round(sums["sum_chars"] / sums["n_docs"], 4)],
             pa.float64())})
+
+
+def docs_quality_filter(sf_dir: str, q: float = 0.25):
+    """Adaptive quality gate: keep docs whose ``alpha_ratio`` reaches
+    the corpus p25 — exact distributed quantile via the bounded-domain
+    histogram (one groupby-sum over the 6-digit value domain)."""
+    from ferenda_ray.stages.text_analysis import quality_percentile_filter
+    return quality_percentile_filter(
+        _read_docs(sf_dir, ["doc_id", "text"]), q=q)

@@ -847,3 +847,63 @@ def fuzzy_decontaminate(docs, probe_ids, threshold: float = 0.5,
 
     return stateful_map(docs.select_columns([id_col, text_col]),
                         Scorer, (vocab, M, psize), batch_size=4096)
+
+
+def bounded_quantile_threshold(ds, col: str, q: float,
+                               digits: int = 6) -> float:
+    """EXACT distributed quantile of a bounded, ``digits``-rounded
+    column in ONE pass: per batch, bincount the values scaled to
+    integers; one vectorized groupby-sum over ≤10^digits bins (the
+    value DOMAIN, independent of corpus size); the driver walks the
+    tiny histogram to the k-th smallest (k = ⌈q·n⌉ — the
+    order-statistic definition, ties well-defined).  The exact
+    analogue of the q-digest sketch for columns that are rounded
+    anyway (quality ratios, scores in [0, 1])."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum as _Sum
+
+    scale = 10 ** digits
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy()
+        bins = np.rint(v * scale).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table({"__bin": pa.array(u, pa.int64()),
+                         "__c": pa.array(c, pa.int64())})
+
+    rows = (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("__bin").aggregate(_Sum("__c", alias_name="__c"))
+            .take_all())
+    rows.sort(key=lambda r: r["__bin"])
+    n = sum(r["__c"] for r in rows)
+    if n == 0:
+        return 0.0
+    k = int(-(-q * n // 1))           # ceil(q*n)
+    acc = 0
+    for r in rows:
+        acc += r["__c"]
+        if acc >= k:
+            return r["__bin"] / scale
+    return rows[-1]["__bin"] / scale
+
+
+def quality_percentile_filter(docs, q: float = 0.25,
+                              metric: str = "alpha_ratio",
+                              text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Percentile-thresholded quality gate: keep docs whose quality
+    ``metric`` reaches the corpus q-quantile — the adaptive version
+    of a fixed-threshold filter (the cutoff tracks the corpus instead
+    of hardcoding one).  Exact quantile via
+    :func:`bounded_quantile_threshold`; second pass filters."""
+    scores = quality_score(docs, text_col=text_col, id_col=id_col)
+    scores = scores.materialize()   # consumed twice: histogram + filter
+    thr = bounded_quantile_threshold(scores, metric, q)
+
+    def flt(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column(metric),
+                                pa.scalar(thr, pa.float64()))
+        return b.filter(keep).select([id_col, metric])
+
+    return scores.map_batches(flt, batch_format="pyarrow")

@@ -513,3 +513,16 @@ def test_epoch_shards_deterministic_and_balanced(ray_session):
     from collections import Counter
     for cnt in (Counter(e0.values()), Counter(e1.values())):
         assert len(cnt) == 8 and min(cnt.values()) > 20
+
+
+def test_bounded_quantile_threshold_exact(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from ferenda_ray.stages.text_analysis import bounded_quantile_threshold
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.random(1000), 6)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    for q in (0.1, 0.25, 0.5, 0.9):
+        thr = bounded_quantile_threshold(ds, "v", q)
+        k = int(np.ceil(q * len(vals)))
+        assert thr == float(np.sort(vals)[k - 1]), q
