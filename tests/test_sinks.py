@@ -125,3 +125,61 @@ def test_upsert_rewrites_only_affected_buckets(ray_session, out_dir):
         if p not in touched:
             assert open(os.path.join(out_dir, p, "part.parquet"),
                         "rb").read() == blob
+
+
+def test_upsert_aggregate_equals_full_recompute(ray_session, out_dir):
+    # rollup (key -> cnt, total) maintained incrementally over two
+    # deltas must equal the single-shot rollup over all rows; only
+    # buckets containing delta keys are rewritten
+    import polars as pl
+    import ray.data as rd
+
+    def rollup(rows):
+        df = (pl.DataFrame(rows)
+              .group_by("k").agg(pl.len().cast(pl.Int64).alias("cnt"),
+                                 pl.col("v").sum().alias("total"))
+              .select(["k", "cnt", "total"]))
+        return rd.from_arrow(df.to_arrow())
+
+    rows = [{"k": f"key{i % 37}", "v": float(i)} for i in range(400)]
+    base, delta = rows[:300], rows[300:]
+
+    sinks.write_partitioned(rollup(base), out_dir, "k", num_buckets=8)
+    sinks.upsert_aggregate(rollup(delta), out_dir, "k",
+                           sum_cols=["cnt", "total"])
+
+    got = {r["k"]: (r["cnt"], r["total"])
+           for r in sinks.read_partitioned(out_dir).take_all()}
+    want = {r["k"]: (r["cnt"], r["total"])
+            for r in rollup(rows).take_all()}
+    assert got == want
+
+
+def test_upsert_aggregate_untouched_buckets_byte_identical(
+        ray_session, out_dir):
+    import glob
+    import hashlib as hl
+
+    import polars as pl
+    import ray.data as rd
+
+    def ds_of(items):
+        df = pl.DataFrame(items)
+        return rd.from_arrow(df.to_arrow())
+
+    base = [{"k": f"key{i}", "cnt": 1, "total": float(i)}
+            for i in range(64)]
+    sinks.write_partitioned(ds_of(base), out_dir, "k", num_buckets=8)
+    before = {p: hl.sha256(open(p, "rb").read()).hexdigest()
+              for p in glob.glob(f"{out_dir}/bucket=*/part.parquet")}
+    # one-key delta touches exactly one bucket
+    sinks.upsert_aggregate(ds_of([{"k": "key3", "cnt": 2,
+                                   "total": 10.0}]),
+                           out_dir, "k", sum_cols=["cnt", "total"])
+    after = {p: hl.sha256(open(p, "rb").read()).hexdigest()
+             for p in glob.glob(f"{out_dir}/bucket=*/part.parquet")}
+    changed = [p for p in before if before[p] != after[p]]
+    assert len(changed) == 1
+    got = {r["k"]: (r["cnt"], r["total"])
+           for r in sinks.read_partitioned(out_dir).take_all()}
+    assert got["key3"] == (3, 13.0)
