@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_decontaminate": docs.docs_fuzzy_decontaminate,
         "docs_corpus_stats": docs.docs_corpus_stats,
         "docs_quality_filter": docs.docs_quality_filter,
+        "docs_train_split": docs.docs_train_split,
     }
 
 
@@ -1492,6 +1493,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # deterministic 80/10/10 split by salted md5 fraction
+        "docs_train_split": """
+            SELECT doc_id,
+                   CASE WHEN (md5_number_lower(
+                                CAST(doc_id AS VARCHAR) || ':split')
+                              & 9223372036854775807) % 1000000
+                             < 800000 THEN 'train'
+                        WHEN (md5_number_lower(
+                                CAST(doc_id AS VARCHAR) || ':split')
+                              & 9223372036854775807) % 1000000
+                             < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
         # percentile-thresholded quality gate: keep docs at or above
         # the corpus p25 of alpha_ratio (exact k-th-smallest via the
         # bounded-domain histogram; SQL states the same order

@@ -1242,3 +1242,10 @@ def docs_quality_filter(sf_dir: str, q: float = 0.25):
     from ferenda_ray.stages.text_analysis import quality_percentile_filter
     return quality_percentile_filter(
         _read_docs(sf_dir, ["doc_id", "text"]), q=q)
+
+
+def docs_train_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by salted md5
+    fraction of the doc id."""
+    from ferenda_ray.stages.sample import train_val_test_split
+    return train_val_test_split(_read_docs(sf_dir, ["doc_id"]))

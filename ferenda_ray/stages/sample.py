@@ -224,3 +224,26 @@ def epoch_shards(docs, n_epochs: int = 2, n_shards: int = 8,
                          "shard": pa.array(out_s, pa.int64())})
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def train_val_test_split(docs, id_col: str = "doc_id",
+                         fractions=(0.8, 0.1, 0.1),
+                         salt: str = "split"):
+    """Deterministic train/val/test assignment: the md5 fraction of
+    the id (salted) buckets each row into ``train``/``val``/``test``
+    with the given proportions — stable across runs, cluster sizes
+    and row order, and exactly restatable in SQL.  Returns
+    ``(id, split)``."""
+    t_hi = int(round(fractions[0] * 1_000_000))
+    v_hi = t_hi + int(round(fractions[1] * 1_000_000))
+
+    def assign(b: pa.Table) -> pa.Table:
+        hs = _md5_int63(f"{i}:{salt}"
+                        for i in b.column(id_col).to_pylist())
+        lab = [("train" if h % 1_000_000 < t_hi else
+                "val" if h % 1_000_000 < v_hi else "test")
+               for h in hs]
+        return pa.table({id_col: b.column(id_col),
+                         "split": pa.array(lab, pa.string())})
+
+    return docs.map_batches(assign, batch_format="pyarrow")
