@@ -526,3 +526,28 @@ def test_bounded_quantile_threshold_exact(ray_session):
         thr = bounded_quantile_threshold(ds, "v", q)
         k = int(np.ceil(q * len(vals)))
         assert thr == float(np.sort(vals)[k - 1]), q
+
+
+def test_token_budget_skewed_single_group(ray_session):
+    # pathological skew: ALL docs in one group; the budget head keeps
+    # only the md5-order prefix, and over-budget hash partitions are
+    # pruned before the shuffle (the result must still be exact)
+    import hashlib
+
+    import ray.data as rd
+    from ferenda_ray.stages.sample import token_budget_sample
+    n = 3000
+    tbl = pa.table({"doc_id": list(range(n)),
+                    "lang": ["en"] * n,
+                    "text": ["a b c d e"] * n})   # 5 tokens each
+    out = token_budget_sample(rd.from_arrow(tbl).repartition(8),
+                              budget=50, hash_parts=64).take_all()
+    assert len(out) == 10 and all(r["cum_tokens"] <= 50 for r in out)
+
+    def h(i):
+        return (int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[8:16], "little")
+            & 0x7FFFFFFFFFFFFFFF)
+
+    expect = sorted(range(n), key=lambda i: (h(i), i))[:10]
+    assert sorted(r["doc_id"] for r in out) == sorted(expect)
