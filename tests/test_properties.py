@@ -454,3 +454,110 @@ def test_bpe_train_matches_reference_on_random_corpora(
     # tiny alphabet forces heavy pair-count ties: the (freq desc,
     # left, right) tie-break must agree exactly with the reference
     assert bpe_train(ds, num_merges=m) == _reference_bpe(texts, m)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=40))
+def test_neardup_clusters_match_reference_cc(ray_session, edges):
+    # random edge set: cluster assignment must equal a plain
+    # union-find reference over the same edges (min-id canonical)
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.dedup import neardup_clusters
+
+    n = 31
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(n)),
+                                   "text": ["x"] * n}))
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64())}))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in neardup_clusters(docs, pairs).take_all()}
+
+    # reference: naive repeated-merge components
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {m: min(ms) for ms in comp.values() for m in ms}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(ascii_texts, st.integers(1, 40))
+def test_token_budget_matches_bruteforce(ray_session, texts, budget):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.sample import token_budget_sample
+
+    langs = ["en" if i % 2 else "de" for i in range(len(texts))]
+    tbl = pa.table({"doc_id": list(range(len(texts))),
+                    "lang": langs, "text": texts})
+    got = sorted((r["doc_id"], r["cum_tokens"]) for r in
+                 token_budget_sample(rd.from_arrow(tbl).repartition(3),
+                                     budget=budget,
+                                     hash_parts=8).take_all())
+
+    def h(i):
+        return (int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[8:16], "little")
+            & 0x7FFFFFFFFFFFFFFF)
+
+    want = []
+    for lang in set(langs):
+        ids = [i for i, l in enumerate(langs) if l == lang]
+        acc = 0
+        for i in sorted(ids, key=lambda i: (h(i), i)):
+            ntok = len(texts[i].split())
+            acc += ntok
+            if acc > budget:
+                break
+            want.append((i, acc))
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(-40, 40))
+def test_phash_brightness_invariance(seed, shift):
+    import numpy as np
+    from ferenda_ray.functions.codecs import phash64
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(40, 216, (16, 16, 3), dtype=np.uint8)
+    shifted = np.clip(px.astype(np.int16) + shift, 0,
+                      255).astype(np.uint8)
+    d = bin(phash64(px) ^ phash64(shifted)).count("1")
+    assert d <= 2, d
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.floats(0.3, 1.0))
+def test_audio_fingerprint_gain_invariance(seed, gain):
+    import numpy as np
+    from ferenda_ray.functions.codecs import audio_fingerprint64
+
+    rng = np.random.default_rng(seed)
+    rate = 4000
+    t = np.arange(rate) / rate
+    f = 100 + (seed % 900)
+    sig = (0.5 * np.sin(2 * np.pi * f * t)
+           + 0.1 * np.sin(2 * np.pi * 2.7 * f * t))
+    h1 = audio_fingerprint64(sig, rate)
+    h2 = audio_fingerprint64(
+        gain * sig + 0.01 * rng.standard_normal(len(t)), rate)
+    assert bin(h1 ^ h2).count("1") <= 6
