@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_corpus_stats": docs.docs_corpus_stats,
         "docs_quality_filter": docs.docs_quality_filter,
         "docs_train_split": docs.docs_train_split,
+        "docs_length_quantiles": docs.docs_length_quantiles,
     }
 
 
@@ -1493,6 +1494,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # per-group exact quantiles via the bounded-domain histogram
+        # (k-th smallest order statistic per lang)
+        "docs_length_quantiles": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            )
+            SELECT r.lang, q.q, r.n_chars AS value
+            FROM r JOIN (VALUES (0.25), (0.5), (0.95)) q(q)
+              ON r.rn = CAST(ceil(q.q * r.n) AS BIGINT)""",
         # deterministic 80/10/10 split by salted md5 fraction
         "docs_train_split": """
             SELECT doc_id,

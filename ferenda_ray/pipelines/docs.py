@@ -1249,3 +1249,12 @@ def docs_train_split(sf_dir: str):
     fraction of the doc id."""
     from ferenda_ray.stages.sample import train_val_test_split
     return train_val_test_split(_read_docs(sf_dir, ["doc_id"]))
+
+
+def docs_length_quantiles(sf_dir: str):
+    """Per-language exact p25/p50/p95 of doc length via the grouped
+    bounded-domain histogram (one groupby-sum over lang × length —
+    no group ever materializes in a single task)."""
+    from ferenda_ray.stages.text_analysis import grouped_bounded_quantiles
+    return grouped_bounded_quantiles(
+        _read_docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars")

@@ -907,3 +907,49 @@ def quality_percentile_filter(docs, q: float = 0.25,
         return b.filter(keep).select([id_col, metric])
 
     return scores.map_batches(flt, batch_format="pyarrow")
+
+
+def grouped_bounded_quantiles(ds, group_col: str, col: str,
+                              qs=(0.25, 0.5, 0.95)):
+    """EXACT per-group quantiles of a bounded integer column without
+    materializing any group: per batch a vectorized (group, value)
+    count, ONE groupby-sum over (group, value) — rows bounded by
+    groups × value DOMAIN, not corpus — and a driver walk to each
+    k-th smallest (k = ⌈q·n⌉).  The scale-path alternative to
+    ``events.value_percentiles``' full-group ``map_groups`` (exact
+    there too, but the whole group must fit one task).  Returns
+    ``(group, q, value)`` rows."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def hist(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select([group_col, col]))
+              .group_by([group_col, col])
+              .agg(pl.len().cast(pl.Int64).alias("__c")))
+        return df.to_arrow()
+
+    rows = (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby([group_col, col])
+            .aggregate(_Sum("__c", alias_name="__c"))
+            .take_all())
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r[group_col], []).append((r[col], r["__c"]))
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(by_group):
+        bins = sorted(by_group[g])
+        n = sum(c for _, c in bins)
+        for q in qs:
+            k = int(-(-q * n // 1))          # ceil(q*n)
+            acc = 0
+            for v, c in bins:
+                acc += c
+                if acc >= k:
+                    out_g.append(g)
+                    out_q.append(float(q))
+                    out_v.append(v)
+                    break
+    return pa.table({group_col: pa.array(out_g),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})
