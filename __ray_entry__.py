@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_filter": docs.docs_quality_filter,
         "docs_train_split": docs.docs_train_split,
         "docs_length_quantiles": docs.docs_length_quantiles,
+        "docs_training_mixture": docs.docs_training_mixture,
     }
 
 
@@ -1494,6 +1495,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # the assembled training mixture: train split AND source mix
+        # filters, then the per-language token-budget head over the
+        # SURVIVORS (cumsum restarts on the filtered stream)
+        "docs_training_mixture": r"""
+            WITH surv AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                          & 9223372036854775807 AS BIGINT) AS h
+              FROM documents
+              WHERE (md5_number_lower(CAST(doc_id AS VARCHAR)
+                                      || ':mix')
+                     & 9223372036854775807) % 1000000
+                    < (1 + CAST(substr(source, 4) AS BIGINT)) * 50000
+                AND (md5_number_lower(CAST(doc_id AS VARCHAR)
+                                      || ':split')
+                     & 9223372036854775807) % 1000000 < 800000
+            ), c AS (
+              SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang
+                                         ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                         AS cum
+              FROM surv
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum <= 1200""",
         # per-group exact quantiles via the bounded-domain histogram
         # (k-th smallest order statistic per lang)
         "docs_length_quantiles": """

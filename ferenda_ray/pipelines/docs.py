@@ -1258,3 +1258,28 @@ def docs_length_quantiles(sf_dir: str):
     from ferenda_ray.stages.text_analysis import grouped_bounded_quantiles
     return grouped_bounded_quantiles(
         _read_docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars")
+
+
+def docs_training_mixture(sf_dir: str, budget: int = 1200):
+    """The assembled TRAINING MIXTURE: train-split docs (salted md5
+    80%) ∩ source-weighted mix (srcK keeps (K+1)/20) → per-language
+    token-budget head over WHAT SURVIVED (the budget orders and cuts
+    the filtered stream, exactly as a mixing pipeline would).  One
+    composition of three oracle-checked sampling operators."""
+    from ferenda_ray.stages.sample import token_budget_sample, weighted_mix
+    docs = _read_docs(sf_dir, ["doc_id", "lang", "source", "text"])
+    weights = {f"src{k}": (k + 1) / 20 for k in range(20)}
+    mixed = weighted_mix(docs, weights)
+
+    # keep only train rows (same rule as train_val_test_split): the
+    # label is a pure function of the id, so filter in place — no
+    # join needed
+    def train_only(b: pa.Table) -> pa.Table:
+        from ferenda_ray.stages.sample import _md5_int63
+        hs = _md5_int63(f"{i}:split"
+                        for i in b.column("doc_id").to_pylist())
+        keep = pa.array([h % 1_000_000 < 800_000 for h in hs])
+        return b.filter(keep)
+
+    surviving = mixed.map_batches(train_only, batch_format="pyarrow")
+    return token_budget_sample(surviving, budget=budget)
