@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_train_split": docs.docs_train_split,
         "docs_length_quantiles": docs.docs_length_quantiles,
         "docs_training_mixture": docs.docs_training_mixture,
+        "events_user_ewma": events.user_value_ewma,
     }
 
 
@@ -1495,6 +1496,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # per-user EWMA final state (adjust=False recursion) as its
+        # closed form: weight a(1-a)^(k-1) for the k-th-latest event,
+        # (1-a)^(n-1) for the first
+        "events_user_ewma": """
+            WITH r AS (
+              SELECT user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC,
+                                                 event_id DESC) AS k,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            )
+            SELECT user_id,
+                   round(sum(CASE WHEN k = n
+                             THEN power(0.9, n - 1) * value
+                             ELSE 0.1 * power(0.9, k - 1) * value
+                             END), 6) AS ewma
+            FROM r GROUP BY user_id""",
         # the assembled training mixture: train split AND source mix
         # filters, then the per-language token-budget head over the
         # SURVIVORS (cumsum restarts on the filtered stream)

@@ -558,3 +558,40 @@ def user_zscore_outliers(sf_dir: str, z: float = 3.0):
         return _round_cols(out, {"value": 6, "zscore": 4})
 
     return j.map_batches(flag, batch_format="pyarrow")
+
+
+def user_value_ewma(sf_dir: str, alpha: float = 0.1):
+    """Per-user exponentially-weighted value (adjust=False recursion
+    v'_t = α·v_t + (1−α)·v'_{t−1} over (ts, event_id) order), final
+    state per user — the time-decayed feature of a streaming profile,
+    computed batch-side.  One shuffle on a user SHARD + a vectorized
+    polars ``ewm_mean(...).over(user)`` per shard; the SQL oracle
+    restates the closed form (weight α(1−α)^{k−1} for the k-th-latest
+    event, (1−α)^{n−1} for the first)."""
+    import polars as pl
+
+    from ferenda_ray.cluster import default_num_partitions
+    from ferenda_ray.pipelines.relational import _round_cols
+    nshards = default_num_partitions(2.0)
+
+    def shard(b: pa.Table) -> pa.Table:
+        sh = (pl.from_arrow(b.select(["user_id"]))
+              .select(pl.col("user_id").hash(seed=11) % nshards)
+              .to_series().to_numpy().astype("int64"))
+        return b.append_column("__shard", pa.array(sh, pa.int64()))
+
+    def ewma(g: pa.Table) -> pa.Table:
+        out = (pl.from_arrow(
+            g.select(["user_id", "ts", "event_id", "value"]))
+            .sort(["user_id", "ts", "event_id"])
+            .group_by("user_id", maintain_order=True)
+            .agg(pl.col("value")
+                 .ewm_mean(alpha=alpha, adjust=False)
+                 .last().alias("ewma")))
+        return _round_cols(out.to_arrow(), {"ewma": 6})
+
+    return (_read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+            .map_batches(shard, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("__shard")
+            .map_groups(ewma, batch_format="pyarrow"))
