@@ -132,7 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dup_ngrams twins — and the session-4 additions: neardup_clusters,
     # dedup_keep_best, minhash_clusters, clean_corpus_v2, token_budget,
     # weighted_mix, epoch_shards, covariance, user_zscore,
-    # fuzzy_decontaminate, corpus_stats — all oracle-pytest-checked
+    # fuzzy_decontaminate, corpus_stats, quality_filter, train_split,
+    # length_quantiles, training_mixture, user_ewma — all oracle-pytest-checked
     # per commit by tests/test_query_oracles.py meanwhile); queries whose
     # implementation changed this round (doc_facets via the BGP path,
     # minhash broadcast plan, latest_value_per_user polars combiner)
