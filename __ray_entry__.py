@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles": docs.docs_length_quantiles,
         "docs_training_mixture": docs.docs_training_mixture,
         "events_user_ewma": events.user_value_ewma,
+        "events_cumulative_users": events.cumulative_users,
     }
 
 
@@ -1497,6 +1498,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep r USING (doc_id)
             JOIN kept USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+        # user growth curve: cumulative distinct users by first-seen
+        # hour (no window COUNT(DISTINCT) needed)
+        "events_cumulative_users": """
+            WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+                       GROUP BY user_id),
+            h AS (SELECT date_trunc('hour', first_ts) AS hr,
+                         count(*) AS c
+                  FROM f GROUP BY 1)
+            SELECT hr, CAST(sum(c) OVER (ORDER BY hr) AS BIGINT)
+                       AS cum_users
+            FROM h""",
         # per-user EWMA final state (adjust=False recursion) as its
         # closed form: weight a(1-a)^(k-1) for the k-th-latest event,
         # (1-a)^(n-1) for the first

@@ -595,3 +595,33 @@ def user_value_ewma(sf_dir: str, alpha: float = 0.1):
                          batch_size=65536)
             .groupby("__shard")
             .map_groups(ewma, batch_format="pyarrow"))
+
+
+def cumulative_users(sf_dir: str):
+    """User growth curve: cumulative count of distinct users by the
+    hour of their FIRST event.  Distinct-over-time without a window
+    COUNT(DISTINCT): per-user min(ts) (one aggregate), hourly
+    first-seen counts (second aggregate), then a cumsum over the
+    hour table — which is aggregation-sized (hours, not events), so
+    the driver-side running total is the documented small side."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min as _Min
+
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+    first = ev.groupby("user_id").aggregate(_Min("ts", alias_name="first_ts"))
+
+    def hour(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({"hr": _pc.floor_temporal(
+            b.column("first_ts"), unit="hour")})
+
+    rows = (first.map_batches(hour, batch_format="pyarrow")
+            .groupby("hr").count().take_all())
+    rows.sort(key=lambda r: r["hr"])
+    acc, out_h, out_c = 0, [], []
+    for r in rows:
+        acc += r["count()"]
+        out_h.append(r["hr"])
+        out_c.append(acc)
+    return pd.DataFrame({"hr": out_h, "cum_users": out_c})
