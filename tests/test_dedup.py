@@ -468,3 +468,16 @@ def test_neardup_clusters_plans_agree(ray_session):
     assert small == big
     as_map = dict(small)
     assert as_map[2] == 0 and as_map[7] == 5 and as_map[25] == 20
+
+
+def test_neardup_clusters_dangling_pair_ids(ray_session):
+    # pair list may reference ids outside the doc table (e.g. pairs
+    # computed on a superset): assignment covers exactly the docs
+    import ray.data as rd
+    docs = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                   "text": ["a", "b"]}))
+    pairs = rd.from_arrow(pa.table({"id_a": [1, 90],
+                                    "id_b": [2, 91]}))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.neardup_clusters(docs, pairs).take_all()}
+    assert got == {1: 1, 2: 1}
