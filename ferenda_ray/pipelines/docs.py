@@ -1204,7 +1204,8 @@ def docs_corpus_stats(sf_dir: str):
 
     from ray.data.aggregate import Sum as _Sum
 
-    docs = _read_docs(sf_dir)
+    docs = _read_docs(sf_dir, ["doc_id", "text", "n_chars",
+                               "lang", "source"])
 
     def partial(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b.select(["text", "n_chars"]))
