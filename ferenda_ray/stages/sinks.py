@@ -234,3 +234,21 @@ def upsert_aggregate(ds, out_dir: str, key_col: str,
               .map_groups(merge_bucket, batch_format="pyarrow")
               .take_all())  # one row per AFFECTED bucket
     return pa.Table.from_pylist(result) if result else pa.table({})
+
+
+def rebucket_partitioned(out_dir: str, new_dir: str,
+                         new_num_buckets: int) -> pa.Table:
+    """Re-shard a long-lived sink into a different bucket count (the
+    maintenance op for a layout that outgrew — or over-provisioned —
+    its original ``num_buckets``): stream the finished shards through
+    :func:`write_partitioned` into ``new_dir`` with the same key and
+    within-bucket order.  The source layout is untouched (swap
+    directories only after the new manifest set is complete), so a
+    crash mid-rebucket loses nothing and the rebucket itself resumes
+    bucket-by-bucket like any other write."""
+    import json
+    with open(os.path.join(out_dir, "_layout.json")) as f:
+        layout = json.load(f)
+    return write_partitioned(read_partitioned(out_dir), new_dir,
+                             layout["key_col"],
+                             num_buckets=new_num_buckets)

@@ -183,3 +183,26 @@ def test_upsert_aggregate_untouched_buckets_byte_identical(
     got = {r["k"]: (r["cnt"], r["total"])
            for r in sinks.read_partitioned(out_dir).take_all()}
     assert got["key3"] == (3, 13.0)
+
+
+def test_rebucket_preserves_content(ray_session, out_dir, tmp_path):
+    import polars as pl
+    import ray.data as rd
+    rows = [{"k": f"key{i}", "v": i} for i in range(100)]
+    ds = rd.from_arrow(pl.DataFrame(rows).to_arrow())
+    sinks.write_partitioned(ds, out_dir, "k", num_buckets=8)
+    new_dir = str(tmp_path / "rebucketed")
+    sinks.rebucket_partitioned(out_dir, new_dir, new_num_buckets=3)
+    import glob
+    assert len(glob.glob(f"{new_dir}/bucket=*/part.parquet")) == 3
+    got = sorted((r["k"], r["v"]) for r in
+                 sinks.read_partitioned(new_dir).take_all())
+    assert got == sorted((r["k"], r["v"]) for r in rows)
+    # the source layout is untouched
+    assert len(glob.glob(f"{out_dir}/bucket=*/part.parquet")) == 8
+    # the new layout is itself resumable: a rerun rewrites nothing
+    import os
+    mt = {p: os.path.getmtime(p)
+          for p in glob.glob(f"{new_dir}/bucket=*/part.parquet")}
+    sinks.rebucket_partitioned(out_dir, new_dir, new_num_buckets=3)
+    assert all(os.path.getmtime(p) == mt[p] for p in mt)
