@@ -556,24 +556,27 @@ def hamming_pairs64(hashed, hash_col: str = "simhash",
     width = 64 // bands
     # band bi covers bits [bi*width, (bi+1)*width) — last band takes
     # the remainder bits too
-    def _band_key(h: int, bi: int) -> int:
-        lo = bi * width
-        hi = 64 if bi == bands - 1 else lo + width
-        return (h >> lo) & ((1 << (hi - lo)) - 1)
 
     def explode(b: pa.Table) -> pa.Table:
-        ids, band, key, full = [], [], [], []
-        for i, h in zip(b.column(id_col).to_pylist(),
-                        b.column(hash_col).to_pylist()):
-            for bi in range(bands):
-                ids.append(i)
-                band.append(bi)
-                key.append(_band_key(h, bi))
-                full.append(h)
-        return pa.table({id_col: pa.array(ids),
-                         "band": pa.array(band, pa.int32()),
-                         "key": pa.array(key, pa.int64()),
-                         "__h64": pa.array(full, pa.uint64())})
+        # vectorized: per band one shift/mask over the whole batch
+        # (was a per-row Python loop — N×bands appends)
+        ids = b.column(id_col).to_numpy()
+        hs = b.column(hash_col).to_numpy().astype(np.uint64)
+        n = len(ids)
+        keys = np.empty((bands, n), dtype=np.uint64)
+        for bi in range(bands):
+            lo = bi * width
+            hi = 64 if bi == bands - 1 else lo + width
+            mask = np.uint64((1 << (hi - lo)) - 1) if hi - lo < 64 \
+                else np.uint64(0xFFFFFFFFFFFFFFFF)
+            keys[bi] = (hs >> np.uint64(lo)) & mask
+        return pa.table({
+            id_col: pa.array(np.tile(ids, bands)),
+            "band": pa.array(np.repeat(
+                np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "key": pa.array(keys.reshape(-1).view(np.int64),
+                            pa.int64()),
+            "__h64": pa.array(np.tile(hs, bands), pa.uint64())})
 
     def band_pairs(group: pa.Table) -> pa.Table:
         # one call per BAND with numpy bucket segmentation (the
