@@ -561,3 +561,31 @@ def test_audio_fingerprint_gain_invariance(seed, gain):
     h2 = audio_fingerprint64(
         gain * sig + 0.01 * rng.standard_normal(len(t)), rate)
     assert bin(h1 ^ h2).count("1") <= 6
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=2, max_size=25,
+                unique=True),
+       st.integers(0, 10))
+def test_hamming_pairs64_equals_bruteforce(ray_session, hashes,
+                                           max_hamming):
+    # the banded kernel (vectorized shift/mask explosion + pigeonhole
+    # blocking) must return EXACTLY the brute-force <=h pair set for
+    # any hash multiset and any band count
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.dedup import hamming_pairs64
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(hashes))), pa.int64()),
+        "h": pa.array(np.array(hashes, dtype=np.uint64),
+                      pa.uint64())})).repartition(3)
+    got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in
+                 hamming_pairs64(ds, hash_col="h",
+                                 max_hamming=max_hamming).take_all())
+    want = sorted(
+        (i, j, bin(hashes[i] ^ hashes[j]).count("1"))
+        for i in range(len(hashes)) for j in range(i + 1, len(hashes))
+        if bin(hashes[i] ^ hashes[j]).count("1") <= max_hamming)
+    assert got == want
