@@ -114,7 +114,21 @@ def latest_per_type(sf_dir: str, k: int = 3):
     (``news_select_for_feeds`` + archive paging,
     ``documentrepository.py:3235-3377``, ``:3527-3662``): per
     event_type, the ``k`` latest events as exploded
-    ``(event_type, event_id, rank)`` rows (ties broken by event_id)."""
+    ``(event_type, event_id, rank)`` rows (ties broken by event_id).
+
+    A per-batch partial top-k combiner (the ``stratified_sample``
+    pattern) runs BEFORE the shuffle, so each group's exchange input
+    is bounded by k·batches rows — a 90%-hot event_type never lands
+    as one multi-GB task."""
+    import polars as pl
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b)
+              .sort(["ts", "event_id"], descending=[True, False])
+              .group_by("event_type", maintain_order=True).head(k)
+              .select(b.schema.names))
+        return df.to_arrow().cast(b.schema)
+
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"],
                           ascending=[False, True]).head(k)
@@ -125,6 +139,8 @@ def latest_per_type(sf_dir: str, k: int = 3):
         })
 
     return (_read_events(sf_dir, ["ts", "event_type", "event_id"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
             .groupby("event_type")
             .map_groups(topk, batch_format="pandas"))
 
@@ -148,21 +164,59 @@ def feed_pages(sf_dir: str, page_size: int = 100):
     """Atom archive paging (``news_write_atom``,
     ``documentrepository.py:3527-3662``): per event_type feed, entries
     newest-first chunked into fixed pages — exploded
-    ``(event_type, page_idx, rank, event_id)`` rows."""
-    def pages(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, True])
-        n = len(g)
-        rank = list(range(1, n + 1))
-        return pd.DataFrame({
-            "event_type": g["event_type"].values,
-            "page_idx": [(r - 1) // page_size for r in rank],
-            "rank": rank,
-            "event_id": g["event_id"].values,
+    ``(event_type, page_idx, rank, event_id)`` rows.
+
+    Every entry needs its global feed rank, so the r4 shape (one
+    pandas task holding the WHOLE event_type) is replaced by a
+    distributed prefix sum (the ``token_budget_sample`` idiom): the
+    feed is sliced into (event_type, hour) buckets; per-bucket counts
+    — one tiny aggregate row each — prefix-sum newest-first on the
+    driver into base offsets, and the second shuffle is keyed on the
+    BOUNDED bucket, never the full event_type.  Ties (same ts) always
+    land in the same bucket, so in-bucket ordering is globally
+    correct."""
+    import numpy as np
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    def prep(b: pa.Table) -> pa.Table:
+        hour = pc.divide(b.column("ts").cast(pa.int64()),
+                         _US_PER_HOUR).cast(pa.int64())
+        return pa.table({"event_type": b.column("event_type"),
+                         "hour": hour, "ts": b.column("ts"),
+                         "event_id": b.column("event_id")})
+
+    bucketed = (_read_events(sf_dir, ["ts", "event_type", "event_id"])
+                .map_batches(prep, batch_format="pyarrow",
+                             batch_size=65536)
+                .materialize())   # two consumers: counts + rank pass
+    counts = (bucketed.groupby(["event_type", "hour"])
+              .aggregate(Count(alias_name="n")).take_all())  # tiny
+    per_type: dict = {}
+    for r in counts:
+        per_type.setdefault(r["event_type"], []).append((r["hour"],
+                                                         r["n"]))
+    base = {}                       # (event_type, hour) -> rank offset
+    for t, lst in per_type.items():
+        acc = 0
+        for h, n in sorted(lst, reverse=True):   # newest hour first
+            base[(t, h)] = acc
+            acc += n
+
+    def pages(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g)
+              .sort(["ts", "event_id"], descending=[True, False]))
+        b0 = base[(df["event_type"][0], df["hour"][0])]
+        rank = np.arange(1, df.height + 1, dtype=np.int64) + b0
+        return pa.table({
+            "event_type": df["event_type"].to_arrow(),
+            "page_idx": pa.array((rank - 1) // page_size, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+            "event_id": df["event_id"].to_arrow(),
         })
 
-    return (_read_events(sf_dir, ["ts", "event_type", "event_id"])
-            .groupby("event_type")
-            .map_groups(pages, batch_format="pandas"))
+    return (bucketed.groupby(["event_type", "hour"])
+            .map_groups(pages, batch_format="pyarrow"))
 
 
 def hopping_15m_of_hour(sf_dir: str):
@@ -279,26 +333,57 @@ def rolling_user_avg(sf_dir: str, window: int = 5):
 
 
 def value_percentiles(sf_dir: str):
-    """Exact per-type value percentiles (p50/p95, linear
-    interpolation — numpy percentile == SQL quantile_cont).  Exact
-    quantiles need the full group; the shuffle is on the tiny
-    event_type key with vectorized group bodies (at 100 TB swap in a
-    sketch via the salted-aggregate pattern in stages/windows)."""
+    """Exact per-type value percentiles (p50/p95, linear interpolation
+    — numpy percentile == SQL quantile_cont) via the bounded-domain
+    histogram shape (``text_analysis.grouped_bounded_quantiles``):
+    per batch a vectorized (event_type, value) count, ONE groupby-sum
+    whose row count is bounded by types × DISTINCT values (the
+    2-decimal ``value`` domain), and a driver walk that picks the two
+    order statistics around each target rank and interpolates.  No
+    task ever holds a full group (the r4 ``map_groups`` shape did);
+    for a truly continuous value domain use the q-digest sketch in
+    ``stages/sketches``."""
     import numpy as np
-    import pandas as pd
+    import polars as pl
+    from ray.data.aggregate import Sum as _Sum
 
-    def pct(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy()
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "p50": [round(float(np.percentile(v, 50)), 6)],
-            "p95": [round(float(np.percentile(v, 95)), 6)],
-            "n": [len(v)],
-        })
+    def hist(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select(["event_type", "value"]))
+              .group_by(["event_type", "value"])
+              .agg(pl.len().cast(pl.Int64).alias("__c")))
+        return df.to_arrow()
 
-    return (_read_events(sf_dir, ["event_type", "value"])
-            .groupby("event_type")
-            .map_groups(pct, batch_format="pandas"))
+    rows = (_read_events(sf_dir, ["event_type", "value"])
+            .map_batches(hist, batch_format="pyarrow", batch_size=65536)
+            .groupby(["event_type", "value"])
+            .aggregate(_Sum("__c", alias_name="__c"))
+            .take_all())            # types × distinct values: small
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["event_type"], []).append((r["value"],
+                                                     r["__c"]))
+    out = {"event_type": [], "p50": [], "p95": [], "n": []}
+    for g in sorted(by_g):
+        bins = sorted(by_g[g])
+        vals = np.array([v for v, _ in bins], dtype=np.float64)
+        cum = np.cumsum(np.array([c for _, c in bins], dtype=np.int64))
+        n = int(cum[-1])
+
+        def q_at(q: float) -> float:
+            pos = (n - 1) * q       # numpy 'linear' == quantile_cont
+            lo = int(np.floor(pos))
+            vlo = vals[np.searchsorted(cum, lo + 1)]
+            vhi = vals[np.searchsorted(cum, int(np.ceil(pos)) + 1)]
+            return float(vlo + (vhi - vlo) * (pos - lo))
+
+        out["event_type"].append(g)
+        out["p50"].append(round(q_at(0.5), 6))
+        out["p95"].append(round(q_at(0.95), 6))
+        out["n"].append(n)
+    return pa.table({"event_type": pa.array(out["event_type"]),
+                     "p50": pa.array(out["p50"], pa.float64()),
+                     "p95": pa.array(out["p95"], pa.float64()),
+                     "n": pa.array(out["n"], pa.int64())})
 
 
 def hourly_active_users(sf_dir: str):
@@ -315,10 +400,12 @@ def hourly_active_users(sf_dir: str):
         return pl.from_arrow(t).unique().to_arrow()
 
     def count_distinct(g: pa.Table) -> pa.Table:
-        users = set(g.column("user_id").to_pylist())
-        return pa.table({"hour": [g.column("hour")[0].as_py()],
-                         "active_users": pa.array([len(users)],
-                                                  pa.int64())})
+        # vectorized n_unique — no Python set per hour group
+        import polars as pl
+        df = pl.from_arrow(g)
+        return pa.table({"hour": pa.array([df["hour"][0]], pa.int64()),
+                         "active_users": pa.array(
+                             [df["user_id"].n_unique()], pa.int64())})
 
     return (_read_events(sf_dir, ["ts", "user_id"])
             .map_batches(pairs, batch_format="pyarrow", batch_size=65536)
@@ -328,9 +415,21 @@ def hourly_active_users(sf_dir: str):
 
 def top_values_with_ties(sf_dir: str, k: int = 5):
     """Top-k ``value`` rows per event_type INCLUDING ties — RANK()
-    semantics (row_number would drop tied rows arbitrarily); one
-    shuffle on the group key, vectorized pandas group body."""
+    semantics (row_number would drop tied rows arbitrarily).
+
+    A per-batch partial rank-≤k filter runs before the shuffle (a
+    globally top-k row is top-k within its batch too), so each
+    group's exchange input is bounded by ~k·batches rows — except
+    under massive value ties, where the OUTPUT itself is unbounded by
+    RANK semantics."""
     import pandas as pd
+    import polars as pl
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(
+            pl.col("value").rank(method="min", descending=True)
+            .over("event_type") <= k)
+        return df.select(b.schema.names).to_arrow().cast(b.schema)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         r = g["value"].rank(method="min", ascending=False)
@@ -340,6 +439,8 @@ def top_values_with_ties(sf_dir: str, k: int = 5):
             .sort_values(["rnk", "event_id"])
 
     return (_read_events(sf_dir, ["event_id", "event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
             .groupby("event_type")
             .map_groups(topk, batch_format="pandas"))
 

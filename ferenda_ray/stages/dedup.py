@@ -849,50 +849,128 @@ def jaccard_pairs_broadcast(docs, threshold: float = 0.5,
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
+_EMB_PAIRS_EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+
+
+def _emb_hit_table(ids_rows: np.ndarray, ids_cols: np.ndarray,
+                   S: np.ndarray, threshold: float,
+                   ordered_only: bool) -> pa.Table:
+    """Vectorized pair emission from a similarity block ``S`` (rows ×
+    cols): one ``np.nonzero`` over the block, no per-row Python.
+    ``ordered_only=True`` keeps only ``id_row < id_col`` (the two id
+    sets overlap — diagonal block / broadcast plan); ``False`` emits
+    ``(min, max)`` for every hit (disjoint id sets — each unordered
+    pair surfaces exactly once)."""
+    r, h = np.nonzero(S >= threshold)
+    if not len(r):
+        return _EMB_PAIRS_EMPTY
+    a, b = ids_rows[r], ids_cols[h]
+    sims = S[r, h]
+    if ordered_only:
+        m = a < b
+        a, b, sims = a[m], b[m], sims[m]
+    else:
+        lo = np.minimum(a, b)
+        b = np.maximum(a, b)
+        a = lo
+    return pa.table({"id_a": pa.array(a, pa.int64()),
+                     "id_b": pa.array(b, pa.int64()),
+                     "cosine": pa.array(sims.astype(np.float64),
+                                        pa.float64())})
+
+
 def embedding_neardup_pairs(embeddings, threshold: float = 0.95,
                             vec_col: str = "embedding",
-                            id_col: str = "vec_id", dtype=np.float64):
+                            id_col: str = "vec_id", dtype=np.float64,
+                            broadcast_bytes: int = 256 << 20):
     # dtype float64 by default: this path is oracle-checked against
     # DuckDB's float64 cosine; float32 can flip threshold-boundary rows
     # (ADVICE r1).  Pass float32 explicitly for the approximate regime.
-    """Pairs with cosine similarity ≥ threshold (id_a < id_b): the full
-    (normalized) matrix is broadcast; each batch does one matmul
-    against it.  O(N·B) flops per batch, zero shuffle — right for the
-    'embedding table fits in memory' regime; bucket by coarse LSH
-    before this at larger N (see similarity.py)."""
-    mat_rows = embeddings.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in mat_rows])
-    order = np.argsort(ids)
-    ids = ids[order]
-    M = np.array([mat_rows[i][vec_col] for i in order], dtype=dtype)
-    M /= (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+    """Exact pairs with cosine similarity ≥ threshold (id_a < id_b).
 
-    class Finder:
+    Two physical plans, picked from the MEASURED embedding-table size
+    (the same gate as :func:`minhash_lsh_pairs` / :func:`neardup_clusters`):
+
+    * **≤ broadcast_bytes** — the normalized matrix is assembled from
+      arrow refs (never row-wise through the driver) and ``ray.put``
+      once; each batch does one matmul against it.  O(N·B) flops per
+      batch, zero shuffle — the 'embedding table fits in object-store
+      memory' regime.
+    * **larger** — block-pair plan: the table's blocks are normalized
+      in place by one remote task each (results stay in the object
+      store), and a tiny Dataset of block-pair indices (i ≤ j) fans
+      out one matmul task per pair.  Same O(N²) flops — exact cosine
+      over all pairs is inherently quadratic — but no driver collect
+      and no worker ever holds more than two blocks, so the plan
+      streams at any N.  Both plans are pair-identical
+      (pytest-asserted).  For SUB-quadratic near-dup at 100 TB use the
+      approximate LSH/IVF routes in ``stages/similarity.py``.
+    """
+    import ray as _ray
+    from ferenda_ray.stages.similarity import _col_matrix
+    emb = embeddings.select_columns([id_col, vec_col]).materialize()
+
+    if emb.size_bytes() <= broadcast_bytes:
+        refs = emb.to_arrow_refs()
+        if not refs:
+            import ray.data as rd
+            return rd.from_arrow(_EMB_PAIRS_EMPTY)
+        packed = pa.concat_tables([_ray.get(r) for r in refs])
+        ids = packed.column(id_col).to_numpy(zero_copy_only=False)
+        M = _col_matrix(packed, vec_col, dtype)
+        M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+
+        class Finder:
+            def __init__(self, ref):
+                self.ids, self.M, self.dtype = resolve(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                bids = b.column(id_col).to_numpy(zero_copy_only=False)
+                # non-inplace divide: _col_matrix may return a
+                # read-only zero-copy view of the Arrow buffer
+                V = _col_matrix(b, vec_col, self.dtype)
+                V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+                return _emb_hit_table(bids, self.ids, V @ self.M.T,
+                                      threshold, ordered_only=True)
+
+        return stateful_map(emb, Finder, (ids, M, dtype),
+                            batch_size=2048)
+
+    # ---- block-pair plan: nothing corpus-sized on any one worker ----
+    import ray.data as rd
+
+    @_ray.remote
+    def _norm_block(tbl: pa.Table):
+        bids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        V = _col_matrix(tbl, vec_col, dtype)
+        V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+        return bids.astype(np.int64), V
+
+    blocks = [_norm_block.remote(r) for r in emb.to_arrow_refs()]
+    if not blocks:
+        return rd.from_arrow(_EMB_PAIRS_EMPTY)
+    P = len(blocks)
+    items = [{"i": i, "j": j} for i in range(P) for j in range(i, P)]
+
+    class BlockPair:
         def __init__(self, ref):
-            self.ids, self.M, self.dtype = resolve(ref)
+            self.blocks = resolve(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            from ferenda_ray.stages.similarity import _col_matrix
-            bids = b.column(id_col).to_numpy(zero_copy_only=False)
-            # non-inplace divide: _col_matrix may return a read-only
-            # zero-copy view of the Arrow buffer
-            V = _col_matrix(b, vec_col, self.dtype)
-            V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
-            S = V @ self.M.T
-            a_out, b_out, c_out = [], [], []
-            for r in range(S.shape[0]):
-                hits = np.nonzero(S[r] >= threshold)[0]
-                for h in hits:
-                    if self.ids[h] > bids[r]:
-                        a_out.append(int(bids[r]))
-                        b_out.append(int(self.ids[h]))
-                        c_out.append(float(S[r, h]))
-            return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                             "id_b": pa.array(b_out, pa.int64()),
-                             "cosine": pa.array(c_out, pa.float64())})
+            outs = []
+            for i, j in zip(b.column("i").to_pylist(),
+                            b.column("j").to_pylist()):
+                ids_i, Mi = _ray.get(self.blocks[i])
+                ids_j, Mj = _ray.get(self.blocks[j])
+                outs.append(_emb_hit_table(ids_i, ids_j, Mi @ Mj.T,
+                                           threshold,
+                                           ordered_only=(i == j)))
+            return pa.concat_tables(outs) if outs else _EMB_PAIRS_EMPTY
 
-    return stateful_map(embeddings, Finder, (ids, M, dtype),
-                        batch_size=2048)
+    idx = rd.from_items(items, override_num_blocks=min(len(items), 256))
+    return stateful_map(idx, BlockPair, blocks, batch_size=8)
 
 
 # ---------------------------------------------------------------------------

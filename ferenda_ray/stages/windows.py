@@ -64,10 +64,13 @@ def asof_join(left, right, on: str, by: str, right_cols: list,
     """As-of join: each left row picks the latest right row with
     ``right[on] <= left[ts]`` within the same ``by`` key.
 
-    Partitioning assumption: co-partition BOTH sides by ``by`` (one
-    union + one groupby shuffle); within a group the pandas
-    ``merge_asof`` sorts by time — valid because as-of semantics are
-    per-key.  Right side must be the smaller/dimension side per key.
+    Partitioning (r5): co-partition BOTH sides on a SHARD of ``by``
+    (hash(by) % P, the ``range_join_pairs`` idiom — one union + one
+    groupby shuffle), NOT one Python task per key: each shard joins
+    ALL of its keys in a single vectorized polars ``join_asof(by=)``
+    call, so a hot key costs one sorted merge inside one task rather
+    than a per-key pandas call, and per-task input is ~1/P of the
+    data.  Right side must be the smaller/dimension side per key.
     """
     # align the two schemas (null-fill missing columns) so one union +
     # one groupby co-partitions both sides
@@ -93,27 +96,46 @@ def asof_join(left, right, on: str, by: str, right_cols: list,
     rt = right.map_batches(aligner("r", rf), batch_format="pyarrow")
 
     right_only = [k for k in merged if k not in lf]
+    out_cols = [c for c in merged if c not in right_only or
+                c in right_cols]
+    out_cols = [c for c in out_cols if c != on or c in lf]
+    out_schema = pa.schema([(c, merged[c]) for c in out_cols])
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"].drop(columns=["_side"] + right_only)
-        rg = g[g["_side"] == "r"].drop(columns=["_side"])
-        lg = lg.sort_values(ts_col_left)
-        rg = rg[[by, on] + right_cols].dropna(subset=[on])
-        rg = rg.sort_values(on)
-        if not len(lg):
-            return pd.DataFrame()
-        if not len(rg):
-            out = lg.copy()
-            for c in right_cols:
-                out[c] = None
-            return out
-        out = pd.merge_asof(lg, rg.drop(columns=[by]),
-                            left_on=ts_col_left, right_on=on,
-                            direction=direction)
-        return out.drop(columns=[on])
+    import polars as pl
 
-    return lt.union(rt).groupby(by).map_groups(join_group,
-                                               batch_format="pandas")
+    from ferenda_ray.cluster import default_num_partitions
+    nshards = default_num_partitions(2.0)
+
+    def shard(b: pa.Table) -> pa.Table:
+        sh = (pl.from_arrow(b.select([by]))
+              .select(pl.col(by).hash(seed=17) % nshards)
+              .to_series().to_numpy().astype("int64"))
+        return b.append_column("__shard", pa.array(sh, pa.int64()))
+
+    def join_shard(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["__shard"]))
+        lg = (df.filter(pl.col("_side") == "l")
+              .drop(["_side"] + right_only).sort([ts_col_left, by]))
+        rg = (df.filter(pl.col("_side") == "r")
+              .select([by, on] + right_cols).drop_nulls([on])
+              .sort([on, by]))
+        if not lg.height:
+            return out_schema.empty_table()
+        if rg.height:
+            out = lg.join_asof(rg, left_on=ts_col_left, right_on=on,
+                               by=by, strategy=direction)
+            if on in out.columns and on not in lg.columns:
+                out = out.drop(on)
+        else:
+            out = lg.with_columns(
+                [pl.lit(None).alias(c) for c in right_cols])
+        return out.select(out_cols).to_arrow().cast(out_schema)
+
+    return (lt.union(rt)
+            .map_batches(shard, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("__shard")
+            .map_groups(join_shard, batch_format="pyarrow"))
 
 
 def range_join_pairs(events, key_col: str, ts_col: str = "ts",

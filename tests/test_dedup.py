@@ -129,6 +129,33 @@ def test_embedding_neardup(ray_session):
     assert set(pairs) == exp
 
 
+def test_embedding_neardup_plans_identical(ray_session):
+    """The measured-size plan pick: broadcast (≤cap) and block-pair
+    (>cap) must emit the SAME pair set with the same cosines — the
+    scale path is exact, not a recall tradeoff."""
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((80, 12))
+    V[40] = V[2] + 0.005 * rng.standard_normal(12)
+    V[41] = V[2]
+    V[50] = V[7]
+    t = pa.table({"vec_id": list(range(80)),
+                  "embedding": [v.tolist() for v in V]})
+    # >1 block so the block-pair plan exercises diagonal AND
+    # cross-block emission
+    ds = rd.from_arrow(t).repartition(4).materialize()
+
+    def run(cap):
+        return {(r["id_a"], r["id_b"]): round(r["cosine"], 12)
+                for r in dedup.embedding_neardup_pairs(
+                    ds, threshold=0.95, broadcast_bytes=cap).take_all()}
+
+    bcast = run(1 << 30)          # everything under the cap
+    blocked = run(0)              # force the block-pair plan
+    assert bcast == blocked
+    assert (2, 40) in bcast and (2, 41) in bcast and (40, 41) in bcast
+
+
 def test_hash_sample_deterministic(ray_session, docs_ds):
     import hashlib
     from ferenda_ray.stages.sample import hash_sample, limit_per_group
