@@ -462,16 +462,22 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
 
 
 def minhash_clusters(docs, threshold: float = 0.8, **kw) -> dict:
-    """Near-dup clusters: union-find over the LSH pair set (pair set is
-    ≪ corpus size; for larger, feed pairs to
-    :func:`~ferenda_ray.stages.canonicalize.label_propagation`).
-    Returns {doc_id: representative_id} (non-identity entries)."""
-    from ferenda_ray.state.unionfind import UnionFind
-    pairs = minhash_lsh_pairs(docs, threshold, **kw).take_all()
-    uf = UnionFind()
-    for p in pairs:
-        uf.union(p["id_a"], p["id_b"])
-    return uf.canonical_map()
+    """Near-dup clusters over the LSH pair set as a small dict —
+    {doc_id: representative_id}, non-identity entries only.
+
+    Cluster RESOLUTION is delegated to :func:`neardup_clusters` (one
+    code path: driver union-find under the measured-edge-count cap,
+    distributed label propagation above it); only the dict
+    materialization at the end collects — bounded by the number of
+    near-dup docs, never the corpus or the raw pair set.  Prefer
+    :func:`neardup_clusters` directly when a Dataset result works."""
+    pairs = minhash_lsh_pairs(docs, threshold, **kw)
+    assigned = neardup_clusters(docs, pairs)
+    non_id = assigned.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("doc_id"),
+                                        b.column("cluster_id"))),
+        batch_format="pyarrow")
+    return {r["doc_id"]: r["cluster_id"] for r in non_id.take_all()}
 
 
 # ---------------------------------------------------------------------------

@@ -159,8 +159,14 @@ def upsert_fulltext(index_dir: str, new_rows, deletes=(),
     Crash safety: the publish point is an atomic ``_manifest.json``
     rename naming exactly the live part file; a crash at ANY point
     leaves a state manifest-aware readers (:func:`read_fulltext`)
-    resolve consistently (old set or new set, never both), and the
-    next upsert of the bucket garbage-collects unreferenced parts.
+    resolve consistently (old set or new set, never both).
+    Superseded parts are GC'd by the NEXT upsert of the bucket (its
+    reconcile pass removes every part not named by the live
+    manifest), not at publish time — so a reader that resolved the
+    previous manifest can finish streaming its part files through a
+    full upsert interval.  Reader-vs-writer is safe within that
+    grace period; only reads that straddle TWO upserts of the same
+    bucket must be externally excluded.
     Semantics are SINGLE-WRITER per bucket: two concurrent upserts of
     one bucket race read-merge-write and the later manifest swap
     wins, dropping the earlier writer's rows — serialize upserts per
@@ -250,11 +256,13 @@ def upsert_fulltext(index_dir: str, new_rows, deletes=(),
             json.dump({"parts": [os.path.basename(final)],
                        "rows": merged.num_rows}, fh)
         os.rename(mtmp, manifest)
-        # GC the superseded parts (best-effort: a crash here is healed
-        # by the reconcile pass of the next upsert, and readers never
-        # see the stale files through the manifest)
-        for f in olds:
-            os.remove(f)
+        # Superseded parts are NOT unlinked here: a reader that
+        # resolved the previous manifest may still be streaming them
+        # (ADVICE r4 — the immediate unlink raced such readers into
+        # FileNotFoundError).  GC is deferred to the NEXT upsert's
+        # reconcile pass above (any .parquet not in the live manifest
+        # is removed then), giving in-flight reads a full
+        # upsert-interval grace period.
         return merged.num_rows
 
     futures = []

@@ -212,18 +212,30 @@ def _ckpt_path(d: str, name: str) -> str:
     return os.path.join(d, f"{name}.ckpt.json")
 
 
-def _load_checkpoint(d: str, name: str):
-    """Iterative-trainer checkpoint: ``{iter, state}`` JSON written
-    atomically after every pass — a killed long job resumes at the
-    last finished iteration instead of restarting (the sink's
-    manifest-resume discipline applied to model state)."""
+def _load_checkpoint(d: str, name: str, expect_meta: dict | None = None):
+    """Iterative-trainer checkpoint: ``{iter, state, meta}`` JSON
+    written atomically after every pass — a killed long job resumes at
+    the last finished iteration instead of restarting (the sink's
+    manifest-resume discipline applied to model state).
+
+    ``expect_meta`` is the run's hyperparameters + input fingerprint;
+    a checkpoint recorded under DIFFERENT meta refuses to load instead
+    of silently continuing from mismatched state (ADVICE r4: kmeans
+    resumed with a larger k used to return the smaller-k centroids)."""
     import json
     import os
     p = _ckpt_path(d, name)
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)
+        rec = json.load(f)
+    if expect_meta is not None and rec.get("meta") != expect_meta:
+        raise ValueError(
+            f"checkpoint {name!r} in {d} was written for "
+            f"{rec.get('meta')}, resume requested with {expect_meta}; "
+            "wipe the checkpoint or rerun with the original "
+            "parameters/input")
+    return rec
 
 
 def _save_checkpoint(d: str, name: str, record: dict) -> None:
@@ -301,8 +313,14 @@ def kmeans_iterate(embeddings, k: int = 8, iters: int = 2,
                           pa.int64())})
 
     start_pass = 0
+    ck_meta = None
     if checkpoint_dir is not None:
-        ck = _load_checkpoint(checkpoint_dir, "kmeans")
+        # hyperparameters + input fingerprint (row count, dims,
+        # column): a resume under different k/input refuses to load
+        ck_meta = {"k": k, "d": int(C.shape[1]), "vec_col": vec_col,
+                   "n_rows": embeddings.count()}
+        ck = _load_checkpoint(checkpoint_dir, "kmeans",
+                              expect_meta=ck_meta)
         if ck is not None:
             start_pass = ck["iter"]
             C = np.asarray(ck["state"], dtype=C.dtype)
@@ -315,7 +333,8 @@ def kmeans_iterate(embeddings, k: int = 8, iters: int = 2,
             C[r["cluster"]] = np.asarray(r["s"]) / r["n"]
         if checkpoint_dir is not None:
             _save_checkpoint(checkpoint_dir, "kmeans",
-                             {"iter": it + 1, "state": C.tolist()})
+                             {"iter": it + 1, "state": C.tolist(),
+                              "meta": ck_meta})
 
     class _Assign:
         def __init__(self, ref):
@@ -656,17 +675,25 @@ def logreg_train(embeddings, iters: int = 2, lr: float = 0.5,
                 "g": pa.array([g.tolist()], pa.list_(pa.float64())),
                 "n": pa.array([len(y)], pa.int64())})
 
+    first = embeddings.take(1)
+    if not first:   # ADVICE r4: fail clearly, not IndexError/÷0 later
+        raise ValueError("logreg_train: input dataset is empty — need "
+                         "at least one labeled row to train")
+    d = len(first[0][vec_col])
     w = None
     start_iter = 0
+    ck_meta = None
     if checkpoint_dir is not None:
-        ck = _load_checkpoint(checkpoint_dir, "logreg")
+        ck_meta = {"lr": lr, "label_threshold": label_threshold,
+                   "d": d, "vec_col": vec_col,
+                   "n_rows": embeddings.count()}
+        ck = _load_checkpoint(checkpoint_dir, "logreg",
+                              expect_meta=ck_meta)
         if ck is not None:
             start_iter = ck["iter"]
             w = np.asarray(ck["state"], dtype=np.float64)
     for it in range(start_iter, iters):
         if w is None:
-            # first pass needs the dimensionality: read one row
-            d = len(embeddings.take(1)[0][vec_col])
             w = np.zeros(d + 1, dtype=np.float64)
         parts = stateful_map(
             embeddings.select_columns([id_col, vec_col, label_col]),
@@ -679,7 +706,8 @@ def logreg_train(embeddings, iters: int = 2, lr: float = 0.5,
         w = w - lr * G / N
         if checkpoint_dir is not None:
             _save_checkpoint(checkpoint_dir, "logreg",
-                             {"iter": it + 1, "state": w.tolist()})
+                             {"iter": it + 1, "state": w.tolist(),
+                              "meta": ck_meta})
     return w
 
 

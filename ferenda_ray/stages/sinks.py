@@ -30,6 +30,19 @@ import pyarrow.parquet as pq
 from ferenda_ray.state import manifest as mf
 
 
+def _table_sha256(data: pa.Table) -> str:
+    """sha256 over the table's Arrow IPC stream bytes — covers EVERY
+    column, so 'redo is sha-identical' means the whole shard, not just
+    the keys (ADVICE r4: the old digest hashed only the key column).
+    Chunking is normalized first: IPC bytes depend on chunk layout,
+    logical content must not."""
+    data = data.combine_chunks()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, data.schema) as w:
+        w.write_table(data)
+    return hashlib.sha256(memoryview(sink.getvalue())).hexdigest()
+
+
 def write_partitioned(ds, out_dir: str, key_col: str,
                       num_buckets: int = 32, resume: bool = True,
                       sort_by: list | None = None) -> pa.Table:
@@ -42,6 +55,11 @@ def write_partitioned(ds, out_dir: str, key_col: str,
     layout = mf.bucket_layout_probe()
     layout["num_buckets"] = num_buckets
     layout["key_col"] = key_col
+    # record the DATA schema so read_partitioned can tell a user
+    # column named "bucket" from the hive-inferred partition column
+    # (ADVICE r4: the unconditional drop lost such a column on
+    # round-trip); schema drift on resume is refused by the guard
+    layout["columns"] = list(ds.schema().names)
     mf.check_bucket_layout(out_dir, layout)
     sort_by = sort_by or [key_col]
 
@@ -71,9 +89,6 @@ def write_partitioned(ds, out_dir: str, key_col: str,
             group.drop_columns(["__bucket"]).combine_chunks())
             .sort(sort_by).to_arrow())
         keys = data.column(key_col)
-        digest = hashlib.sha256()
-        digest.update("\x1f".join(
-            str(keys[i].as_py()) for i in range(len(keys))).encode())
         p = os.path.join(out_dir, part, "part.parquet")
         mf.atomic_write(p, lambda tmp: pq.write_table(data, tmp))
         record = {
@@ -81,7 +96,7 @@ def write_partitioned(ds, out_dir: str, key_col: str,
             "rows": data.num_rows,
             "min_key": str(keys[0].as_py()) if len(keys) else "",
             "max_key": str(keys[-1].as_py()) if len(keys) else "",
-            "content_sha256": digest.hexdigest(),
+            "content_sha256": _table_sha256(data),
             "elapsed_ms": int((time.perf_counter() - t0) * 1000),
         }
         mf.write_manifest(out_dir, part, record)
@@ -95,13 +110,24 @@ def write_partitioned(ds, out_dir: str, key_col: str,
 
 def read_partitioned(out_dir: str):
     """Read every finished bucket back as one Dataset."""
+    import json
     import ray.data as rd
     parts = sorted(mf.done_partitions(out_dir))
     paths = [os.path.join(out_dir, p, "part.parquet") for p in parts]
     ds = rd.read_parquet(paths)
     # read_parquet hive-infers a "bucket" column from the partition
-    # dirs — that is sink plumbing, not user data; drop it
-    if "bucket" in (ds.schema().names or []):
+    # dirs — sink plumbing, not user data.  Drop it ONLY when the
+    # layout's recorded schema says the table has no such column
+    # itself (ADVICE r4: a legitimate user "bucket" column must
+    # survive the round-trip; pre-"columns" layouts keep the old
+    # unconditional drop).
+    try:
+        with open(os.path.join(out_dir, "_layout.json")) as f:
+            cols = json.load(f).get("columns")
+    except (OSError, ValueError):
+        cols = None
+    if ("bucket" in (ds.schema().names or [])
+            and (cols is None or "bucket" not in cols)):
         ds = ds.map_batches(lambda b: b.drop_columns(["bucket"]),
                             batch_format="pyarrow")
     return ds
@@ -149,17 +175,13 @@ def upsert_partitioned(ds, out_dir: str, key_col: str) -> pa.Table:
         merged = merged.sort(sort_by)
         data = merged.to_arrow()
         keys_col = data.column(key_col)
-        digest = hashlib.sha256()
-        digest.update("\x1f".join(
-            str(keys_col[i].as_py())
-            for i in range(len(keys_col))).encode())
         mf.atomic_write(p, lambda tmp: pq.write_table(data, tmp))
         record = {
             "partition": part, "shard_file": p,
             "rows": data.num_rows,
             "min_key": str(keys_col[0].as_py()) if len(keys_col) else "",
             "max_key": str(keys_col[-1].as_py()) if len(keys_col) else "",
-            "content_sha256": digest.hexdigest(),
+            "content_sha256": _table_sha256(data),
             "elapsed_ms": int((time.perf_counter() - t0) * 1000),
         }
         mf.write_manifest(out_dir, part, record)
@@ -213,17 +235,13 @@ def upsert_aggregate(ds, out_dir: str, key_col: str,
                   .sort([key_col]))
         data = merged.to_arrow()
         keys_col = data.column(key_col)
-        digest = hashlib.sha256()
-        digest.update("\x1f".join(
-            str(keys_col[i].as_py())
-            for i in range(len(keys_col))).encode())
         mf.atomic_write(p, lambda tmp: pq.write_table(data, tmp))
         record = {
             "partition": part, "shard_file": p,
             "rows": data.num_rows,
             "min_key": str(keys_col[0].as_py()) if len(keys_col) else "",
             "max_key": str(keys_col[-1].as_py()) if len(keys_col) else "",
-            "content_sha256": digest.hexdigest(),
+            "content_sha256": _table_sha256(data),
             "elapsed_ms": int((time.perf_counter() - t0) * 1000),
         }
         mf.write_manifest(out_dir, part, record)

@@ -657,9 +657,16 @@ def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
     table = words.map_batches(init_syms,
                               batch_format="pyarrow").materialize()
     merges = []
+    ck_meta = None
     if checkpoint_dir is not None:
         from ferenda_ray.stages.similarity import _load_checkpoint
-        ck = _load_checkpoint(checkpoint_dir, "bpe")
+        # input fingerprint: refuse to replay merges recorded for a
+        # different corpus (ADVICE r4).  num_merges is deliberately
+        # NOT pinned — the merge sequence is prefix-stable, so
+        # resuming with a larger budget is a valid continuation.
+        ck_meta = {"text_col": text_col, "n_words": table.count()}
+        ck = _load_checkpoint(checkpoint_dir, "bpe",
+                              expect_meta=ck_meta)
         if ck is not None:
             # resume: replay the saved merges over the fresh word
             # table (deterministic, one pass per saved merge) and
@@ -687,7 +694,8 @@ def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
             from ferenda_ray.stages.similarity import _save_checkpoint
             _save_checkpoint(checkpoint_dir, "bpe",
                              {"iter": rank + 1,
-                              "state": [list(m) for m in merges]})
+                              "state": [list(m) for m in merges],
+                              "meta": ck_meta})
     return merges
 
 

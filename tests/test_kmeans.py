@@ -222,3 +222,52 @@ def test_kmeans_checkpoint_resume(ray_session, tmp_path):
     kmeans_iterate(ds, k=3, iters=2, checkpoint_dir=ck)   # 1 update pass
     C_res, _ = kmeans_iterate(ds, k=3, iters=4, checkpoint_dir=ck)
     np.testing.assert_array_equal(C_res, C_full)
+
+
+def test_checkpoint_meta_mismatch_refuses(ray_session, tmp_path):
+    """ADVICE r4: resuming with different hyperparameters or a
+    different input must raise, not silently continue from mismatched
+    state (kmeans with a larger k used to return the smaller-k
+    centroids)."""
+    import pytest
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import (kmeans_iterate,
+                                               logreg_train)
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(40, 4))
+
+    def mk(n):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in X[:n]],
+                                  pa.list_(pa.float64())),
+            "label": pa.array([i % 10 for i in range(n)],
+                              pa.int32())})).materialize()
+
+    ds = mk(40)
+    ck = str(tmp_path / "ck")
+    kmeans_iterate(ds, k=3, iters=2, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="checkpoint"):
+        kmeans_iterate(ds, k=5, iters=2, checkpoint_dir=ck)   # k changed
+    with pytest.raises(ValueError, match="checkpoint"):
+        kmeans_iterate(mk(30), k=3, iters=2,
+                       checkpoint_dir=ck)                # input changed
+    logreg_train(ds, iters=1, lr=0.5, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="checkpoint"):
+        logreg_train(ds, iters=2, lr=0.1, checkpoint_dir=ck)  # lr changed
+
+
+def test_logreg_empty_input_raises(ray_session):
+    """ADVICE r4: clear ValueError up front instead of IndexError at
+    take(1) / ÷0 at the first update."""
+    import pytest
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import logreg_train
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+        "label": pa.array([], pa.int32())}))
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(empty, iters=1)

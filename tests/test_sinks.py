@@ -54,6 +54,39 @@ def test_resume_skips_finished_buckets(ray_session, out_dir):
     assert redo.column("content_sha256")[0].as_py() == shas[victim]
 
 
+def test_user_bucket_column_round_trips(ray_session, out_dir):
+    """ADVICE r4: a user table that legitimately contains a 'bucket'
+    column must survive write_partitioned → read_partitioned (the
+    hive-partition drop must not eat it)."""
+    import ray.data as rd
+    t = pa.table({"doc_id": list(range(20)),
+                  "bucket": [f"b{i % 3}" for i in range(20)]})
+    sinks.write_partitioned(rd.from_arrow(t), out_dir, "doc_id",
+                            num_buckets=4)
+    back = sinks.read_partitioned(out_dir).take_all()
+    assert sorted((r["doc_id"], r["bucket"]) for r in back) == \
+        sorted((i, f"b{i % 3}") for i in range(20))
+
+
+def test_content_sha_covers_all_columns(ray_session, out_dir):
+    """ADVICE r4: the manifest digest must change when NON-key values
+    change (it used to hash only the key column)."""
+    import ray.data as rd
+    a = sinks.write_partitioned(rd.from_arrow(_docs(50)), out_dir,
+                                "doc_id", num_buckets=4)
+    other = pa.table({"doc_id": list(range(50)),
+                      "text": [f"doc {i} REVISED" for i in range(50)]})
+    out2 = out_dir + "_v2"
+    b = sinks.write_partitioned(rd.from_arrow(other), out2,
+                                "doc_id", num_buckets=4)
+    sa = dict(zip(a.column("partition").to_pylist(),
+                  a.column("content_sha256").to_pylist()))
+    sb = dict(zip(b.column("partition").to_pylist(),
+                  b.column("content_sha256").to_pylist()))
+    assert set(sa) == set(sb)
+    assert all(sa[p] != sb[p] for p in sa)   # same keys, new values
+
+
 def test_layout_guard_rejects_bucket_count_change(ray_session, out_dir):
     import ray.data as rd
     sinks.write_partitioned(rd.from_arrow(_docs(50)), out_dir,
