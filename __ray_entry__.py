@@ -281,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_training_mixture": docs.docs_training_mixture,
         "events_user_ewma": events.user_value_ewma,
         "events_cumulative_users": events.cumulative_users,
+        "kg_incremental": docs.kg_incremental,
+        "docs_fingerprint_pairs": docs.docs_fingerprint_pairs,
     }
 
 
@@ -412,6 +414,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {uri}, '{_NS["sha"]}', 'literal', sha256(text)
             FROM documents""",
+        # incremental delta-rebuild must equal the FULL rebuild: the
+        # oracle is the plain full-corpus doc_triples restatement
+        "kg_incremental": f"""
+            SELECT {uri} AS subj, '{_NS["type"]}' AS pred,
+                   'uri' AS obj_type, '{_NS["bibo_doc"]}' AS obj_value
+            FROM documents
+            UNION ALL
+            SELECT {uri}, '{_NS["ident"]}', 'literal',
+                   CAST(doc_id AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT {uri}, '{_NS["lang"]}', 'literal', lang FROM documents
+            UNION ALL
+            SELECT {uri}, '{_NS["extent"]}', 'literal',
+                   CAST(n_chars AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT {uri}, '{_NS["sha"]}', 'literal', sha256(text)
+            FROM documents""",
+        # the banded-Hamming pair kernel (shared by SimHash and the
+        # perceptual image/audio/video near-dup family) over a
+        # deterministic 64-bit fingerprint: md5_number_lower(lang)
+        # XOR one doc-keyed bit — all-pairs bit_count cross join
+        "docs_fingerprint_pairs": """
+            WITH fp AS (
+              SELECT doc_id,
+                     xor(md5_number_lower(lang),
+                         CAST(1 AS UBIGINT)
+                         << CAST(doc_id % 61 AS INTEGER)) AS f
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 1""",
         "doc_mentions": mention_union,
         "doc_facets": f"""
             SELECT {uri} AS uri,

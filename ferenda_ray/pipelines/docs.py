@@ -34,12 +34,19 @@ def _read_docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def doc_triples(sf_dir: str, base: str = DEFAULT_BASE):
-    """Document-level triples: type, identifier, language, extent,
-    content sha256 (the per-row lineage invariant).  5 triples per doc,
-    flat-map inside one ``map_batches``."""
-    _4COL = pa.schema([("subj", pa.string()), ("pred", pa.string()),
-                       ("obj_type", pa.string()), ("obj_value", pa.string())])
+def _doc_triples_ds(docs, base: str = DEFAULT_BASE,
+                    with_doc_key: bool = False):
+    """Doc-level triple extraction over ANY documents Dataset (the
+    shared kernel behind :func:`doc_triples` and
+    :func:`kg_incremental`).  ``with_doc_key=True`` appends the doc's
+    id as a ``doc_key`` column on every triple — the partition/upsert
+    key that lets an incremental rebuild replace a changed doc's WHOLE
+    triple set in one delta-wins upsert."""
+    fields = [("subj", pa.string()), ("pred", pa.string()),
+              ("obj_type", pa.string()), ("obj_value", pa.string())]
+    if with_doc_key:
+        fields.append(("doc_key", pa.int64()))
+    schema = pa.schema(fields)
 
     def emit(b: pa.Table) -> pa.Table:
         # URI + constant columns are vectorized string concat; only the
@@ -52,11 +59,13 @@ def doc_triples(sf_dir: str, base: str = DEFAULT_BASE):
               + pl.col("doc_id").cast(pl.String)).alias("subj")
         sha = pl.Series("sha", [hashlib.sha256(t.encode("utf-8")).hexdigest()
                                 for t in df["text"]])
+        key_cols = ([pl.col("doc_id").alias("doc_key")]
+                    if with_doc_key else [])
 
         def block(p, t, ov):
             return df.select(du, pl.lit(p).alias("pred"),
                              pl.lit(t).alias("obj_type"),
-                             ov.alias("obj_value"))
+                             ov.alias("obj_value"), *key_cols)
 
         out = pl.concat([
             block(ns.RDF_TYPE, "uri", pl.lit(ns.BIBO_DOCUMENT)),
@@ -67,10 +76,17 @@ def doc_triples(sf_dir: str, base: str = DEFAULT_BASE):
                   pl.col("n_chars").cast(pl.String)),
             block(ns.FR_CONTENT_SHA256, "literal", sha),
         ])
-        return out.to_arrow().cast(_4COL)
+        return out.to_arrow().cast(schema)
 
-    return _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow",
-                                          batch_size=8192)
+    return docs.map_batches(emit, batch_format="pyarrow",
+                            batch_size=8192)
+
+
+def doc_triples(sf_dir: str, base: str = DEFAULT_BASE):
+    """Document-level triples: type, identifier, language, extent,
+    content sha256 (the per-row lineage invariant).  5 triples per doc,
+    flat-map inside one ``map_batches``."""
+    return _doc_triples_ds(_read_docs(sf_dir), base)
 
 
 def doc_mentions(sf_dir: str, aliases: list | None = None):
@@ -1284,3 +1300,108 @@ def docs_training_mixture(sf_dir: str, budget: int = 1200):
 
     surviving = mixed.map_batches(train_only, batch_format="pyarrow")
     return token_budget_sample(surviving, budget=budget)
+
+
+def docs_fingerprint_pairs(sf_dir: str, max_hamming: int = 1):
+    """Banded-Hamming PAIR KERNEL under a SQL oracle (r4 verdict #5):
+    the perceptual near-dup family (image pHash, audio fingerprint,
+    video frame-pHash — ``stages/multimodal.py``) all routes through
+    ``dedup.hamming_pairs64``; binary decode is not SQL-expressible,
+    but the 64-bit pair kernel is.  Fingerprint = ``md5_number_lower
+    (lang) XOR (1 << doc_id % 61)`` — deterministic on both sides, so
+    same-lang docs sit at Hamming 0 (same flipped bit) or 2, and the
+    ≤1 pair set is exactly the same-lang same-bit classes, checkable
+    by a DuckDB ``bit_count(xor(...))`` cross join."""
+    import hashlib
+
+    import numpy as np
+
+    from ferenda_ray.stages.dedup import hamming_pairs64
+
+    def fp(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        cache: dict = {}
+        for L in set(langs):
+            cache[L] = int.from_bytes(
+                hashlib.md5(L.encode()).digest()[8:16], "little")
+        base = np.fromiter((cache[L] for L in langs), dtype=np.uint64,
+                           count=len(langs))
+        ids = b.column("doc_id").to_numpy().astype(np.uint64)
+        f = base ^ (np.uint64(1) << (ids % np.uint64(61)))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "fingerprint": pa.array(f, pa.uint64())})
+
+    hashed = _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        fp, batch_format="pyarrow", batch_size=8192)
+    return hamming_pairs64(hashed, hash_col="fingerprint",
+                           id_col="doc_id", max_hamming=max_hamming)
+
+
+def kg_incremental(sf_dir: str, base: str = DEFAULT_BASE):
+    """End-to-end INCREMENTAL KG maintenance — the 100-TB operational
+    story (r4 verdict #4) as one driver-checkable query:
+
+    1. An OLD corpus snapshot (documents minus the ``doc_id%10==0``
+       rows; ``doc_id%10==5`` rows at an older 64-char text revision)
+       is extracted and written to a doc-keyed partitioned triples
+       sink (``sinks.write_partitioned``, key = ``doc_key``).
+    2. ``dedup.corpus_diff(old, new)`` finds exactly the added/changed
+       ids (content-sha join, nothing corpus-sized on the driver).
+    3. ONLY those docs are re-extracted and
+       ``sinks.upsert_partitioned`` into the sink — delta wins per
+       doc key, so a changed doc's whole triple set is replaced;
+       untouched buckets keep byte-identical shards
+       (tests/test_kg_incremental.py).
+    4. The sink read-back must equal a FULL rebuild over the current
+       corpus — enforced by the oracle: the SQL side is the plain
+       full-corpus ``doc_triples`` restatement.
+
+    Reference semantics: ``needed()``-gated re-parse + re-relate
+    (``documentstore.py:400-470``, ``documentrepository.py:1731-1883``)
+    at corpus scale."""
+    import os
+    import shutil
+
+    import polars as pl
+
+    from ferenda_ray.stages import sinks
+    from ferenda_ray.stages.dedup import corpus_diff
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    new_docs = _read_docs(sf_dir, cols)
+
+    def make_old(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b)
+              .filter(pl.col("doc_id") % 10 != 0)       # added later
+              .with_columns(
+                  pl.when(pl.col("doc_id") % 10 == 5)   # older revision
+                  .then(pl.col("text").str.slice(0, 64))
+                  .otherwise(pl.col("text")).alias("text")))
+        return df.select(cols).to_arrow().cast(b.select(cols).schema)
+
+    old_docs = new_docs.map_batches(make_old, batch_format="pyarrow")
+
+    # fresh sink per run: a stale dir would make resume skip buckets
+    # and the equality check meaningless
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/ferenda_ray_kginc_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    sinks.write_partitioned(
+        _doc_triples_ds(old_docs, base, with_doc_key=True), out,
+        key_col="doc_key", num_buckets=8,
+        sort_by=["doc_key", "pred", "obj_value"])
+
+    delta = corpus_diff(old_docs, new_docs)     # (doc_id, status)
+    delta_ids = sorted(
+        r["doc_id"] for r in delta.take_all()   # ≪ corpus by design
+        if r["status"] in ("added", "changed"))
+    id_set = pa.array(delta_ids, pa.int64())
+    delta_docs = new_docs.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("doc_id"),
+                                    value_set=id_set)),
+        batch_format="pyarrow")
+    sinks.upsert_partitioned(
+        _doc_triples_ds(delta_docs, base, with_doc_key=True), out,
+        key_col="doc_key")
+    return sinks.read_partitioned(out).map_batches(
+        lambda b: b.drop_columns(["doc_key"]), batch_format="pyarrow")

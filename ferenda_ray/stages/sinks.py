@@ -194,6 +194,59 @@ def upsert_partitioned(ds, out_dir: str, key_col: str) -> pa.Table:
     return pa.Table.from_pylist(result) if result else pa.table({})
 
 
+def delete_keys_partitioned(ds, out_dir: str, key_col: str) -> pa.Table:
+    """Retire keys from a :func:`write_partitioned` layout — the
+    ``removed`` leg of :func:`~ferenda_ray.stages.dedup.corpus_diff`
+    (a doc deleted from the corpus takes its whole keyed row set with
+    it).  ``ds`` carries just the keys to drop; only buckets
+    containing them are rewritten (same atomic tmp+rename + manifest
+    refresh as :func:`upsert_partitioned`; untouched shards stay
+    byte-identical)."""
+    import json
+    with open(os.path.join(out_dir, "_layout.json")) as f:
+        layout = json.load(f)
+    num_buckets = layout["num_buckets"]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = pl.from_arrow(b.column(key_col)).rename("k").hash(seed=0)
+        return b.append_column(
+            "__bucket", (h % num_buckets).cast(pl.Int64).to_arrow())
+
+    def drop_bucket(group: pa.Table) -> pa.Table:
+        import time
+        t0 = time.perf_counter()
+        bucket = group.column("__bucket")[0].as_py()
+        part = f"bucket={bucket:05d}"
+        p = os.path.join(out_dir, part, "part.parquet")
+        if not os.path.exists(p):
+            return pa.table({"partition": [part], "shard_file": [p],
+                             "rows": [0], "min_key": [""],
+                             "max_key": [""], "content_sha256": [""],
+                             "elapsed_ms": [0]})
+        gone = pl.from_arrow(group.select([key_col]))[key_col].implode()
+        data = (pl.from_arrow(pq.read_table(p))
+                .filter(~pl.col(key_col).is_in(gone)).to_arrow())
+        keys_col = data.column(key_col)
+        mf.atomic_write(p, lambda tmp: pq.write_table(data, tmp))
+        record = {
+            "partition": part, "shard_file": p,
+            "rows": data.num_rows,
+            "min_key": str(keys_col[0].as_py()) if len(keys_col) else "",
+            "max_key": str(keys_col[-1].as_py()) if len(keys_col) else "",
+            "content_sha256": _table_sha256(data),
+            "elapsed_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        mf.write_manifest(out_dir, part, record)
+        return pa.table({k: [record[k]] for k in record})
+
+    result = (ds.select_columns([key_col])
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(drop_bucket, batch_format="pyarrow")
+              .take_all())  # one row per AFFECTED bucket
+    return pa.Table.from_pylist(result) if result else pa.table({})
+
+
 def upsert_aggregate(ds, out_dir: str, key_col: str,
                      sum_cols: list) -> pa.Table:
     """Incremental VIEW MAINTENANCE for distributive aggregates: the
