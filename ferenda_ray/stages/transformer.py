@@ -9,6 +9,10 @@ depth-adjusted asset links, string params) and ``:332-333`` (the
 This engine re-expresses the hook Ray-Data-first and without lxml
 (absent in this environment):
 
+* ``XsltTransform`` — a REAL XSLT 1.0 engine (pure Python,
+  :mod:`ferenda_ray.stages.xslt`): the reference's shipped
+  ``res/xsl/*.xsl`` templates run unmodified (see
+  ``tests/test_xslt.py``, which applies them directly).
 * ``Html5Transform`` — the fixed XHTML+RDFa → HTML5 pass
   (:func:`ferenda_ray.stages.render.xhtml_to_html5`), the default.
 * ``JinjaTransform`` — a REAL template engine (jinja2 is available
@@ -115,21 +119,79 @@ class JinjaTransform:
             raise TransformError(str(e)) from e
 
 
+class XsltTransform:
+    """Real XSLT 1.0 engine (pure Python, :mod:`ferenda_ray.stages.xslt`)
+    — the reference's primary presentation path
+    (``ferenda/transformer.py:196-330``): a user's existing
+    ``res/xsl/*.xsl`` templates run unmodified.
+
+    ``template`` is the main stylesheet: a key into ``templates``
+    (name → source) or a filesystem path; ``xsl:include`` /
+    ``xsl:import`` / ``document()`` resolve against the mapping first,
+    then the main template's directory — the engine-side analogue of
+    the reference's one-temp-dir-for-all-templates setup
+    (``transformer.py:234-240``).  The stylesheet compiles ONCE here
+    (per actor when used via :func:`transform_stage`); ``transform``
+    only applies it."""
+
+    def __init__(self, template: str, templates: dict[str, str]):
+        import os
+
+        from ferenda_ray.stages.xslt import XSLT, XSLTError
+        templates = templates or {}
+        if template is None:
+            raise TransformError("XSLT engine requires a template")
+        if template in templates:
+            source = templates[template]
+            base_dir = None
+        else:
+            try:
+                with open(template, encoding="utf-8") as fp:
+                    source = fp.read()
+            except OSError as e:
+                raise TransformError(
+                    f"main template {template!r} not in templates "
+                    f"mapping and not a readable file") from e
+            base_dir = os.path.dirname(os.path.abspath(template))
+        try:
+            self._xslt = XSLT(source, base_dir=base_dir,
+                              templates=templates)
+        except XSLTError as e:
+            raise TransformError(str(e)) from e
+
+    def transform(self, xhtml: str, depth: int = 0,
+                  parameters: dict | None = None) -> str:
+        from ferenda_ray.stages.xslt import XSLTError
+        from ferenda_ray.xpath import XPathError
+        params = {k: "" if v is None else str(v)
+                  for k, v in (parameters or {}).items()}
+        # reference parity: templates read the depth-adjusted asset
+        # root via the config document; also expose it directly
+        params.setdefault("assetroot", "../" * depth)
+        try:
+            return self._xslt.transform_text(xhtml, params=params)
+        except (XSLTError, XPathError) as e:
+            raise TransformError(str(e)) from e
+
+
 class Transformer:
     """Front class: engine selection + uritransform post-pass
     (``ferenda/transformer.py:55-70, 101-160``)."""
 
-    ENGINES = {"HTML5": Html5Transform, "JINJA": JinjaTransform}
+    ENGINES = {"HTML5": Html5Transform, "JINJA": JinjaTransform,
+               "XSLT": XsltTransform}
 
     def __init__(self, transformertype: str = "HTML5",
                  template: str | None = None,
-                 templates: dict[str, str] | None = None):
+                 templates: dict[str, str] | None = None,
+                 documentroot: str | None = None):
         try:
             cls = self.ENGINES[transformertype]
         except KeyError:
             raise TransformError(
                 f"unknown transformertype {transformertype!r}")
         self.t = cls(template, templates or {})
+        self.documentroot = documentroot
 
     def transform(self, indata: str, depth: int = 0,
                   parameters: dict | None = None,
@@ -139,6 +201,27 @@ class Transformer:
         if uritransform is not None:
             out = transform_links(out, uritransform)
         return out
+
+    # -- file-level API (ferenda/transformer.py:101-160) -----------------
+    def _depth(self, outdir: str, index_path: str) -> int:
+        """Directory depth of ``outdir`` below the site root that
+        ``index_path`` sits in (drives the ``../`` asset prefix)."""
+        import os
+        rel = os.path.relpath(index_path, outdir)
+        return rel.replace(os.sep, "/").count("/")
+
+    def transform_file(self, infile: str, outfile: str,
+                       parameters: dict | None = None, depth: int = 0,
+                       uritransform=None) -> None:
+        import os
+        with open(infile, encoding="utf-8") as fp:
+            indata = fp.read()
+        out = self.transform(indata, depth=depth, parameters=parameters,
+                             uritransform=uritransform)
+        os.makedirs(os.path.dirname(os.path.abspath(outfile)),
+                    exist_ok=True)
+        with open(outfile, "w", encoding="utf-8") as fp:
+            fp.write(out)
 
 
 def transform_stage(pages, repo_specs: dict[str, dict] | None = None,

@@ -60,7 +60,7 @@ def test_uritransform_post_pass():
 
 def test_errors():
     with pytest.raises(TransformError):
-        Transformer("XSLT")                 # engine not available here
+        Transformer("XSLT")                 # real engine, but no template
     with pytest.raises(TransformError):
         Transformer("JINJA", "missing.html", TEMPLATES)
     with pytest.raises(TransformError):
