@@ -5,15 +5,18 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-4 surface: 68 queries, 66 with DuckDB oracles.  The 2 rows-only
-entries are sketch/approximate BY DESIGN (MinHash estimate,
-probe-limited LSH ANN); each has an exactness property verified in
-pytest instead (recall vs brute force, candidate subset vs exact
-Jaccard), and the oracle-checked ``docs_minhash_verified_dups`` /
-``ivf_ann_topk`` (full-probe) cover the same code paths end-to-end.
-Entries past the driver's 50-entry window are verified against the
-same oracles by ``tests/test_query_oracles.py`` (sf0.001, same
-column-sorted order-insensitive compare).
+Round-5 surface: 103 queries, 98 with DuckDB oracles (counts asserted
+in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
+5 rows-only entries are approximate/iterative BY DESIGN (MinHash
+estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE,
+PCA eigendecomposition); each has an exactness property verified in
+pytest instead, and each has an oracle-checked exact twin covering
+the same code path end-to-end (``docs_minhash_verified_dups``,
+``ivf_ann_topk``, ``ann_topk``, ``docs_bpe_pair_counts``,
+``embeddings_covariance``).  Entries past the driver's 50-entry
+window are verified against the same oracles by
+``tests/test_query_oracles.py`` (sf0.001, same column-sorted
+order-insensitive compare).
 
 Naming discipline: every computed column is named identically in the
 Ray pipeline and the SQL; doubles are rounded identically on both
@@ -119,28 +122,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  batch_format="pyarrow")
 
     # ORDER MATTERS: the driver's correctness harness verifies only the
-    # FIRST 50 entries (dict order).  Round-4 rotation (round-3 verdict
-    # #2): the 16 events_* entries demoted in round 3 rotate INTO the
-    # window (13 of them) and the five queries NEW this round
-    # (dup_ngrams, remove_dup_spans, perplexity, top_tokens, kmeans)
-    # are promoted so their first driver check lands in r4 — together
-    # displacing 19 stable-core entries that were driver-green in
-    # rounds 1-3 (rotate those back in round 5, together with the
-    # session-3 additions now past the window: chunks, pack_offsets,
-    # bpe_pair_counts, logreg/logreg_scores, tfidf_top_terms,
-    # snapshot_diff, stratified_sample, quantized, top_tokens,
-    # dup_ngrams twins — and the session-4 additions: neardup_clusters,
-    # dedup_keep_best, minhash_clusters, clean_corpus_v2, token_budget,
-    # weighted_mix, epoch_shards, covariance, user_zscore,
-    # fuzzy_decontaminate, corpus_stats, quality_filter, train_split,
-    # length_quantiles, training_mixture, user_ewma — all oracle-pytest-checked
-    # per commit by tests/test_query_oracles.py meanwhile); queries whose
-    # implementation changed this round (doc_facets via the BGP path,
-    # minhash broadcast plan, latest_value_per_user polars combiner)
-    # are all kept/promoted in-window.  EVERY entry past position 50 is verified per-commit
-    # against its oracle_sql() via DuckDB at sf0.001 by
-    # tests/test_query_oracles.py (window-position-agnostic), so
-    # rotation never leaves a query unchecked.
+    # FIRST 50 entries (dict order).  Round-5 rotation (round-4 verdict
+    # #1): the window now holds (a) the flagship pair + the two queries
+    # NEW this round (kg_incremental, docs_fingerprint_pairs), (b)
+    # every query whose IMPLEMENTATION changed this round (the
+    # embedding-neardup plan pick, the events combiner/prefix-sum
+    # rewrites, the sharded as-of join, the minhash_clusters
+    # delegation), (c) the ~26 round-4 operators that had never had a
+    # driver-green row (near-dup resolution, token-budget mixing,
+    # clean_corpus_v2/training_mixture, BPE pair counts, logreg,
+    # covariance, quality gates, sampling family), and (d) a core
+    # spine of long-stable queries (q1, facets, exact dedup, BM25,
+    # minhash/jaccard/simhash pairs, sessionize, tumbling) so a
+    # regression in shared plumbing still trips the driver.  Everything
+    # displaced was driver-green in rounds 1-4.  EVERY entry past
+    # position 50 is verified per-commit against its oracle_sql() via
+    # DuckDB at sf0.001 by tests/test_query_oracles.py
+    # (window-position-agnostic), so rotation never leaves a query
+    # unchecked.
     def kg_annotations(sf_dir: str):
         """The reference's ``annotations.rq`` CONSTRUCT (per-document
         annotation graph: isPartOf* closure + inbound-reference
@@ -160,87 +159,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return annotations_graph(tri)
 
     return {
+        # ---------------- DRIVER WINDOW (first 50) ----------------
         # --- flagship KG pipeline (synthetic corpus, golden-oracled) ---
         "kg_pipeline_synthetic": kg_pipeline_synthetic,
         "kg_annotations": kg_annotations,
-        # --- similarity (embeddings) — unverified in r2's window ---
-        "ann_topk": docs.ann_topk,
-        "ivf_ann_topk": docs.ivf_ann_topk,    # full-probe ⇒ exact, oracled
-        "lsh_ann_topk": docs.lsh_ann_topk,                  # rows-only
-        "embeddings_neardup":
-            lambda sf: __import__("ferenda_ray.pipelines.docs",
-                                  fromlist=["docs"]).embeddings_neardup(sf),
-        # --- BGP query surface (new + re-routed this round) ---
-        "doc_bgp_select": docs.doc_bgp_select,
-        "doc_facets": docs.doc_facets,          # via faceted_data_bgp
-        "doc_facets_long": docs.doc_facets_long,
-        # --- relational operator inventory (TPC-H-ish) ---
+        # --- NEW this round ---
+        "kg_incremental": docs.kg_incremental,
+        "docs_fingerprint_pairs": docs.docs_fingerprint_pairs,
+        # --- implementation changed this round: kept/promoted in-window ---
+        "doc_triples": docs.doc_triples,        # shared-kernel refactor
+        "embeddings_neardup": docs.embeddings_neardup,  # plan pick
+        "docs_minhash_clusters": docs.docs_minhash_clusters,  # delegation
+        "events_latest_per_type": events.latest_per_type,   # combiner
+        "events_feed_pages": events.feed_pages,         # prefix-sum rank
+        "events_value_percentiles": events.value_percentiles,  # histogram
+        "events_asof_hourly": events.asof_hourly_share,  # sharded as-of
+        "events_hourly_active_users": events.hourly_active_users,
+        "events_top_values_ties": events.top_values_with_ties,
+        # --- round-4 operators never driver-checked before: promoted ---
+        "docs_neardup_clusters": docs.docs_neardup_clusters,
+        "docs_dedup_keep_best": docs.docs_dedup_keep_best,
+        "docs_token_budget": docs.docs_token_budget,
+        "docs_weighted_mix": docs.docs_weighted_mix,
+        "docs_clean_corpus_v2": docs.docs_clean_corpus_v2,
+        "docs_training_mixture": docs.docs_training_mixture,
+        "docs_tfidf_top_terms": docs.docs_tfidf_top_terms,
+        "docs_chunks": docs.docs_chunks,
+        "docs_pack_offsets": docs.docs_pack_offsets,
+        "docs_bpe_pair_counts": docs.docs_bpe_pair_counts,
+        "docs_snapshot_diff": docs.docs_snapshot_diff,
+        "embeddings_covariance": docs.embeddings_covariance,
+        "embeddings_logreg": docs.embeddings_logreg,
+        "embeddings_logreg_scores": docs.embeddings_logreg_scores,
+        "docs_quality_filter": docs.docs_quality_filter,
+        "docs_train_split": docs.docs_train_split,
+        "docs_fuzzy_decontaminate": docs.docs_fuzzy_decontaminate,
+        "events_user_zscore": events.user_zscore_outliers,
+        "events_user_ewma": events.user_value_ewma,
+        "docs_epoch_shards": docs.docs_epoch_shards,
+        "docs_corpus_stats": docs.docs_corpus_stats,
+        "docs_length_quantiles": docs.docs_length_quantiles,
+        "docs_stratified_sample": docs.docs_stratified_sample,
+        "embeddings_quantized": docs.embeddings_quantized,
+        "embeddings_label_count": docs.embeddings_label_count,
+        "events_cumulative_users": events.cumulative_users,
+        # --- core spine (driver-green rounds 1-4; catches plumbing
+        # regressions inside the window) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "doc_facets": docs.doc_facets,          # via faceted_data_bgp
+        "docs_exact_dedup": docs.docs_exact_dedup,
+        "docs_search_bm25": docs.docs_search_bm25,
+        "doc_mentions": docs.doc_mentions,
+        "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
+        "docs_jaccard_pairs": docs.docs_jaccard_pairs,
+        "docs_simhash_pairs": docs.docs_simhash_pairs,
+        "docs_clean_corpus": docs.docs_clean_corpus,
+        "events_sessionize": events.sessionize,
+        "events_tumbling_hour": events.tumbling_hour,
+        # ---------------- position >50 below: rotated OUT this round
+        # (driver-green in rounds 1-4); every oracled entry here is
+        # verified per-commit by tests/test_query_oracles.py -----------
+        "ann_topk": docs.ann_topk,
+        "ivf_ann_topk": docs.ivf_ann_topk,    # full-probe => exact, oracled
+        "lsh_ann_topk": docs.lsh_ann_topk,                  # rows-only
+        "doc_bgp_select": docs.doc_bgp_select,
+        "doc_facets_long": docs.doc_facets_long,
         "q3_top_orders": relational.q3_top_orders,
         "nation_revenue": relational.nation_revenue,
         "customer_order_stats": relational.customer_order_stats,
-        # --- KG over documents ---
-        "doc_triples": docs.doc_triples,
-        "doc_mentions": docs.doc_mentions,
         "doc_annotations": docs.doc_annotations,
-        # --- dedup / text analysis ---
-        "docs_search_bm25": docs.docs_search_bm25,
-        "docs_exact_dedup": docs.docs_exact_dedup,
         "docs_quality": docs.docs_quality,
         "docs_repetition": docs.docs_repetition,
         "docs_decontaminate": docs.docs_decontaminate,
         "docs_pii_scrub": docs.docs_pii_scrub,
         "doc_skeletons": docs.doc_skeletons,
-        "docs_clean_corpus": docs.docs_clean_corpus,
-        "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_minhash_pairs": docs.docs_minhash_pairs,      # rows-only
-        "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
-        "docs_simhash_pairs": docs.docs_simhash_pairs,
         "docs_legal_refs": docs.docs_legal_refs,
         "docs_citation_roles": docs.docs_citation_roles,
-        # --- new in round 4 (never driver-checked before): promoted ---
         "docs_dup_ngrams": docs.docs_dup_ngrams,
         "docs_remove_dup_spans": docs.docs_remove_dup_spans,
         "docs_perplexity": docs.docs_perplexity,
         "docs_top_tokens": docs.docs_top_tokens,
         "embeddings_kmeans": docs.embeddings_kmeans,
-        # --- stream-shaped (events): rotated into the window r4 ---
-        "events_tumbling_hour": events.tumbling_hour,
-        "events_sessionize": events.sessionize,
-        "events_asof_hourly": events.asof_hourly_share,
         "events_range_pairs": events.range_pairs_5m,
-        "events_value_percentiles": events.value_percentiles,
         "events_value_hour_corr": events.value_hour_correlation,
         "events_type_hour_rollup": events.type_hour_rollup,
         "events_top_users": events.top_users_by_value,
-        "events_latest_per_type": events.latest_per_type,
         "events_frontpage_latest": events.frontpage_latest,
-        "events_feed_pages": events.feed_pages,
         "events_hopping_15m": events.hopping_15m_of_hour,
         "events_rolling_avg": events.rolling_user_avg,
-        "events_hourly_active_users": events.hourly_active_users,
         "events_latest_value_per_user": events.latest_value_per_user,
-        # ---------------- position >50 below: rotated OUT this round
-        # (driver-green in r1-r3); every entry here is verified against
-        # its oracle_sql() by tests/test_query_oracles.py ----------------
         "top_parts_by_revenue": relational.top_parts_by_revenue,
         "distinct_segments": relational.distinct_segments,
         "order_priority_count": relational.order_priority_count,
         "supplier_acctbal_by_nation": relational.supplier_acctbal_by_nation,
         "customers_without_orders": relational.customers_without_orders,
         "language_stats": docs.language_stats,
-        "docs_chunks": docs.docs_chunks,
-        "docs_pack_offsets": docs.docs_pack_offsets,
-        "docs_bpe_pair_counts": docs.docs_bpe_pair_counts,
-        "embeddings_logreg": docs.embeddings_logreg,
-        "docs_stratified_sample": docs.docs_stratified_sample,
-        "embeddings_quantized": docs.embeddings_quantized,
         "ann_topk_int8": docs.ann_topk_int8,            # rows-only
-        "embeddings_logreg_scores": docs.embeddings_logreg_scores,
-        "docs_tfidf_top_terms": docs.docs_tfidf_top_terms,
-        "docs_snapshot_diff": docs.docs_snapshot_diff,
         "docs_bpe_merges": docs.docs_bpe_merges,        # rows-only
-        "embeddings_label_count": docs.embeddings_label_count,
+        "embeddings_pca": docs.embeddings_pca,   # rows-only: eigh is
+        # not SQL-expressible; its covariance INPUT is the oracle-
+        # checked exact twin and the decomposition is pytest-verified
         "docs_fingerprints": docs.docs_fingerprints,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
@@ -254,35 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": docs.docs_sample,
         "docs_token_count": docs.docs_token_count,
         "event_type_share": events.event_type_share,
-        "events_top_values_ties": events.top_values_with_ties,
         "events_value_histogram": events.value_histogram,
-        # --- near-dup RESOLUTION (new, round-4 session 4): cluster
-        # assignment + keep-best over the SimHash pair graph ---
-        "docs_neardup_clusters": docs.docs_neardup_clusters,
-        "docs_dedup_keep_best": docs.docs_dedup_keep_best,
-        # --- training-data mixing (new, round-4 session 4) ---
-        "docs_token_budget": docs.docs_token_budget,
-        "docs_weighted_mix": docs.docs_weighted_mix,
-        # --- embedding feature analysis (new, round-4 session 4) ---
-        "embeddings_covariance": docs.embeddings_covariance,
-        "embeddings_pca": docs.embeddings_pca,   # rows-only: eigh is
-        # not SQL-expressible; its covariance INPUT is the oracle-
-        # checked exact twin and the decomposition is pytest-verified
-        # --- full cleaning composition incl. near-dup keep-best ---
-        "docs_clean_corpus_v2": docs.docs_clean_corpus_v2,
-        "docs_epoch_shards": docs.docs_epoch_shards,
-        "docs_minhash_clusters": docs.docs_minhash_clusters,
-        "events_user_zscore": events.user_zscore_outliers,
-        "docs_fuzzy_decontaminate": docs.docs_fuzzy_decontaminate,
-        "docs_corpus_stats": docs.docs_corpus_stats,
-        "docs_quality_filter": docs.docs_quality_filter,
-        "docs_train_split": docs.docs_train_split,
-        "docs_length_quantiles": docs.docs_length_quantiles,
-        "docs_training_mixture": docs.docs_training_mixture,
-        "events_user_ewma": events.user_value_ewma,
-        "events_cumulative_users": events.cumulative_users,
-        "kg_incremental": docs.kg_incremental,
-        "docs_fingerprint_pairs": docs.docs_fingerprint_pairs,
     }
 
 

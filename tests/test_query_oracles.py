@@ -54,6 +54,19 @@ def oracle_con():
     con.close()
 
 
+def test_surface_counts():
+    """The __ray_entry__ docstring's query/oracle counts must track
+    reality (r4 verdict #8: they went stale after in-round additions)."""
+    import re
+
+    import __ray_entry__ as entry
+    m = re.search(r"(\d+) queries, (\d+) with DuckDB oracles",
+                  entry.__doc__)
+    assert m, "docstring lost its counts line"
+    assert int(m.group(1)) == len(entry.queries())
+    assert int(m.group(2)) == len(entry.oracle_sql())
+
+
 @pytest.mark.parametrize("name", _past_window_names())
 def test_past_window_query_matches_oracle(ray_session, oracle_con, name):
     import __ray_entry__ as entry
