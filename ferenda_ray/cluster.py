@@ -38,8 +38,16 @@ def join_partitions(lo: int = 4, hi: int = 1024) -> int:
     ~3/4 of the CPUs to the map side measured consistently faster
     single-node (q3 at 32 CPUs: np=8 → 7.6 s, np=32 → 11.1 s;
     minhash verify joins regressed 6→35 s at np=32) and still scales
-    with the cluster."""
-    return default_num_partitions(0.25, lo=lo, hi=hi)
+    with the cluster.
+
+    HARD CAP at cpus/2: the aggregator actors each reserve a CPU for
+    the whole join, so on a tiny cluster the old ``lo=4`` floor could
+    reserve EVERY core and deadlock the map side feeding the join
+    (reproduced: any BGP OPTIONAL chain wedged forever at
+    ``num_cpus=4``, fine at 8 — the aggregators held all 4 CPUs while
+    the upstream scan had nowhere to run)."""
+    cap = max(2, cluster_cpus() // 2)
+    return min(cap, default_num_partitions(0.25, lo=lo, hi=hi))
 
 
 def ray_join_handles_empty_blocks() -> bool:

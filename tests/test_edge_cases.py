@@ -93,3 +93,15 @@ def test_patch_empty_text():
     from ferenda_ray.stages.render import PatchError, apply_patch
     with pytest.raises(PatchError):
         apply_patch("", "@@ -5,1 +5,1 @@\n-x\n+y\n")
+
+
+def test_join_partitions_never_starves_map_side(ray_session):
+    """Regression: Ray's hash-join aggregator actors each reserve a
+    CPU for the whole join, so the partition count must leave at
+    least half the cluster for the map side — the old lo=4 floor
+    reserved ALL 4 CPUs of this very test cluster and any BGP
+    OPTIONAL chain (doc_facets et al.) wedged forever."""
+    from ferenda_ray.cluster import cluster_cpus, join_partitions
+    cpus = cluster_cpus()
+    assert cpus == 4  # the session fixture's cluster
+    assert join_partitions() <= max(2, cpus // 2)
