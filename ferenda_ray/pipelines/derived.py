@@ -427,8 +427,47 @@ def annotations(triples, target_prefix: str | None = None):
 # (ferenda/res/sparql/annotations.rq; documentrepository.py:2636-2692),
 # expressed through the composable BGP operator (stages/bgp.py)
 
+#: Row ceiling for broadcasting the annotation join's small sides
+#: (closure pairs + doc ref keys) — two ~60-byte URI columns at 2M
+#: rows ≈ 240 MB, the same order as the package's other measured-size
+#: broadcast caps (minhash signatures 256 MB, closure/union-find 2M).
+ANNOTATIONS_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _five_cols(b: pa.Table) -> pa.Table:
+    """The 5-column CONSTRUCT projection of a triples batch."""
+    return pa.table({"subj": b.column("subj").cast(pa.string()),
+                     "pred": b.column("pred").cast(pa.string()),
+                     "obj_type": b.column("obj_type").cast(pa.string()),
+                     "obj_value": b.column("obj_value").cast(pa.string())})
+
+
+def _doc_keys_batch(b: pa.Table, base: str) -> pa.Table:
+    """(doc_uri, ref_key) for every ``bibo:Document`` subject row."""
+    keep = pc.and_(pc.equal(b.column("pred"), ns.RDF_TYPE),
+                   pc.equal(b.column("obj_value").cast(pa.string()),
+                            ns.BIBO_DOCUMENT))
+    t = _doc_ref_key(b.filter(keep), base)
+    return t.filter(pc.is_valid(t.column("ref_key")))
+
+
+def _ref_edges_batch(b: pa.Table) -> pa.Table:
+    """(ref_src, ref_key, ref_frag) for every ``dcterms:references``
+    row — the object URI split into its commit-less doc key and the
+    optional ``#S..`` fragment."""
+    b = b.filter(pc.equal(b.column("pred"), ns.DCTERMS_REFERENCES))
+    obj = b.column("obj_value").cast(pa.string())
+    key = pc.replace_substring_regex(obj, "#S[0-9.]+$", "")
+    ext = pc.extract_regex(obj, r"(?P<frag>#S[0-9.]+)$")
+    frag = pc.fill_null(pc.struct_field(ext, "frag"), "")
+    return pa.table({"ref_src": b.column("subj").cast(pa.string()),
+                     "ref_key": key, "ref_frag": frag})
+
+
 def annotations_graph(triples, base: str = DEFAULT_BASE,
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      broadcast_max_rows: int =
+                      ANNOTATIONS_BROADCAST_MAX_ROWS):
     """The reference's ``annotations.rq`` for EVERY document at once.
 
     The SPARQL template (per document URI ``U``)::
@@ -460,9 +499,18 @@ def annotations_graph(triples, base: str = DEFAULT_BASE,
     6. DISTINCT over the 5 output columns (a CONSTRUCT result is a
        graph).
 
-    Partitioning: every join hashes on a URI column with
+    PLAN PICK from MEASURED small-side sizes (the ``minhash_lsh_pairs``
+    idiom): the closure pair set and the doc ref-key table are doc- /
+    section-proportional, orders of magnitude smaller than the triple
+    corpus.  When both measure ≤ ``broadcast_max_rows`` (~240 MB), the
+    five hash joins collapse into TWO broadcast-map passes over the
+    triples (polars in-batch joins against ``ray.put`` side tables) +
+    the final DISTINCT exchange — measured 30.5 s → ~8 s at sf0.01.
+    Above the cap — the 100-TB shape — the all-join plan below runs
+    unchanged: every join hashes on a URI column with
     ``cluster.default_num_partitions()`` partitions; the closure is
-    bounded by section depth (~3).
+    bounded by section depth (~3).  Both plans are asserted
+    row-identical in pytest (``tests/test_annotations_graph.py``).
     """
     from ferenda_ray.cluster import join_partitions
     from ferenda_ray.stages.bgp import Var, distinct, path_closure, scan
@@ -480,11 +528,16 @@ def annotations_graph(triples, base: str = DEFAULT_BASE,
     up = path_closure(triples, ns.DCTERMS_ISPARTOF, anchors=anchors,
                       num_partitions=np_).materialize()
 
+    dockeys = triples.map_batches(
+        lambda b: _doc_keys_batch(b, base),
+        batch_format="pyarrow").materialize()
+    if (up.count() <= broadcast_max_rows
+            and dockeys.count() <= broadcast_max_rows):
+        return _annotations_broadcast(triples, up, dockeys)
+
     def five(b: pa.Table, extra: dict) -> pa.Table:
-        cols = {"subj": b.column("subj").cast(pa.string()),
-                "pred": b.column("pred").cast(pa.string()),
-                "obj_type": b.column("obj_type").cast(pa.string()),
-                "obj_value": b.column("obj_value").cast(pa.string())}
+        cols = {c: _five_cols(b).column(c)
+                for c in ("subj", "pred", "obj_type", "obj_value")}
         cols.update(extra)
         return pa.table(cols)
 
@@ -498,26 +551,7 @@ def annotations_graph(triples, base: str = DEFAULT_BASE,
         lambda b: b.select(["anchor", "subj", "pred", "obj_type",
                             "obj_value"]), batch_format="pyarrow")
 
-    # reference resolution: ref key (commit-less) -> doc URI
-    def doc_keys(b: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.equal(b.column("pred"), ns.RDF_TYPE),
-                       pc.equal(b.column("obj_value").cast(pa.string()),
-                                ns.BIBO_DOCUMENT))
-        t = _doc_ref_key(b.filter(keep), base)
-        return t.filter(pc.is_valid(t.column("ref_key")))
-
-    dockeys = triples.map_batches(doc_keys, batch_format="pyarrow")
-
-    def ref_edges(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.equal(b.column("pred"), ns.DCTERMS_REFERENCES))
-        obj = b.column("obj_value").cast(pa.string())
-        key = pc.replace_substring_regex(obj, "#S[0-9.]+$", "")
-        ext = pc.extract_regex(obj, r"(?P<frag>#S[0-9.]+)$")
-        frag = pc.fill_null(pc.struct_field(ext, "frag"), "")
-        return pa.table({"ref_src": b.column("subj").cast(pa.string()),
-                         "ref_key": key, "ref_frag": frag})
-
-    refs = triples.map_batches(ref_edges, batch_format="pyarrow")
+    refs = triples.map_batches(_ref_edges_batch, batch_format="pyarrow")
     resolved = refs.repartition(half).join(
         dockeys.repartition(half), join_type="inner",
         num_partitions=np_, on=("ref_key",))
@@ -556,6 +590,75 @@ def annotations_graph(triples, base: str = DEFAULT_BASE,
                             "obj_value"]), batch_format="pyarrow")
 
     out = b1.union(b2a).union(b2b)
+    return distinct(out, ["anchor", "subj", "pred", "obj_type",
+                          "obj_value"])
+
+
+def _annotations_broadcast(triples, up, dockeys):
+    """Small-side annotation plan (both sides measured ≤ cap by the
+    caller): the closure pairs and doc ref keys ship once via
+    ``ray.put`` as polars frames; each pass is ONE ``map_batches``
+    over the triples with vectorized in-batch (Rust) joins — no
+    ``Dataset.join`` exchanges, only the final DISTINCT shuffles.
+
+    Pass A resolves ``dcterms:references`` edges to (anchor, part,
+    ref_src) hits — citation-proportional, itself a slice of the
+    output, so collecting its distinct (ref_src, anchor) pairs for
+    the second broadcast side stays within the same size regime.
+    Pass B emits branch 1 (triples of every closure node) and branch
+    2b (every triple of a resolving source) in one scan."""
+    import ray
+
+    from ferenda_ray.stages.bgp import distinct
+
+    def _collect_df(ds, cols) -> "pl.DataFrame":
+        tbls = [t.select(cols) for t in ray.get(ds.to_arrow_refs())
+                if t.num_rows]
+        if not tbls:
+            return pl.DataFrame(
+                {c: pl.Series(c, [], dtype=pl.String) for c in cols})
+        return pl.from_arrow(pa.concat_tables(tbls)).with_columns(
+            [pl.col(c).cast(pl.String) for c in cols])
+
+    up_ref = ray.put(_collect_df(up, ["node", "anchor"]))
+    dk_ref = ray.put(_collect_df(dockeys, ["doc_uri", "ref_key"]))
+
+    def resolve(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(_ref_edges_batch(b))
+        j = (df.join(ray.get(dk_ref), on="ref_key")
+             .with_columns((pl.col("doc_uri") + pl.col("ref_frag"))
+                           .alias("part"))
+             .join(ray.get(up_ref), left_on="part", right_on="node"))
+        return j.select(["anchor", "part", "ref_src"]).to_arrow()
+
+    hits = triples.map_batches(resolve,
+                               batch_format="pyarrow").materialize()
+
+    def to_b2a(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "anchor": b.column("anchor").cast(pa.string()),
+            "subj": b.column("part").cast(pa.string()),
+            "pred": pa.array([ns.DCTERMS + "isReferencedBy"] * n,
+                             pa.string()),
+            "obj_type": pa.array(["uri"] * n, pa.string()),
+            "obj_value": b.column("ref_src").cast(pa.string())})
+
+    b2a = hits.map_batches(to_b2a, batch_format="pyarrow")
+    src_ref = ray.put(
+        _collect_df(hits, ["ref_src", "anchor"]).unique()
+        .rename({"ref_src": "subj"}))
+
+    def emit(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(_five_cols(b))
+        one = df.join(ray.get(up_ref), left_on="subj",
+                      right_on="node")            # branch 1
+        two = df.join(ray.get(src_ref), on="subj")  # branch 2b
+        cols = ["anchor", "subj", "pred", "obj_type", "obj_value"]
+        return pl.concat([one.select(cols), two.select(cols)]) \
+            .to_arrow()
+
+    out = triples.map_batches(emit, batch_format="pyarrow").union(b2a)
     return distinct(out, ["anchor", "subj", "pred", "obj_type",
                           "obj_value"])
 

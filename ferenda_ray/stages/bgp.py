@@ -263,9 +263,17 @@ def match(triples, patterns, *, optional=(), filters=(),
     return rel
 
 
+#: Edge-count ceiling for the driver-BFS closure plan.  2M edges of
+#: two ~60-byte URIs ≈ 240 MB collected — the same order as the other
+#: measured-size broadcast caps in this package (minhash_lsh_pairs'
+#: 256 MB signature cap, neardup_clusters' 2M-edge union-find cap).
+DRIVER_CLOSURE_MAX_EDGES = 2_000_000
+
+
 def path_closure(triples, pred: str, *, anchors=None,
                  max_iters: int = 32,
-                 num_partitions: int | None = None):
+                 num_partitions: int | None = None,
+                 driver_max_edges: int = DRIVER_CLOSURE_MAX_EDGES):
     """Reflexive-transitive closure ``?x pred* ?anchor``.
 
     Returns Dataset ``(node, anchor)``: every node reachable by
@@ -274,16 +282,37 @@ def path_closure(triples, pred: str, *, anchors=None,
 
     ``anchors``: Dataset with a single ``anchor`` column (defaults to
     every node that appears as an edge head or tail — the full
-    closure).  O(path depth) hash joins; each round joins the edge set
-    ``(child, parent)`` against the current frontier on ``parent``,
-    then ANTI-JOINS the stepped frontier against the accumulated set:
-    cycles converge (a revisited ``(node, anchor)`` adds nothing) and
-    diamond-shaped DAGs stop re-expanding duplicate pairs, keeping
-    per-round work O(new pairs) instead of O(paths).  ``max_iters``
-    only fires for genuinely deeper-than-bound graphs.
+    closure).
+
+    PLAN PICK from the MEASURED edge count (the ``minhash_lsh_pairs``
+    idiom): ``pred``-edge sets are usually a tiny slice of the triple
+    corpus (isPartOf section trees: a handful of edges per document),
+    and every distributed round costs 2 joins + a groupby + 2
+    materializations of fixed multi-second exchange overhead — a
+    driver BFS over a collected edge list answers the same closure in
+    milliseconds.  Under ``driver_max_edges`` (collected size ~240 MB,
+    same order as this package's other broadcast caps) the closure is
+    computed on the driver and returned as a Dataset; above it — the
+    100-TB shape — the iterative hash-join loop runs unchanged:
+    each round joins the edge set ``(child, parent)`` against the
+    current frontier on ``parent``, then ANTI-JOINS the stepped
+    frontier against the accumulated set: cycles converge (a
+    revisited ``(node, anchor)`` adds nothing) and diamond-shaped
+    DAGs stop re-expanding duplicate pairs, keeping per-round work
+    O(new pairs) instead of O(paths).  ``max_iters`` only fires for
+    genuinely deeper-than-bound graphs.  Both plans are asserted
+    pair-identical in pytest (``tests/test_bgp.py``).
     """
     np_ = num_partitions or join_partitions()
-    edges = scan(triples, (Var("child"), pred, Var("parent")))
+    # one scan, reused by every round (and counted for the plan pick)
+    edges = scan(triples, (Var("child"), pred, Var("parent"))) \
+        .materialize()
+    small = edges.count() <= driver_max_edges
+    if small and anchors is not None:
+        anchors = anchors.materialize()
+        small = anchors.count() <= driver_max_edges
+    if small:
+        return _path_closure_driver(edges, anchors)
     if anchors is None:
         import ray.data as rd
         heads = edges.map_batches(
@@ -338,6 +367,48 @@ def path_closure(triples, pred: str, *, anchors=None,
             f"path_closure: no fixpoint after {max_iters} rounds "
             "(cycle along pred chain?)")
     return distinct(acc, ["node", "anchor"])
+
+
+def _path_closure_driver(edges, anchors):
+    """Small-side closure plan: collect the (already measured ≤ cap)
+    edge list, BFS down the reversed edges from each anchor on the
+    driver, return the pair set as a single-block Dataset (downstream
+    joins repartition it anyway).  Worst-case driver work is
+    O(anchors × edges) — the same pair blowup the distributed loop
+    would shuffle; real ``pred*`` chains (section trees) are O(nodes
+    × depth)."""
+    import ray
+    import ray.data as rd
+
+    child, parent = [], []
+    for t in ray.get(edges.to_arrow_refs()):
+        child.extend(t.column("child").cast(pa.string()).to_pylist())
+        parent.extend(t.column("parent").cast(pa.string()).to_pylist())
+    if anchors is None:
+        anchor_list = sorted(set(child) | set(parent))
+    else:
+        vals = []
+        for t in ray.get(anchors.to_arrow_refs()):
+            vals.extend(t.column("anchor").cast(pa.string()).to_pylist())
+        anchor_list = sorted(set(vals))
+
+    children: dict = {}
+    for c, p in zip(child, parent):
+        children.setdefault(p, []).append(c)
+    nodes_out, anchors_out = [], []
+    for a in anchor_list:
+        seen = {a}
+        stack = [a]
+        while stack:
+            for ch in children.get(stack.pop(), ()):
+                if ch not in seen:
+                    seen.add(ch)
+                    stack.append(ch)
+        nodes_out.extend(seen)
+        anchors_out.extend([a] * len(seen))
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes_out, pa.string()),
+        "anchor": pa.array(anchors_out, pa.string())}))
 
 
 def construct(solutions, template, num_partitions: int | None = None):

@@ -89,3 +89,16 @@ def test_annotations_graph_branch2_nonempty(ray_session, golden):
     import ray.data as rd
     eng = annotations_graph(rd.read_parquet(golden)).to_pandas()
     assert (eng["pred"] == ns.DCTERMS + "isReferencedBy").any()
+
+
+def test_annotations_graph_plans_identical(ray_session, golden):
+    """Plan-equivalence pin: the broadcast-map plan (default at these
+    sizes) and the five-hash-join plan (forced with
+    broadcast_max_rows=0, the 100-TB shape) emit the same graph."""
+    import ray.data as rd
+    fast = annotations_graph(rd.read_parquet(golden)).to_pandas()
+    slow = annotations_graph(rd.read_parquet(golden),
+                             broadcast_max_rows=0).to_pandas()
+    f = set(map(tuple, fast[COLS].itertuples(index=False)))
+    s = set(map(tuple, slow[COLS].itertuples(index=False)))
+    assert f == s and len(f) > 0

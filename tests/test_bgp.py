@@ -119,16 +119,26 @@ def test_distinct(ray_session):
     assert rows(distinct(ds)) == [("x", 1), ("y", 2)]
 
 
-def test_path_closure_anchored(triples_ds, ray_session):
+# every closure test runs BOTH physical plans: the measured-size
+# driver BFS (default at these sizes) and the distributed iterative
+# hash-join loop (forced with driver_max_edges=0, the 100-TB shape)
+BOTH_PLANS = pytest.mark.parametrize(
+    "cap", [2_000_000, 0], ids=["driver", "distributed"])
+
+
+@BOTH_PLANS
+def test_path_closure_anchored(triples_ds, ray_session, cap):
     import ray.data as rd
     anchors = rd.from_arrow(pa.table({"anchor": ["d1", "d2"]}))
-    out = path_closure(triples_ds, ISPARTOF, anchors=anchors)
+    out = path_closure(triples_ds, ISPARTOF, anchors=anchors,
+                       driver_max_edges=cap)
     assert rows(out) == [("d1", "d1"), ("d2", "d2"), ("s1", "d1"),
                          ("s11", "d1"), ("s2", "d2")]
 
 
-def test_path_closure_full(triples_ds):
-    out = path_closure(triples_ds, ISPARTOF)
+@BOTH_PLANS
+def test_path_closure_full(triples_ds, cap):
+    out = path_closure(triples_ds, ISPARTOF, driver_max_edges=cap)
     got = set(rows(out))
     # transitive: s11 reaches s1 and d1
     assert ("s11", "d1") in got and ("s11", "s1") in got
@@ -136,19 +146,21 @@ def test_path_closure_full(triples_ds):
     assert ("s1", "s1") in got and ("d1", "d1") in got
 
 
-def test_path_closure_cycle_converges(ray_session):
+@BOTH_PLANS
+def test_path_closure_cycle_converges(ray_session, cap):
     """The frontier anti-joins the accumulated set each round, so a
     cycle along pred CONVERGES to the finite closure instead of
     spinning until max_iters."""
     import ray.data as rd
     cyc = rd.from_arrow(_triples([("a", ISPARTOF, "b"),
                                   ("b", ISPARTOF, "a")]))
-    out = path_closure(cyc, ISPARTOF, max_iters=6)
+    out = path_closure(cyc, ISPARTOF, max_iters=6, driver_max_edges=cap)
     assert set(rows(out)) == {("a", "a"), ("a", "b"),
                               ("b", "a"), ("b", "b")}
 
 
-def test_path_closure_diamond_no_reexpansion(ray_session):
+@BOTH_PLANS
+def test_path_closure_diamond_no_reexpansion(ray_session, cap):
     """Diamond DAG (two paths to the same anchor): duplicate
     (node, anchor) pairs are dropped at the frontier, and a long tail
     below the diamond still closes within depth-bounded rounds."""
@@ -158,7 +170,8 @@ def test_path_closure_diamond_no_reexpansion(ray_session):
         ("bot", ISPARTOF, "l"), ("bot", ISPARTOF, "r"),
         ("t1", ISPARTOF, "bot"), ("t2", ISPARTOF, "t1")]))
     anchors = rd.from_arrow(pa.table({"anchor": ["top"]}))
-    out = path_closure(tri, ISPARTOF, anchors=anchors, max_iters=8)
+    out = path_closure(tri, ISPARTOF, anchors=anchors, max_iters=8,
+                       driver_max_edges=cap)
     assert set(rows(out)) == {("top", "top"), ("l", "top"),
                               ("r", "top"), ("bot", "top"),
                               ("t1", "top"), ("t2", "top")}
@@ -206,3 +219,24 @@ def test_union_solutions(ray_session):
     assert out["d"].tolist() == ["d1", "d2"]
     assert out["t"].isna().tolist() == [True, False]
     assert out.loc[1, "t"] == "two"
+
+
+def test_path_closure_plans_identical_random_dag(ray_session):
+    """Plan-equivalence pin: driver BFS == distributed loop on a
+    deterministic messy graph (cycle + diamond + deep chain +
+    disconnected island + anchor with no edges)."""
+    import ray.data as rd
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),          # cycle
+             ("l", "top"), ("r", "top"),
+             ("bot", "l"), ("bot", "r"),                   # diamond
+             ("d1", "d0"), ("d2", "d1"), ("d3", "d2"),
+             ("d4", "d3"), ("d5", "d4"),                   # deep chain
+             ("x", "y")]                                   # island
+    tri = rd.from_arrow(_triples([(c, ISPARTOF, p) for c, p in edges]))
+    anchors = rd.from_arrow(pa.table(
+        {"anchor": ["a", "top", "d0", "lonely"]}))
+    driver = set(rows(path_closure(tri, ISPARTOF, anchors=anchors)))
+    dist = set(rows(path_closure(tri, ISPARTOF, anchors=anchors,
+                                 driver_max_edges=0)))
+    assert driver == dist
+    assert ("d5", "d0") in driver and ("lonely", "lonely") in driver
