@@ -644,7 +644,8 @@ def hamming_pairs64(hashed, hash_col: str = "simhash",
 # exact word-set Jaccard (broadcast baseline — the oracle-checkable path)
 
 def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id",
+                  driver_max_bytes: int = 256 << 20):
     """Exact pairwise word-set Jaccard ≥ threshold, id_a < id_b —
     distributed prefix-filter plan (the AllPairs/PPJoin recipe,
     Bayardo et al. WWW'07 / Xiao et al. WWW'08), replacing the round-2
@@ -667,7 +668,17 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
     or token: one Python call per shard with the whole shard handled
     by one vectorized polars/numpy pass (the per-doc ``map_groups``
     shape cost one Python call per document — the idiom proven in
-    ``_bucket_pairs``)."""
+    ``_bucket_pairs``).
+
+    PLAN PICK from the MEASURED word-set table size (the
+    ``minhash_lsh_pairs`` idiom): the distributed plan is ~12
+    sequential exchanges whose per-exchange actor-startup overhead
+    dominates small inputs (ds.stats(): every remote wall time in
+    milliseconds, total 20+ s).  Under ``driver_max_bytes`` (default
+    256 MB, the package's standard broadcast cap) THE SAME prefix /
+    posting / verify kernels run once locally over the collected set
+    table; above it the exchange plan runs unchanged.  Both plans are
+    asserted pair-identical in pytest (``tests/test_dedup.py``)."""
     from ferenda_ray.cluster import (coalesce_partitions,
                                      default_num_partitions,
                                      join_partitions)
@@ -780,24 +791,58 @@ def jaccard_pairs(docs, threshold: float = 0.5, text_col: str = "text",
                num_partitions=np_join)
 
     def verify(b: pa.Table) -> pa.Table:
-        a_out, b_out, j_out = [], [], []
-        for i, jj, ka, kb in zip(b.column("id_a").to_pylist(),
-                                 b.column("id_b").to_pylist(),
-                                 b.column("wkey_a").to_pylist(),
-                                 b.column("wkey_b").to_pylist()):
-            A, B = set(ka.split()), set(kb.split())
-            inter = len(A & B)
-            if not inter:
-                continue
-            jac = inter / (len(A) + len(B) - inter)
-            if jac >= threshold:
-                lo, hi = (i, jj) if i < jj else (jj, i)
-                a_out.append(lo)
-                b_out.append(hi)
-                j_out.append(jac)
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
-                         "jaccard": pa.array(j_out, pa.float64())})
+        # exact Jaccard per candidate, one vectorized (Rust) pass:
+        # wkeys are space-joined UNIQUE sorted tokens, so list lengths
+        # are set cardinalities; empty wkeys (empty docs) are dropped
+        # up front exactly as the scalar version skipped inter == 0
+        out = (pl.from_arrow(b.select(
+            ["id_a", "id_b", "wkey_a", "wkey_b"]))
+            .filter((pl.col("wkey_a") != "") & (pl.col("wkey_b") != ""))
+            .with_columns(pl.col("wkey_a").str.split(" ").alias("__A"),
+                          pl.col("wkey_b").str.split(" ").alias("__B"))
+            .with_columns(
+                pl.col("__A").list.len().cast(pl.Float64).alias("__la"),
+                pl.col("__B").list.len().cast(pl.Float64).alias("__lb"),
+                pl.col("__A").list.set_intersection(pl.col("__B"))
+                .list.len().cast(pl.Float64).alias("__i"))
+            .with_columns((pl.col("__i") / (pl.col("__la")
+                                            + pl.col("__lb")
+                                            - pl.col("__i")))
+                          .alias("jaccard"))
+            .filter((pl.col("__i") > 0)
+                    & (pl.col("jaccard") >= threshold))
+            .select(pl.min_horizontal("id_a", "id_b").alias("id_a"),
+                    pl.max_horizontal("id_a", "id_b").alias("id_b"),
+                    "jaccard"))
+        return out.to_arrow().cast(pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("jaccard", pa.float64())]))
+
+    # plan pick (docstring): under the cap, run the SAME kernels once
+    # locally — the distributed graph above is lazy and unexecuted
+    if sets_ds.size_bytes() <= driver_max_bytes:
+        import ray
+        import ray.data as rd
+        tbls = [t for t in ray.get(sets_ds.to_arrow_refs())
+                if t.num_rows]
+        if not tbls:
+            return rd.from_arrow(pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}))
+        sets_tbl = pa.concat_tables(tbls)
+        ex = pl.from_arrow(explode_toks(sets_tbl))
+        dfl = (ex.group_by("tok").len().rename({"len": "df"})
+               .with_columns(pl.col("df").cast(pl.Int64)))
+        pref = prefix_shard(ex.join(dfl, on="tok").to_arrow())
+        pairs = pl.from_arrow(posting_shard(pref)).unique()
+        sp = pl.from_arrow(sets_tbl)
+        j_l = (pairs
+               .join(sp.rename({id_col: "id_a", "wkey": "wkey_a"}),
+                     on="id_a")
+               .join(sp.rename({id_col: "id_b", "wkey": "wkey_b"}),
+                     on="id_b"))
+        return rd.from_arrow(verify(j_l.to_arrow()))
 
     return j.map_batches(verify, batch_format="pyarrow")
 

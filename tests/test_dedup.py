@@ -220,15 +220,21 @@ def test_under_cap_pairs_unchanged(docs_ds):
 
 
 def test_jaccard_distributed_matches_broadcast(docs_ds):
-    """The prefix-filter plan must reproduce the O(N²) broadcast
-    baseline's exact pair set at several thresholds."""
+    """BOTH physical plans of the prefix-filter operator (the local
+    kernel picked at these sizes, and the exchange plan forced with
+    driver_max_bytes=0 — the 100-TB shape) must reproduce the O(N²)
+    broadcast baseline's exact pair set at several thresholds."""
     for t in (0.3, 0.6, 0.9):
         a = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
              for r in dedup.jaccard_pairs(docs_ds, threshold=t).take_all()}
+        d = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+             for r in dedup.jaccard_pairs(
+                 docs_ds, threshold=t, driver_max_bytes=0).take_all()}
         b = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
              for r in dedup.jaccard_pairs_broadcast(
                  docs_ds, threshold=t).take_all()}
         assert a == b, f"threshold {t}: {set(a) ^ set(b)}"
+        assert d == b, f"threshold {t} (exchange plan): {set(d) ^ set(b)}"
 
 
 def test_minhash_broadcast_and_join_plans_agree(docs_ds):

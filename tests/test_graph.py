@@ -51,3 +51,23 @@ def test_pagerank_symmetric_fast_path(ray_session):
                               symmetric=True).take_all()}
     assert slow == fast
     assert abs(sum(fast.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_plans_identical(ray_session):
+    """Plan-equivalence pin: driver bincount plan (default at these
+    sizes) == distributed hash-join loop (forced with
+    driver_max_edges=0, the 100-TB shape), 9-digit agreement."""
+    import ray.data as rd
+
+    from ferenda_ray.stages.graph import pagerank
+    rng = np.random.default_rng(7)
+    edges = sorted({(f"n{a}", f"n{b}")
+                    for a, b in rng.integers(0, 30, (120, 2)) if a != b})
+    ds = rd.from_arrow(pa.table({"src": [e[0] for e in edges],
+                                 "dst": [e[1] for e in edges]}))
+    fast = {r["node"]: round(r["rank"], 9)
+            for r in pagerank(ds, iters=8, num_partitions=2).take_all()}
+    slow = {r["node"]: round(r["rank"], 9)
+            for r in pagerank(ds, iters=8, num_partitions=2,
+                              driver_max_edges=0).take_all()}
+    assert fast == slow and len(fast) > 0
