@@ -633,7 +633,8 @@ def _pair_counts_batch(b: pa.Table) -> pa.Table:
 
 def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
               id_col: str = "doc_id",
-              checkpoint_dir: str | None = None):
+              checkpoint_dir: str | None = None,
+              driver_max_words: int = 2_000_000):
     """Learn ``num_merges`` BPE merges over the corpus: highest
     adjacent-pair frequency wins each round, ties break on
     ``(left, right)`` lexicographically.  Returns ``[(rank, left,
@@ -642,7 +643,20 @@ def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
     One corpus pass builds the word-frequency table; every round is
     a pair-count ``map_batches`` (+ per-batch combine) over THAT
     table, a groupby-sum, a top-1 ``sort.limit(1)`` reduce, and a
-    broadcast merge application — the corpus is never re-read."""
+    broadcast merge application — the corpus is never re-read.
+
+    PLAN PICK from the MEASURED word-table size (the
+    ``minhash_lsh_pairs`` idiom): the table is VOCABULARY-sized, not
+    corpus-sized, and each distributed round costs an exchange + two
+    materializations of fixed overhead.  Under ``driver_max_words``
+    the same per-round kernels (``_pair_counts_batch`` /
+    ``_apply_merge``, reused verbatim) run on the collected table;
+    above it the distributed loop runs unchanged.  Both plans are
+    asserted merge-identical in pytest (``tests/test_text_analysis``
+    BPE cases run the driver plan against hand-computed merges; the
+    plan pin forces both)."""
+    import ray
+
     from ray.data.aggregate import Sum as _Sum
 
     words = word_frequencies(docs, text_col, id_col)
@@ -656,6 +670,12 @@ def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
 
     table = words.map_batches(init_syms,
                               batch_format="pyarrow").materialize()
+    local = table.count() <= driver_max_words
+    if local:
+        tbls = [t for t in ray.get(table.to_arrow_refs()) if t.num_rows]
+        ltbl = (pa.concat_tables(tbls) if tbls
+                else pa.table({"syms": pa.array([], pa.list_(pa.string())),
+                               "freq": pa.array([], pa.int64())}))
     merges = []
     ck_meta = None
     if checkpoint_dir is not None:
@@ -673,23 +693,37 @@ def bpe_train(docs, num_merges: int = 10, text_col: str = "text",
             # continue from the recorded rank
             merges = [tuple(m) for m in ck["state"]]
             for _, l_, r_, _f in merges:
-                table = table.map_batches(
-                    _apply_merge(l_, r_),
-                    batch_format="pyarrow").materialize()
+                if local:
+                    ltbl = _apply_merge(l_, r_)(ltbl)
+                else:
+                    table = table.map_batches(
+                        _apply_merge(l_, r_),
+                        batch_format="pyarrow").materialize()
     for rank in range(len(merges), num_merges):
-        counts = (table.map_batches(_pair_counts_batch,
-                                    batch_format="pyarrow")
-                  .groupby(["left", "right"])
-                  .aggregate(_Sum("n", alias_name="n")))
-        top = counts.sort(["n", "left", "right"],
-                          descending=[True, False, False]).limit(1) \
-            .take_all()
+        if local:
+            import polars as pl
+            cdf = pl.from_arrow(_pair_counts_batch(ltbl))
+            top = (cdf.sort(["n", "left", "right"],
+                            descending=[True, False, False])
+                   .head(1).to_dicts())
+        else:
+            counts = (table.map_batches(_pair_counts_batch,
+                                        batch_format="pyarrow")
+                      .groupby(["left", "right"])
+                      .aggregate(_Sum("n", alias_name="n")))
+            top = counts.sort(["n", "left", "right"],
+                              descending=[True, False, False]).limit(1) \
+                .take_all()
         if not top or top[0]["n"] < 2:
             break
         l, r, f = top[0]["left"], top[0]["right"], top[0]["n"]
         merges.append((rank, l, r, int(f)))
-        table = table.map_batches(_apply_merge(l, r),
-                                  batch_format="pyarrow").materialize()
+        if local:
+            ltbl = _apply_merge(l, r)(ltbl)
+        else:
+            table = table.map_batches(
+                _apply_merge(l, r),
+                batch_format="pyarrow").materialize()
         if checkpoint_dir is not None:
             from ferenda_ray.stages.similarity import _save_checkpoint
             _save_checkpoint(checkpoint_dir, "bpe",

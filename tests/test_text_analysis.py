@@ -362,6 +362,9 @@ def test_bpe_train_matches_reference(ray_session):
     assert got == _reference_bpe(texts, 8)
     # merged symbols must grow (at least one multi-char merge)
     assert any(len(l + r) > 2 for _, l, r, _ in got)
+    # plan-equivalence pin: the distributed loop (forced with
+    # driver_max_words=0, the 100-TB shape) learns the same merges
+    assert ta.bpe_train(ds, num_merges=8, driver_max_words=0) == got
 
 
 def test_bpe_train_stops_when_no_pair_repeats(ray_session):
