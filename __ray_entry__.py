@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 103 queries, 98 with DuckDB oracles (counts asserted
+Round-5 surface: 106 queries, 101 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 5 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE,
@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_citation_roles": docs.docs_citation_roles,
         "docs_dup_ngrams": docs.docs_dup_ngrams,
         "docs_remove_dup_spans": docs.docs_remove_dup_spans,
+        "docs_segment_dup_stats": docs.docs_segment_dup_stats,
+        "docs_remove_common_segments": docs.docs_remove_common_segments,
+        "docs_segments_keep_first": docs.docs_segments_keep_first,
         "docs_perplexity": docs.docs_perplexity,
         "docs_top_tokens": docs.docs_top_tokens,
         "embeddings_kmeans": docs.embeddings_kmeans,
@@ -904,6 +907,73 @@ def oracle_sql() -> dict[str, str]:
                             FILTER (WHERE covered = 0), '') AS clean_text,
                    CAST(sum(covered) AS BIGINT) AS n_removed
             FROM cov GROUP BY doc_id ORDER BY doc_id""",
+        # CCNet-style segment (line) dedup family: segments = words on
+        # this single-line corpus (delim=' '); blank segments exempt.
+        # Threshold: present in > 25% of docs (corpus-relative).
+        "docs_segment_dup_stats": """
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                     generate_subscripts(string_split(text, ' '), 1)
+                         AS ord
+              FROM documents),
+            c AS (SELECT seg FROM l WHERE trim(seg) <> ''
+                  GROUP BY seg
+                  HAVING count(DISTINCT doc_id) >=
+                         greatest((SELECT count(*) FROM documents)
+                                  // 4, 2))
+            SELECT l.doc_id,
+                   CAST(count(c.seg) AS BIGINT) AS dup_segments,
+                   CAST(count(*) AS BIGINT) AS total_segments
+            FROM l LEFT JOIN c USING (seg)
+            GROUP BY l.doc_id ORDER BY l.doc_id""",
+        "docs_remove_common_segments": """
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                     generate_subscripts(string_split(text, ' '), 1)
+                         AS ord
+              FROM documents),
+            c AS (SELECT seg FROM l WHERE trim(seg) <> ''
+                  GROUP BY seg
+                  HAVING count(DISTINCT doc_id) >=
+                         greatest((SELECT count(*) FROM documents)
+                                  // 4, 2))
+            SELECT l.doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN c.seg IS NULL OR trim(l.seg) = ''
+                            THEN l.seg END, ' ' ORDER BY l.ord),
+                       '') AS clean_text,
+                   CAST(count(CASE WHEN c.seg IS NOT NULL
+                                   AND trim(l.seg) <> '' THEN 1 END)
+                        AS BIGINT) AS n_removed
+            FROM l LEFT JOIN c USING (seg)
+            GROUP BY l.doc_id ORDER BY l.doc_id""",
+        # keep-first form (Wenzek et al. 2020): survivor = the
+        # occurrence at (min doc_id, min position within it)
+        "docs_segments_keep_first": """
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                     generate_subscripts(string_split(text, ' '), 1)
+                         AS ord
+              FROM documents),
+            c AS (SELECT seg, min(doc_id) AS md FROM l
+                  WHERE trim(seg) <> '' GROUP BY seg
+                  HAVING count(DISTINCT doc_id) >= 2),
+            c2 AS (SELECT c.seg, c.md, min(l.ord) AS mo
+                   FROM c JOIN l ON l.seg = c.seg AND l.doc_id = c.md
+                   GROUP BY c.seg, c.md)
+            SELECT l.doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN c2.seg IS NULL OR trim(l.seg) = ''
+                            OR (l.doc_id = c2.md AND l.ord = c2.mo)
+                            THEN l.seg END, ' ' ORDER BY l.ord),
+                       '') AS clean_text,
+                   CAST(count(CASE WHEN c2.seg IS NOT NULL
+                                   AND trim(l.seg) <> ''
+                                   AND NOT (l.doc_id = c2.md
+                                            AND l.ord = c2.mo)
+                                   THEN 1 END) AS BIGINT) AS n_removed
+            FROM l LEFT JOIN c2 ON l.seg = c2.seg
+            GROUP BY l.doc_id ORDER BY l.doc_id""",
         # exact top-k tokens — the exact twin of the Space-Saving
         # heavy-hitters sketch (sketches.heavy_hitter_tokens)
         "docs_top_tokens": """

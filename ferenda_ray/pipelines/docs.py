@@ -460,6 +460,41 @@ def docs_remove_dup_spans(sf_dir: str, n: int = 16):
                                    n=n)
 
 
+def _seg_min_docs(ds) -> int:
+    """Corpus-relative duplication threshold (>25% of docs) — scale-
+    stable: parquet metadata answers ``count()`` without a read."""
+    return max(ds.count() // 4, 2)
+
+
+def docs_segment_dup_stats(sf_dir: str):
+    """CCNet-style per-doc boilerplate stats at SEGMENT granularity
+    (``delim=' '`` on the single-line synthetic corpus ⇒ segments are
+    words; on prose corpora ``delim='\\n'`` gives line stats): how
+    many of a doc's segment occurrences appear in >25% of all docs."""
+    from ferenda_ray.stages.dedup import segment_dup_stats
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return segment_dup_stats(ds, min_docs=_seg_min_docs(ds), delim=" ")
+
+
+def docs_remove_common_segments(sf_dir: str):
+    """Segment dedup, boilerplate-removal form: every occurrence of a
+    segment present in >25% of docs is deleted and the doc rebuilt."""
+    from ferenda_ray.stages.dedup import remove_duplicate_segments
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return remove_duplicate_segments(ds, min_docs=_seg_min_docs(ds),
+                                     mode="drop_all", delim=" ")
+
+
+def docs_segments_keep_first(sf_dir: str):
+    """Segment dedup, CCNet keep-first form (Wenzek et al. 2020):
+    of every corpus-duplicated segment keep only the single globally
+    first occurrence (min doc_id, then min position)."""
+    from ferenda_ray.stages.dedup import remove_duplicate_segments
+    return remove_duplicate_segments(
+        _read_docs(sf_dir, ["doc_id", "text"]),
+        min_docs=2, mode="keep_first", delim=" ")
+
+
 def docs_perplexity(sf_dir: str):
     """CCNet-style LM-perplexity quality statistic: bits-per-bigram
     under a self-trained add-0.5 bigram LM, rounded to 6 digits for

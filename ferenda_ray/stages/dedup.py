@@ -1528,3 +1528,392 @@ def dedup_keep_best(docs, pairs, id_col: str = "doc_id",
             .groupby("__shard")
             .map_groups(lambda g: final(g.drop_columns(["__shard"])),
                         batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide segment (line) dedup — CCNet-style line dedup (Wenzek et
+# al. 2020 deduplicate hashed lines across shards; C4 removes repeated
+# three-sentence spans).  Generic over the segment delimiter: "\n"
+# gives line dedup on prose corpora; " " gives document-frequency
+# segment pruning on the single-line synthetic corpus.  No reference
+# counterpart (the reference dedups whole values only,
+# documentrepository.py:913,932-933).
+
+
+def _split_segments(b: pa.Table, text_col: str, id_col: str,
+                    delim: str):
+    """Vectorized segment explode for one batch: returns
+    ``(ids_rep, doc_idx, counts, ords, vals, h1, h2, nonblank)``
+    where ``vals`` is the flat StringArray of segments, ``h1/h2``
+    independent 64-bit xxhashes (128 bits total — no usable collision
+    mass at 10^12 segments), ``nonblank`` mirrors SQL
+    ``trim(seg) <> ''`` (space-trim, matching DuckDB ``trim``).
+    One Arrow split + two polars hash calls; no per-row Python."""
+    col = pc.fill_null(b.column(text_col), "").combine_chunks()
+    la = pc.split_pattern(col, pattern=delim)
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    vals = la.flatten()
+    offs = la.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offs)
+    ids = b.column(id_col).to_numpy(zero_copy_only=False)
+    ids_rep = np.repeat(ids, counts)
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    ords = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1],
+                                                            counts)
+    s = pl.from_arrow(vals)
+    if not isinstance(s, pl.Series):       # empty batch edge
+        s = pl.Series("seg", [], pl.String)
+    h1 = s.hash(seed=1201).to_numpy().astype(np.uint64)
+    h2 = s.hash(seed=3407).to_numpy().astype(np.uint64)
+    nonblank = pc.not_equal(
+        pc.utf8_trim(vals, " "), "").to_numpy(zero_copy_only=False)
+    return ids_rep, doc_idx, counts, ords, vals, h1, h2, nonblank
+
+
+def _doc_distinct_segments(b: pa.Table, text_col: str, id_col: str,
+                           delim: str):
+    """Per-doc distinct nonblank segments of one batch with occurrence
+    count and min ordinal: ``(doc, h1, h2, occ, min_ord)`` numpy
+    columns.  One lexsort + run-length pass; each doc's segments live
+    in one batch row, so per-batch distinctness IS per-doc
+    distinctness."""
+    ids_rep, _, _, ords, _, h1, h2, nonblank = _split_segments(
+        b, text_col, id_col, delim)
+    m = nonblank
+    ids_m, ords_m = ids_rep[m], ords[m]
+    h1_m, h2_m = h1[m], h2[m]
+    if len(ids_m) == 0:
+        z = np.array([], np.int64)
+        return z, z.view(np.uint64), z.view(np.uint64), z, z
+    order = np.lexsort((ords_m, h2_m, h1_m, ids_m))
+    ids_s, h1_s, h2_s = ids_m[order], h1_m[order], h2_m[order]
+    ords_s = ords_m[order]
+    first = np.empty(len(ids_s), bool)
+    first[0] = True
+    np.not_equal(ids_s[1:], ids_s[:-1], out=first[1:])
+    first[1:] |= (h1_s[1:] != h1_s[:-1]) | (h2_s[1:] != h2_s[:-1])
+    starts = np.flatnonzero(first)
+    occ = np.diff(np.append(starts, len(ids_s))).astype(np.int64)
+    return (ids_s[starts], h1_s[starts], h2_s[starts], occ,
+            ords_s[starts])          # ords sorted last → min per run
+
+
+def segment_dup_stats(docs, min_docs: int = 2, delim: str = "\n",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int | None = None):
+    """Per-document corpus-duplication stats at SEGMENT granularity:
+    ``(doc_id, dup_segments, total_segments)`` where ``dup_segments``
+    counts the doc's nonblank segment OCCURRENCES whose exact text
+    appears in ≥ ``min_docs`` distinct documents and
+    ``total_segments`` counts all segment occurrences (blank
+    included).  ``dup_segments / total_segments`` is the CCNet-style
+    boilerplate fraction used as a document quality cut.
+
+    Plan (mirrors :func:`ngram_dup_stats` — two shuffles, zero
+    per-segment Python): per-doc distinct ``(doc, hash, occ)`` rows
+    bucket-shuffle on ``h1 % nb``; inside each bucket one run-length
+    pass counts distinct docs per hash; a final ``groupby(doc_id)``
+    sums flagged occurrences.  Blank segments ride along with a
+    flag so totals need no second corpus pass."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ferenda_ray.cluster import cluster_cpus
+
+    nb = num_buckets or max(2 * cluster_cpus(), 16)
+
+    def emit(b: pa.Table) -> pa.Table:
+        ids_rep, _, counts, _, _, h1, h2, nonblank = _split_segments(
+            b, text_col, id_col, delim)
+        doc, dh1, dh2, occ, _ = _doc_distinct_segments(
+            b, text_col, id_col, delim)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        # blank occurrences per doc (exempt from dup flagging) fold
+        # into a per-doc sentinel row: hash 0/0, blank=1
+        blank_occ = np.bincount(
+            np.repeat(np.arange(len(ids)), counts)[~nonblank],
+            minlength=len(ids)).astype(np.int64)
+        bz = np.flatnonzero(blank_occ)
+        doc_all = np.concatenate([doc, ids[bz]])
+        h1_all = np.concatenate([dh1, np.zeros(len(bz), np.uint64)])
+        h2_all = np.concatenate([dh2, np.zeros(len(bz), np.uint64)])
+        occ_all = np.concatenate([occ, blank_occ[bz]])
+        blank = np.concatenate([np.zeros(len(doc), np.int8),
+                                np.ones(len(bz), np.int8)])
+        return pa.table({
+            id_col: pa.array(doc_all, pa.int64()),
+            "__h1": pa.array(h1_all.view(np.int64), pa.int64()),
+            "__h2": pa.array(h2_all.view(np.int64), pa.int64()),
+            "__occ": pa.array(occ_all, pa.int64()),
+            "__blank": pa.array(blank, pa.int8()),
+            "__bucket": pa.array(
+                (h1_all % np.uint64(nb)).astype(np.int32), pa.int32()),
+        })
+
+    def flag(group: pa.Table) -> pa.Table:
+        h1 = group.column("__h1").to_numpy().view(np.uint64)
+        h2 = group.column("__h2").to_numpy().view(np.uint64)
+        ids = group.column(id_col).to_numpy()
+        occ = group.column("__occ").to_numpy()
+        blank = group.column("__blank").to_numpy().astype(bool)
+        pair = np.empty((len(h1), 2), np.uint64)
+        pair[:, 0], pair[:, 1] = h1, h2
+        _, inv, cnt = np.unique(pair, axis=0, return_inverse=True,
+                                return_counts=True)
+        # rows are per-doc distinct → multiplicity == distinct docs;
+        # the blank sentinel rows share hash 0/0 but are never flagged
+        dup = (cnt[inv] >= min_docs) & ~blank
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "__dup_occ": pa.array(np.where(dup, occ, 0), pa.int64()),
+            "__occ": pa.array(occ, pa.int64())})
+
+    return (docs.map_batches(emit, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(flag, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(_Sum("__dup_occ", alias_name="dup_segments"),
+                       _Sum("__occ", alias_name="total_segments")))
+
+
+def _segment_dup_table(docs, min_docs: int, delim: str,
+                       text_col: str, id_col: str,
+                       num_buckets: int | None = None):
+    """Corpus-duplicated segment table ``(h1, h2, min_doc, min_ord)``
+    (int64 hash views): every nonblank segment whose text occurs in
+    ≥ ``min_docs`` distinct docs, with the lexicographically first
+    occurrence ``(min doc_id, min ord within it)`` — the survivor
+    under keep-first semantics.  Size ∝ distinct duplicated segments,
+    not the corpus."""
+    from ferenda_ray.cluster import cluster_cpus
+
+    nb = num_buckets or max(2 * cluster_cpus(), 16)
+
+    def emit(b: pa.Table) -> pa.Table:
+        doc, h1, h2, _, mo = _doc_distinct_segments(
+            b, text_col, id_col, delim)
+        return pa.table({
+            "__doc": pa.array(doc, pa.int64()),
+            "__h1": pa.array(h1.view(np.int64), pa.int64()),
+            "__h2": pa.array(h2.view(np.int64), pa.int64()),
+            "__mo": pa.array(mo, pa.int64()),
+            "__bucket": pa.array(
+                (h1 % np.uint64(nb)).astype(np.int32), pa.int32())})
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        h1 = group.column("__h1").to_numpy().view(np.uint64)
+        h2 = group.column("__h2").to_numpy().view(np.uint64)
+        doc = group.column("__doc").to_numpy()
+        mo = group.column("__mo").to_numpy()
+        # lexsort puts each hash's (min doc, min ord) row first; rows
+        # are per-doc distinct so run length == distinct-doc count
+        order = np.lexsort((mo, doc, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.empty(len(h1s), bool)
+        first[0] = True
+        np.not_equal(h1s[1:], h1s[:-1], out=first[1:])
+        first[1:] |= h2s[1:] != h2s[:-1]
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.append(starts, len(h1s)))
+        keep = runlen >= min_docs
+        sk = starts[keep]
+        return pa.table({
+            "__h1": pa.array(h1s[sk].view(np.int64), pa.int64()),
+            "__h2": pa.array(h2s[sk].view(np.int64), pa.int64()),
+            "__min_doc": pa.array(doc[order][sk], pa.int64()),
+            "__min_ord": pa.array(mo[order][sk], pa.int64())})
+
+    return (docs.map_batches(emit, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(reduce_bucket, batch_format="pyarrow"))
+
+
+def _match128(q1: np.ndarray, q2: np.ndarray, s1: np.ndarray,
+              s2: np.ndarray) -> np.ndarray:
+    """Index of each 128-bit query ``(q1[i], q2[i])`` in the set
+    ``(s1, s2)`` sorted by ``lexsort((s2, s1))``; -1 where absent.
+    Vectorized searchsorted on the primary lane; the h1-collision
+    fallback loop runs only on duplicate-h1 runs (≈never)."""
+    idx = np.full(len(q1), -1, np.int64)
+    if len(s1) == 0 or len(q1) == 0:
+        return idx
+    lo = np.searchsorted(s1, q1, "left")
+    hi = np.searchsorted(s1, q1, "right")
+    one = (hi - lo) == 1
+    cand = lo[one]
+    ok = s2[cand] == q2[one]
+    idx[np.flatnonzero(one)[ok]] = cand[ok]
+    for i in np.flatnonzero((hi - lo) > 1):
+        j = lo[i] + np.searchsorted(s2[lo[i]:hi[i]], q2[i])
+        if j < hi[i] and s1[j] == q1[i] and s2[j] == q2[i]:
+            idx[i] = j
+    return idx
+
+
+_SEG_CLEAN_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                               ("clean_text", pa.string()),
+                               ("n_removed", pa.int64())])
+
+
+def remove_duplicate_segments(docs, min_docs: int = 2,
+                              mode: str = "drop_all",
+                              delim: str = "\n",
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              broadcast_bytes: int = 64 << 20):
+    """Corpus-wide segment dedup, removal form: rebuild every document
+    without the segments whose exact text occurs in ≥ ``min_docs``
+    distinct documents.  ``mode="drop_all"`` removes every occurrence
+    (boilerplate removal); ``mode="keep_first"`` keeps the single
+    globally-first occurrence (min doc_id, then min ordinal — CCNet
+    line-dedup semantics, Wenzek et al. 2020).  Blank segments are
+    exempt and always kept.  Returns ``(doc_id, clean_text,
+    n_removed)`` for EVERY input doc (a doc losing all segments
+    yields ``clean_text=""``).
+
+    Two physical plans, picked from the MEASURED duplicated-segment
+    table size (the :func:`minhash_lsh_pairs` gate):
+
+    * **≤ broadcast_bytes** — the ``(h1, h2, min_doc, min_ord)``
+      arrays are lexsorted once and ``ray.put``; each batch re-splits
+      its docs, membership-tests via two searchsorteds and reassembles
+      with one ``pc.binary_join``.  One corpus read + one bucket
+      shuffle of DISTINCT (doc, segment-hash) rows; segment text never
+      shuffles.
+    * **larger** — the exploded ``(doc_id, ord, seg, h1, h2)`` rows
+      left-outer-join the dup table on ``(h1, h2)`` (hash-partitioned
+      ``Dataset.join``), then one ``groupby(doc_id)`` reassembles; a
+      doc's segments bound each task, never the corpus.  Both plans
+      are asserted result-identical in pytest.
+    """
+    if mode not in ("drop_all", "keep_first"):
+        raise ValueError(f"unknown mode {mode!r}")
+    import ray as _ray
+    import ray.data as rd
+
+    dup = _segment_dup_table(docs, min_docs, delim, text_col,
+                             id_col).materialize()
+
+    if dup.size_bytes() is None or dup.size_bytes() <= broadcast_bytes:
+        parts = [t for t in (_ray.get(r) for r in dup.to_arrow_refs())
+                 if t.num_columns == 4]    # skip Ray's schemaless
+        tbl = (pa.concat_tables(parts) if parts else   # empty blocks
+               pa.table({"__h1": pa.array([], pa.int64()),
+                         "__h2": pa.array([], pa.int64()),
+                         "__min_doc": pa.array([], pa.int64()),
+                         "__min_ord": pa.array([], pa.int64())}))
+        s1 = tbl.column("__h1").to_numpy().view(np.uint64)
+        s2 = tbl.column("__h2").to_numpy().view(np.uint64)
+        md = tbl.column("__min_doc").to_numpy()
+        mo = tbl.column("__min_ord").to_numpy()
+        order = np.lexsort((s2, s1))
+        payload = (s1[order], s2[order], md[order], mo[order])
+
+        class Cleaner:
+            def __init__(self, ref):
+                self.s1, self.s2, self.md, self.mo = resolve(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                (ids_rep, doc_idx, counts, ords, vals, h1, h2,
+                 nonblank) = _split_segments(b, text_col, id_col,
+                                             delim)
+                idx = _match128(h1, h2, self.s1, self.s2)
+                hit = (idx >= 0) & nonblank
+                if mode == "keep_first":
+                    ii = idx[hit]
+                    hit[np.flatnonzero(hit)[
+                        (self.md[ii] == ids_rep[hit])
+                        & (self.mo[ii] == ords[hit])]] = False
+                keep = ~hit
+                ndocs = b.num_rows
+                kept_counts = np.bincount(doc_idx[keep],
+                                          minlength=ndocs)
+                offs = np.zeros(ndocs + 1, np.int64)
+                np.cumsum(kept_counts, out=offs[1:])
+                lj = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()),
+                    vals.filter(pa.array(keep)))
+                removed = np.bincount(doc_idx[hit], minlength=ndocs)
+                return pa.table({
+                    "doc_id": b.column(id_col),
+                    "clean_text": pc.binary_join(lj, delim),
+                    "n_removed": pa.array(removed, pa.int64())})
+
+        return stateful_map(docs, Cleaner, payload, batch_size=1024)
+
+    # ---- distributed plan: exploded rows join the dup table ----
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+
+    def explode(b: pa.Table) -> pa.Table:
+        (ids_rep, _, _, ords, vals, h1, h2,
+         nonblank) = _split_segments(b, text_col, id_col, delim)
+        return pa.table({
+            id_col: pa.array(ids_rep, pa.int64()),
+            "__ord": pa.array(ords, pa.int64()),
+            "__seg": vals,
+            "__nb": pa.array(nonblank),
+            # blanks never match the (nonblank-only) dup table, but a
+            # shared constant key would funnel every blank row into
+            # one join partition — salt them with (doc, ord) instead
+            # (collision with a real 128-bit hash pair: ~|dup|/2^128)
+            "__h1": pa.array(
+                np.where(nonblank, h1,
+                         ids_rep.astype(np.uint64)).view(np.int64),
+                pa.int64()),
+            "__h2": pa.array(
+                np.where(nonblank, h2,
+                         ~ords.astype(np.uint64)).view(np.int64),
+                pa.int64())})
+
+    rows = docs.map_batches(explode, batch_format="pyarrow")
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        rows, dup = rows.repartition(co), dup.repartition(co)
+    j = rows.join(dup, join_type="left_outer", num_partitions=np_,
+                  on=("__h1", "__h2"))
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        ords = group.column("__ord").to_numpy()
+        nonblank = group.column("__nb").to_numpy(zero_copy_only=False)
+        matched = pc.is_valid(group.column("__min_doc")).to_numpy(
+            zero_copy_only=False)
+        md = pc.fill_null(group.column("__min_doc"), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mo = pc.fill_null(group.column("__min_ord"), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hit = matched & nonblank
+        if mode == "keep_first":
+            hm = hit.copy()
+            hit[np.flatnonzero(hm)[
+                (md[hm] == ids[hm]) & (mo[hm] == ords[hm])]] = False
+        order = np.lexsort((ords, ids))
+        ids_s, hit_s = ids[order], hit[order]
+        vals_s = group.column("__seg").combine_chunks().take(
+            pa.array(order))
+        first = np.empty(len(ids_s), bool)
+        if len(ids_s):
+            first[0] = True
+            np.not_equal(ids_s[1:], ids_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        uids = ids_s[starts]
+        seg_doc = np.cumsum(first) - 1          # doc index per row
+        keep = ~hit_s
+        kept_counts = np.bincount(seg_doc[keep], minlength=len(uids))
+        offs = np.zeros(len(uids) + 1, np.int64)
+        np.cumsum(kept_counts, out=offs[1:])
+        lj = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                      vals_s.filter(pa.array(keep)))
+        removed = np.bincount(seg_doc[hit_s], minlength=len(uids))
+        return pa.table({
+            "doc_id": pa.array(uids, pa.int64()),
+            "clean_text": pc.binary_join(lj, delim),
+            "n_removed": pa.array(removed, pa.int64())})
+
+    out = j.groupby(id_col).map_groups(reassemble,
+                                       batch_format="pyarrow")
+    return out.map_batches(lambda b: b.cast(_SEG_CLEAN_SCHEMA),
+                           batch_format="pyarrow")

@@ -514,3 +514,138 @@ def test_neardup_clusters_dangling_pair_ids(ray_session):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup.neardup_clusters(docs, pairs).take_all()}
     assert got == {1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide segment (line) dedup — CCNet-style
+
+
+def _brute_segments(texts, ids, min_docs, mode, delim="\n"):
+    from collections import defaultdict
+    dl = {i: t.split(delim) for i, t in zip(ids, texts)}
+    dcount = defaultdict(set)
+    for i, ls in dl.items():
+        for l in ls:
+            if l.strip(" ") != "":
+                dcount[l].add(i)
+    dup = {l for l, s in dcount.items() if len(s) >= min_docs}
+    firsts = {}
+    for i in sorted(dl):
+        for o, l in enumerate(dl[i]):
+            if l in dup and l not in firsts:
+                firsts[l] = (i, o)
+    out = {}
+    for i, ls in dl.items():
+        kept, rem = [], 0
+        for o, l in enumerate(ls):
+            if l.strip(" ") == "" or l not in dup:
+                kept.append(l)
+            elif mode == "keep_first" and firsts[l] == (i, o):
+                kept.append(l)
+            else:
+                rem += 1
+        out[i] = (delim.join(kept), rem)
+    return out
+
+
+def _segment_fixture():
+    rng = random.Random(11)
+    common = ["shared line one", "shared line two", "boiler plate",
+              "© footer"]
+    texts, ids = [], []
+    for i in range(50):
+        lines = []
+        for j in range(rng.randint(1, 8)):
+            r = rng.random()
+            if r < 0.3:
+                lines.append(common[rng.randrange(len(common))])
+            elif r < 0.4:
+                lines.append("")          # blank — always kept
+            elif r < 0.45:
+                lines.append("   ")       # space-only — always kept
+            else:
+                lines.append(f"unique {i} {j}")
+        if i % 5 == 0:                    # within-doc repeat
+            lines.append(common[0])
+        texts.append("\n".join(lines))
+        ids.append(100 + i)
+    return texts, ids
+
+
+@pytest.mark.parametrize("mode", ["drop_all", "keep_first"])
+def test_remove_duplicate_segments_both_plans_match_brute(ray_session,
+                                                          mode):
+    # broadcast plan (cap high) and distributed join plan (cap 0)
+    # must be result-identical — and equal to brute force
+    import ray.data as rd
+    texts, ids = _segment_fixture()
+    want = _brute_segments(texts, ids, 2, mode)
+    for cap in (64 << 20, 0):
+        ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+        got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in dedup.remove_duplicate_segments(
+                   ds, min_docs=2, mode=mode,
+                   broadcast_bytes=cap).take_all()}
+        assert got == want, f"plan cap={cap}"
+
+
+def test_remove_duplicate_segments_doc_losing_all_segments(ray_session):
+    # a doc made entirely of duplicated segments must still appear,
+    # with clean_text == "" (both plans)
+    import ray.data as rd
+    texts = ["dup line", "dup line", "dup line\nkeep me"]
+    for cap in (64 << 20, 0):
+        ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                     "text": texts}))
+        got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in dedup.remove_duplicate_segments(
+                   ds, broadcast_bytes=cap).take_all()}
+        assert got == {1: ("", 1), 2: ("", 1), 3: ("keep me", 1)}
+
+
+def test_remove_duplicate_segments_no_dups_passthrough(ray_session):
+    import ray.data as rd
+    texts = ["a\nb", "c\nd"]
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": texts}))
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup.remove_duplicate_segments(ds).take_all()}
+    assert got == {1: ("a\nb", 0), 2: ("c\nd", 0)}
+
+
+def test_remove_duplicate_segments_keep_first_survivor(ray_session):
+    # survivor = (min doc_id, min ordinal within it), even when the
+    # min doc repeats the segment
+    import ray.data as rd
+    texts = ["x\nboil\ny\nboil", "boil\nz"]
+    ds = rd.from_arrow(pa.table({"doc_id": [5, 9], "text": texts}))
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup.remove_duplicate_segments(
+               ds, mode="keep_first").take_all()}
+    assert got == {5: ("x\nboil\ny", 1), 9: ("z", 1)}
+
+
+def test_segment_dup_stats_matches_brute(ray_session):
+    import ray.data as rd
+    from collections import defaultdict
+    texts, ids = _segment_fixture()
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {r["doc_id"]: (r["dup_segments"], r["total_segments"])
+           for r in dedup.segment_dup_stats(ds, min_docs=2).take_all()}
+    dcount = defaultdict(set)
+    dl = {i: t.split("\n") for i, t in zip(ids, texts)}
+    for i, ls in dl.items():
+        for l in ls:
+            if l.strip(" ") != "":
+                dcount[l].add(i)
+    dup = {l for l, s in dcount.items() if len(s) >= 2}
+    want = {i: (sum(1 for l in ls if l in dup and l.strip(" ") != ""),
+                len(ls))
+            for i, ls in dl.items()}
+    assert got == want
+
+
+def test_remove_duplicate_segments_bad_mode(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        dedup.remove_duplicate_segments(ds, mode="nope")
