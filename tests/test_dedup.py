@@ -624,13 +624,16 @@ def test_remove_duplicate_segments_keep_first_survivor(ray_session):
     assert got == {5: ("x\nboil\ny", 1), 9: ("z", 1)}
 
 
-def test_segment_dup_stats_matches_brute(ray_session):
+@pytest.mark.parametrize("cap", [64 << 20, 0])
+def test_segment_dup_stats_matches_brute(ray_session, cap):
+    # broadcast plan (cap high) and shuffle plan (cap 0) both match
     import ray.data as rd
     from collections import defaultdict
     texts, ids = _segment_fixture()
     ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
     got = {r["doc_id"]: (r["dup_segments"], r["total_segments"])
-           for r in dedup.segment_dup_stats(ds, min_docs=2).take_all()}
+           for r in dedup.segment_dup_stats(
+               ds, min_docs=2, broadcast_bytes=cap).take_all()}
     dcount = defaultdict(set)
     dl = {i: t.split("\n") for i, t in zip(ids, texts)}
     for i, ls in dl.items():
