@@ -203,11 +203,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantized": docs.embeddings_quantized,
         "embeddings_label_count": docs.embeddings_label_count,
         "events_cumulative_users": events.cumulative_users,
+        # --- round-5 additions (never driver-verified) ---
+        "docs_segment_dup_stats": docs.docs_segment_dup_stats,
+        "docs_remove_common_segments": docs.docs_remove_common_segments,
+        "docs_segments_keep_first": docs.docs_segments_keep_first,
         # --- core spine (driver-green rounds 1-4; catches plumbing
-        # regressions inside the window) ---
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "doc_facets": docs.doc_facets,          # via faceted_data_bgp
-        "docs_exact_dedup": docs.docs_exact_dedup,
+        # regressions inside the window; q1/doc_facets/exact_dedup
+        # moved past-window — 3+ green driver rounds each, still
+        # pytest-oracle-verified there) ---
         "docs_search_bm25": docs.docs_search_bm25,
         "doc_mentions": docs.doc_mentions,
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
@@ -252,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_15m": events.hopping_15m_of_hour,
         "events_rolling_avg": events.rolling_user_avg,
         "events_latest_value_per_user": events.latest_value_per_user,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "doc_facets": docs.doc_facets,          # via faceted_data_bgp
+        "docs_exact_dedup": docs.docs_exact_dedup,
         "top_parts_by_revenue": relational.top_parts_by_revenue,
         "distinct_segments": relational.distinct_segments,
         "order_priority_count": relational.order_priority_count,
