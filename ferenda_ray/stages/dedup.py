@@ -25,6 +25,11 @@ not present"; its closest analogue is exact ``(basefile, link)`` dedup
   kept representative per cluster (max score, ties → min id): the
   near-dedup *resolution* step that turns pair detection into a
   cleaned corpus.
+* :func:`segment_dup_stats` / :func:`remove_duplicate_segments` —
+  CCNet-style corpus-wide segment/line dedup (stats, drop-all
+  boilerplate removal, keep-globally-first), delimiter-generic,
+  measured-size plan pick between a broadcast 128-bit dup set and an
+  exploded distributed join.
 
 Determinism: all hash seeds fixed; MinHash permutations derive from a
 seeded ``numpy.random.Generator`` built in ``__init__`` (actor) or at
