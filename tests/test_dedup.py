@@ -652,3 +652,25 @@ def test_remove_duplicate_segments_bad_mode(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["a"]}))
     with pytest.raises(ValueError):
         dedup.remove_duplicate_segments(ds, mode="nope")
+
+
+def test_remove_duplicate_segments_distributed_hot_segment(ray_session):
+    # skew shape: one boilerplate line in 90% of docs plus blank lines
+    # (whose salted join keys must NOT funnel into one partition);
+    # distributed plan (cap 0) must match the broadcast plan
+    import ray.data as rd
+    n = 400
+    texts = []
+    for i in range(n):
+        parts = [f"unique {i}"]
+        if i % 10 != 0:
+            parts.append("hot boilerplate line")
+        parts.append("")                      # blank in every doc
+        texts.append("\n".join(parts))
+    ids = list(range(n))
+    want = _brute_segments(texts, ids, 2, "drop_all")
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup.remove_duplicate_segments(
+               ds, min_docs=2, broadcast_bytes=0).take_all()}
+    assert got == want
