@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 106 queries, 101 with DuckDB oracles (counts asserted
+Round-5 surface: 107 queries, 102 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 5 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE,
@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- NEW this round ---
         "kg_incremental": docs.kg_incremental,
         "docs_fingerprint_pairs": docs.docs_fingerprint_pairs,
+        "docs_incremental_neardup": docs.docs_incremental_neardup,
         # --- implementation changed this round: kept/promoted in-window ---
         "doc_triples": docs.doc_triples,        # shared-kernel refactor
         "embeddings_neardup": docs.embeddings_neardup,  # plan pick
@@ -212,7 +213,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moved past-window — 3+ green driver rounds each, still
         # pytest-oracle-verified there) ---
         "docs_search_bm25": docs.docs_search_bm25,
-        "doc_mentions": docs.doc_mentions,
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_simhash_pairs": docs.docs_simhash_pairs,
@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- position >50 below: rotated OUT this round
         # (driver-green in rounds 1-4); every oracled entry here is
         # verified per-commit by tests/test_query_oracles.py -----------
+        "doc_mentions": docs.doc_mentions,
         "ann_topk": docs.ann_topk,
         "ivf_ann_topk": docs.ivf_ann_topk,    # full-probe => exact, oracled
         "lsh_ann_topk": docs.lsh_ann_topk,                  # rows-only
@@ -447,6 +448,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.f, b.f)) <= 1""",
+        # incremental near-dedup against a persisted LSH index: added
+        # docs (id%10==0) probed against the indexed old snapshot
+        # (id%10!=0); verified pairs = identical distinct word sets
+        "docs_incremental_neardup": """
+            WITH d AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                         string_split(text, ' '))), ' ')) AS dg
+              FROM documents)
+            SELECT n.doc_id AS new_id, o.doc_id AS old_id
+            FROM d n JOIN d o ON n.dg = o.dg
+            WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 != 0""",
         "doc_mentions": mention_union,
         "doc_facets": f"""
             SELECT {uri} AS uri,

@@ -391,6 +391,49 @@ def docs_snapshot_diff(sf_dir: str):
     return corpus_diff(old, new)
 
 
+def docs_incremental_neardup(sf_dir: str):
+    """Incremental near-dedup against a PERSISTED LSH index — the
+    operational 100-TB composition: the OLD snapshot (ids with
+    ``id %% 10 != 0``, the same split as :func:`docs_snapshot_diff`)
+    is indexed once with :func:`~ferenda_ray.stages.dedup.
+    build_minhash_index`; the NEW snapshot's added docs
+    (``id %% 10 == 0``) probe it with two hash joins — the old corpus
+    is never re-paired.  Returns verified ``(new_id, old_id)`` pairs
+    (identical distinct word sets), exactly the SQL digest-join
+    oracle.  The index is rebuilt into a fresh directory per call so
+    results never depend on stale /tmp state; persistence/reuse
+    across calls is exercised by the probe-twice pytest."""
+    import shutil
+    import tempfile
+
+    from ferenda_ray.stages.dedup import (build_minhash_index,
+                                          probe_minhash_index)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def mod_filter(eq: bool):
+        def f(b: pa.Table) -> pa.Table:
+            rem = pc.subtract(
+                b.column("doc_id"),
+                pc.multiply(pc.divide(b.column("doc_id"),
+                                      pa.scalar(10, pa.int64())),
+                            pa.scalar(10, pa.int64())))
+            keep = pc.equal(rem, 0) if eq else pc.not_equal(rem, 0)
+            return b.filter(keep)
+        return f
+
+    old = docs.map_batches(mod_filter(False), batch_format="pyarrow")
+    new = docs.map_batches(mod_filter(True), batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="ferenda_ray_mhidx_")
+    try:
+        build_minhash_index(old, idx)
+        # materialize: the probe plan is consumed lazily by the caller,
+        # which would otherwise read the index after the cleanup below
+        out = probe_minhash_index(new, idx).materialize()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out
+
+
 def docs_stratified_sample(sf_dir: str, k: int = 10):
     """Deterministic k-per-language sample (md5-ordered)."""
     from ferenda_ray.stages.sample import stratified_sample

@@ -1968,3 +1968,165 @@ def remove_duplicate_segments(docs, min_docs: int = 2,
                                        batch_format="pyarrow")
     return out.map_batches(lambda b: b.cast(_SEG_CLEAN_SCHEMA),
                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index + incremental probe
+#
+# The operational 100-TB shape of near-dedup: the existing corpus is
+# indexed ONCE (band buckets + verification digests persisted as
+# partitioned parquet); each new snapshot probes the index with two
+# hash joins instead of re-pairing the whole corpus.  Reference
+# analogue: the needed()/re-relate incremental gates
+# (documentstore.py:400-470, documentrepository.py:1731-1883) applied
+# to near-dedup instead of parse/relate.
+
+_MHIDX_META = "_minhash_index.json"
+
+
+def build_minhash_index(docs, out_dir: str, num_perm: int = 128,
+                        bands: int = 16, shingle_n: int = 1,
+                        seed: int = 42, text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Persist an LSH index over ``docs``: ``bands/`` = ``(id, bhash)``
+    hive-partitioned by ``band`` (a probe join task reads only its
+    band's directory), ``sigs.parquet`` = ``(id, digest)`` where
+    digest is the sha256 of the sorted distinct word set (the exact
+    verifier), and a meta record (num_perm/bands/shingle_n/seed/id_col)
+    from which :func:`probe_minhash_index` derives its hash
+    parameters — a probe can never hash with foreign parameters
+    (the checkpoint-meta lesson from the kmeans/logreg ADVICE fix,
+    applied by construction)."""
+    import json
+    import os
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_n, seed,
+                              text_col, id_col)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, bnd, bh = [], [], []
+        for i, sig in zip(b.column(id_col).to_pylist(),
+                          b.column("minhash").to_pylist()):
+            for bi, h in enumerate(_bands(sig, bands, rows)):
+                ids.append(i)
+                bnd.append(bi)
+                bh.append(h)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "band": pa.array(bnd, pa.int32()),
+            "bhash": pa.array(bh, pa.int64()),
+        })
+
+    os.makedirs(out_dir, exist_ok=True)
+    sigs.map_batches(explode, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "bands"), partition_cols=["band"])
+
+    def digest(b: pa.Table) -> pa.Table:
+        digs = [hashlib.sha256(
+                    " ".join(sorted(set(t.split()))).encode()).hexdigest()
+                for t in b.column(text_col).to_pylist()]
+        return pa.table({id_col: b.column(id_col),
+                         "digest": pa.array(digs, pa.string())})
+
+    docs.map_batches(digest, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "digests"))
+    with open(os.path.join(out_dir, _MHIDX_META), "w") as f:
+        json.dump({"num_perm": num_perm, "bands": bands,
+                   "shingle_n": shingle_n, "seed": seed,
+                   "id_col": id_col}, f)
+
+
+def probe_minhash_index(new_docs, index_dir: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Probe a persisted index with a new snapshot: returns verified
+    duplicate pairs ``(new_id, old_id)`` — new docs whose distinct
+    word set EQUALS an indexed doc's (``shingle_n=1`` default: the
+    signature is a pure function of the word set, so every true pair
+    collides in every band and recall vs the word-set-equality oracle
+    is 1.0 by construction; the digest join then removes every
+    estimate-only false positive, making the result exact and
+    SQL-checkable).
+
+    Plan (no corpus-sized state on any worker, nothing re-pairs the
+    OLD corpus):  new band rows ⋈ index bands on (band, bhash) →
+    candidate ``(new_id, old_id)`` (deduped across bands) → ⋈ new
+    digests ⋈ indexed digests → equality filter."""
+    import json
+    import os
+    import ray.data as rd
+    from ray.data.aggregate import Min as _Min
+    from ferenda_ray.cluster import coalesce_partitions, join_partitions
+
+    with open(os.path.join(index_dir, _MHIDX_META)) as f:
+        meta = json.load(f)
+    co = coalesce_partitions()
+    np_ = join_partitions()
+    rows = meta["num_perm"] // meta["bands"]
+
+    sigs = minhash_signatures(new_docs, meta["num_perm"],
+                              meta["shingle_n"], meta["seed"],
+                              text_col, id_col)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, bnd, bh = [], [], []
+        for i, sig in zip(b.column(id_col).to_pylist(),
+                          b.column("minhash").to_pylist()):
+            for bi, h in enumerate(_bands(sig, meta["bands"], rows)):
+                ids.append(i)
+                bnd.append(bi)
+                bh.append(h)
+        return pa.table({
+            "new_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bnd, pa.int32()),
+            "bhash": pa.array(bh, pa.int64()),
+        })
+
+    probe = sigs.map_batches(explode,
+                             batch_format="pyarrow").repartition(co)
+    idx = rd.read_parquet(os.path.join(index_dir, "bands")).map_batches(
+        lambda b: pa.table({
+            "old_id": b.column(meta["id_col"]).cast(pa.int64()),
+            "band": b.column("band").cast(pa.int32()),
+            "bhash": b.column("bhash").cast(pa.int64())}),
+        batch_format="pyarrow").repartition(co)
+    cand = probe.join(idx, join_type="inner", on=("band", "bhash"),
+                      num_partitions=np_)
+    # dedup across bands (a true pair collides in EVERY band)
+    cand = (cand.map_batches(
+                lambda b: b.select(["new_id", "old_id"]),
+                batch_format="pyarrow")
+            .groupby(["new_id", "old_id"])
+            .aggregate(_Min("new_id", alias_name="__k")))
+    cand = cand.map_batches(lambda b: b.select(["new_id", "old_id"]),
+                            batch_format="pyarrow").repartition(co)
+
+    def digest_side(idname, dgname, src_id):
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table({idname: b.column(src_id).cast(pa.int64()),
+                             dgname: b.column("digest")})
+        return prep
+
+    def new_digests(b: pa.Table) -> pa.Table:
+        digs = [hashlib.sha256(
+                    " ".join(sorted(set(t.split()))).encode()).hexdigest()
+                for t in b.column(text_col).to_pylist()]
+        return pa.table({"new_id": b.column(id_col).cast(pa.int64()),
+                         "dg_new": pa.array(digs, pa.string())})
+
+    dn = new_docs.map_batches(new_digests,
+                              batch_format="pyarrow").repartition(co)
+    do = rd.read_parquet(os.path.join(index_dir, "digests")).map_batches(
+        digest_side("old_id", "dg_old", meta["id_col"]),
+        batch_format="pyarrow").repartition(co)
+    j = cand.join(dn, join_type="inner", on=("new_id",),
+                  num_partitions=np_)
+    j = j.repartition(co)  # Ray 2.49: empty blocks break the next join
+    j = j.join(do, join_type="inner", on=("old_id",),
+               num_partitions=np_)
+
+    def verify(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("dg_new"), b.column("dg_old"))
+        return b.filter(keep).select(["new_id", "old_id"])
+
+    return j.map_batches(verify, batch_format="pyarrow")

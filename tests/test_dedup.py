@@ -674,3 +674,72 @@ def test_remove_duplicate_segments_distributed_hot_segment(ray_session):
            for r in dedup.remove_duplicate_segments(
                ds, min_docs=2, broadcast_bytes=0).take_all()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index + incremental probe
+
+
+def _probe_pairs(ds, idx):
+    got = dedup.probe_minhash_index(ds, idx).take_all()
+    return {(r["new_id"], r["old_id"]) for r in got}
+
+
+def test_minhash_index_probe_finds_planted(ray_session, tmp_path):
+    """Old corpus indexed once; a new snapshot containing one exact
+    word-set dup of an old doc and one fresh doc probes it."""
+    import ray.data as rd
+    t = _mk_docs()
+    old = rd.from_arrow(t)
+    dedup.build_minhash_index(old, str(tmp_path / "idx"))
+    dup_of_0 = " ".join(reversed(t.column("text")[0].as_py().split()))
+    new = rd.from_arrow(pa.table({
+        "doc_id": [100, 101],
+        "text": [dup_of_0, "entirely fresh words here"]}))
+    pairs = _probe_pairs(new, str(tmp_path / "idx"))
+    # doc 100 has the same word SET as old docs 0/10/11 (exact copies
+    # of each other); doc 101 matches nothing
+    assert (100, 0) in pairs and (100, 10) in pairs and (100, 11) in pairs
+    assert not any(a == 101 for a, _ in pairs)
+
+
+def test_minhash_index_reuse_across_probes(ray_session, tmp_path):
+    """The index persists: two independent probes of the SAME on-disk
+    index (no rebuild) return identical pairs — the incremental story
+    where snapshot N+1 and N+2 both probe one corpus index."""
+    import ray.data as rd
+    t = _mk_docs()
+    dedup.build_minhash_index(rd.from_arrow(t), str(tmp_path / "idx"))
+    new = rd.from_arrow(pa.table({
+        "doc_id": [200], "text": [t.column("text")[5].as_py()]}))
+    first = _probe_pairs(new, str(tmp_path / "idx"))
+    second = _probe_pairs(new, str(tmp_path / "idx"))
+    # the tiny vocab makes many docs share doc 5's full word set;
+    # what matters here: (200, 5) found, and the two probes agree
+    assert (200, 5) in first
+    assert first == second
+
+
+def test_minhash_index_probe_equals_wordset_bruteforce(ray_session,
+                                                       tmp_path):
+    """Probe output == brute-force distinct-word-set equality across
+    the old×new split (the oracle semantics)."""
+    import ray.data as rd
+    t = _mk_docs(n=60, seed=9)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    old_mask = [i % 3 != 0 for i in ids]
+    old = pa.table({"doc_id": [i for i, m in zip(ids, old_mask) if m],
+                    "text": [x for x, m in zip(texts, old_mask) if m]})
+    new = pa.table({"doc_id": [i for i, m in zip(ids, old_mask) if not m],
+                    "text": [x for x, m in zip(texts, old_mask) if not m]})
+    dedup.build_minhash_index(rd.from_arrow(old), str(tmp_path / "idx"))
+    got = _probe_pairs(rd.from_arrow(new), str(tmp_path / "idx"))
+    want = {
+        (n_id, o_id)
+        for n_id, n_tx in zip(new.column("doc_id").to_pylist(),
+                              new.column("text").to_pylist())
+        for o_id, o_tx in zip(old.column("doc_id").to_pylist(),
+                              old.column("text").to_pylist())
+        if set(n_tx.split()) == set(o_tx.split())}
+    assert got == want
