@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 107 queries, 102 with DuckDB oracles (counts asserted
+Round-5 surface: 108 queries, 103 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 5 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE,
@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_logreg": docs.embeddings_logreg,
         "embeddings_logreg_scores": docs.embeddings_logreg_scores,
         "docs_quality_filter": docs.docs_quality_filter,
+        "docs_gopher_rules": docs.docs_gopher_rules,
         "docs_train_split": docs.docs_train_split,
         "docs_fuzzy_decontaminate": docs.docs_fuzzy_decontaminate,
         "events_user_zscore": events.user_zscore_outliers,
@@ -216,13 +217,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_simhash_pairs": docs.docs_simhash_pairs,
-        "docs_clean_corpus": docs.docs_clean_corpus,
         "events_sessionize": events.sessionize,
         "events_tumbling_hour": events.tumbling_hour,
         # ---------------- position >50 below: rotated OUT this round
         # (driver-green in rounds 1-4); every oracled entry here is
         # verified per-commit by tests/test_query_oracles.py -----------
         "doc_mentions": docs.doc_mentions,
+        "docs_clean_corpus": docs.docs_clean_corpus,
         "ann_topk": docs.ann_topk,
         "ivf_ann_topk": docs.ivf_ann_topk,    # full-probe => exact, oracled
         "lsh_ann_topk": docs.lsh_ann_topk,                  # rows-only
@@ -304,6 +305,11 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE len(regexp_extract_all(text, '\\b{a}\\b')) > 0"
         for a in ["batch", "shuffle", "spark", "stream", "vector", "window"])
     stop_re = r"(?i)\b(?:a|and|for|in|is|it|of|that|the|to)\b"
+    _GOPHER_STOP_SQL = " + ".join(
+        f"(CASE WHEN regexp_matches(text, '(?i)\\b{w}\\b') "
+        "THEN 1 ELSE 0 END)"
+        for w in ["the", "be", "to", "of", "and", "that", "have",
+                  "with"])
     d = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1712,6 +1718,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE alpha_ratio >= (SELECT alpha_ratio FROM r
                                   WHERE rn = CAST(ceil(0.25 * n)
                                                   AS BIGINT) LIMIT 1)""",
+        # Gopher rule gate (Rae et al. 2021 A1.1): flags computed on
+        # 6-digit half-away-rounded ratios on BOTH sides so no ulp can
+        # flip a threshold; words = single-space split on both sides
+        "docs_gopher_rules": f"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws, text
+              FROM documents
+            ), m AS (
+              SELECT doc_id, len(ws) AS n_words,
+                     floor(list_sum(list_transform(ws,
+                               x -> length(x)))::DOUBLE
+                           / greatest(len(ws), 1) * 1e6 + 0.5) / 1e6
+                         AS mean_word_len,
+                     floor(list_sum(list_transform(ws,
+                               x -> CASE WHEN regexp_matches(x,
+                                              '[A-Za-z]')
+                                    THEN 1 ELSE 0 END))::DOUBLE
+                           / greatest(len(ws), 1) * 1e6 + 0.5) / 1e6
+                         AS frac_alpha_words,
+                     floor((len(regexp_extract_all(text, '#'))
+                            + len(regexp_extract_all(text,
+                                  '\\.\\.\\.')))::DOUBLE
+                           / greatest(len(ws), 1) * 1e6 + 0.5) / 1e6
+                         AS symbol_ratio,
+                     CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stop_hits
+              FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+                   symbol_ratio, n_stop_hits,
+                   n_words BETWEEN 50 AND 100000 AS pass_word_count,
+                   mean_word_len BETWEEN 3.0 AND 10.0
+                       AS pass_mean_word_len,
+                   symbol_ratio <= 0.1 AS pass_symbol_ratio,
+                   frac_alpha_words >= 0.8 AS pass_alpha_words,
+                   n_stop_hits >= 2 AS pass_stopwords,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND frac_alpha_words >= 0.8
+                    AND n_stop_hits >= 2) AS passes_gopher
+            FROM m""",
         # one-row dataset-card summary (every component a distributed
         # aggregate; only six scalars reach the driver)
         "docs_corpus_stats": r"""

@@ -1339,6 +1339,15 @@ def docs_quality_filter(sf_dir: str, q: float = 0.25):
         _read_docs(sf_dir, ["doc_id", "text"]), q=q)
 
 
+def docs_gopher_rules(sf_dir: str):
+    """The published Gopher document-quality rule gate (Rae et al.
+    2021): per-rule boolean flags + the measured statistics, exact
+    vs the SQL restatement (thresholds compared on 6-digit rounded
+    ratios on both sides)."""
+    from ferenda_ray.stages.text_analysis import gopher_rules
+    return gopher_rules(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
 def docs_train_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test assignment by salted md5
     fraction of the doc id."""

@@ -995,3 +995,80 @@ def grouped_bounded_quantiles(ds, group_col: str, col: str,
     return pa.table({group_col: pa.array(out_g),
                      "q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1 — the published
+# document-level heuristic gate used by most pre-training pipelines)
+
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs, text_col: str = "text", id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2,
+                 stop_words: tuple = GOPHER_STOP):
+    """Per-document Gopher rule flags, fully vectorized (polars list
+    kernels; no Python per row).  Emits the measured statistic AND a
+    boolean per rule so downstream mixing can re-gate without
+    recomputation:
+
+    1. ``pass_word_count`` — 50 ≤ words ≤ 100 000
+    2. ``pass_mean_word_len`` — 3 ≤ mean word length ≤ 10
+    3. ``pass_symbol_ratio`` — (# + …) per word ≤ 0.1
+    4. ``pass_alpha_words`` — ≥ 80 % of words contain a letter
+    5. ``pass_stopwords`` — ≥ 2 distinct canonical stop words present
+
+    Ratios are rounded (half-away, 6 digits) BEFORE thresholding so
+    the flags are float-stable across engines; words = single-space
+    split, matching the SQL oracle's ``string_split(text, ' ')``."""
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        ws = pl.col(text_col).str.split(" ")
+        df = df.with_columns(
+            ws.list.len().cast(pl.Int64).alias("n_words"),
+            ws.list.eval(pl.element().str.len_chars())
+              .list.sum().cast(pl.Int64).alias("__sumlen"),
+            ws.list.eval(pl.element().str.contains("[A-Za-z]")
+                         .cast(pl.Int64))
+              .list.sum().cast(pl.Int64).alias("__alpha"),
+            (pl.col(text_col).str.count_matches("#", literal=True)
+             + pl.col(text_col).str.count_matches(r"\.\.\."))
+            .cast(pl.Int64).alias("__sym"),
+            sum((pl.col(text_col)
+                 .str.contains(r"(?i)\b" + w + r"\b").cast(pl.Int64))
+                for w in stop_words).alias("n_stop_hits"),
+        )
+        nw1 = pl.max_horizontal(pl.col("n_words"), 1)
+        df = df.with_columns(
+            _rha(pl.col("__sumlen") / nw1, 6).alias("mean_word_len"),
+            _rha(pl.col("__alpha") / nw1, 6).alias("frac_alpha_words"),
+            _rha(pl.col("__sym") / nw1, 6).alias("symbol_ratio"),
+        )
+        df = df.with_columns(
+            (pl.col("n_words").is_between(min_words, max_words))
+            .alias("pass_word_count"),
+            (pl.col("mean_word_len")
+             .is_between(min_mean_word_len, max_mean_word_len))
+            .alias("pass_mean_word_len"),
+            (pl.col("symbol_ratio") <= max_symbol_ratio)
+            .alias("pass_symbol_ratio"),
+            (pl.col("frac_alpha_words") >= min_alpha_word_frac)
+            .alias("pass_alpha_words"),
+            (pl.col("n_stop_hits") >= min_stop_hits)
+            .alias("pass_stopwords"),
+        )
+        df = df.with_columns(
+            (pl.col("pass_word_count") & pl.col("pass_mean_word_len")
+             & pl.col("pass_symbol_ratio") & pl.col("pass_alpha_words")
+             & pl.col("pass_stopwords")).alias("passes_gopher"))
+        return df.drop([text_col, "__sumlen", "__alpha", "__sym"]
+                       ).to_arrow()
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=16384)

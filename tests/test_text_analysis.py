@@ -554,3 +554,32 @@ def test_token_budget_skewed_single_group(ray_session):
 
     expect = sorted(range(n), key=lambda i: (h(i), i))[:10]
     assert sorted(r["doc_id"] for r in out) == sorted(expect)
+
+
+def test_gopher_rules_flags(ray_session):
+    """Gopher gate vs hand-computed flags on crafted edge cases."""
+    import ray.data as rd
+    from ferenda_ray.stages.text_analysis import gopher_rules
+    good = ("the data and that table have rows with " * 8).strip()  # 64 w
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            good,                          # passes everything
+            "short doc only",              # fails word count + stopwords
+            ("## " * 60).strip(),          # symbol-heavy, no alpha
+            ("supercalifragilistic " * 60).strip(),  # mean len > 10
+        ]})
+    out = {r["doc_id"]: r for r in
+           gopher_rules(rd.from_arrow(docs)).take_all()}
+    assert out[1]["passes_gopher"]
+    assert out[1]["n_stop_hits"] >= 5
+    assert not out[2]["pass_word_count"]
+    assert out[2]["pass_mean_word_len"]
+    assert not out[3]["pass_alpha_words"]
+    assert not out[3]["pass_symbol_ratio"]
+    assert out[3]["symbol_ratio"] == 2.0  # two # chars per word
+    assert not out[4]["pass_mean_word_len"]
+    assert out[4]["mean_word_len"] > 10
+    # stats exact on the good doc
+    assert out[1]["n_words"] == 64
+    assert not out[2]["passes_gopher"]
