@@ -2034,24 +2034,46 @@ def build_minhash_index(docs, out_dir: str, num_perm: int = 128,
         json.dump({"num_perm": num_perm, "bands": bands,
                    "shingle_n": shingle_n, "seed": seed,
                    "id_col": id_col}, f)
+def _index_bytes(index_dir: str) -> int:
+    import os
+    total = 0
+    for root, _dirs, files in os.walk(index_dir):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def probe_minhash_index(new_docs, index_dir: str,
                         text_col: str = "text",
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id",
+                        broadcast_bytes: int = 256 << 20):
     """Probe a persisted index with a new snapshot: returns verified
     duplicate pairs ``(new_id, old_id)`` — new docs whose distinct
     word set EQUALS an indexed doc's (``shingle_n=1`` default: the
     signature is a pure function of the word set, so every true pair
     collides in every band and recall vs the word-set-equality oracle
-    is 1.0 by construction; the digest join then removes every
+    is 1.0 by construction; the digest verify then removes every
     estimate-only false positive, making the result exact and
     SQL-checkable).
 
-    Plan (no corpus-sized state on any worker, nothing re-pairs the
-    OLD corpus):  new band rows ⋈ index bands on (band, bhash) →
-    candidate ``(new_id, old_id)`` (deduped across bands) → ⋈ new
-    digests ⋈ indexed digests → equality filter."""
+    Two physical plans, picked from the MEASURED on-disk index size
+    (the ``minhash_lsh_pairs`` idiom):
+
+    * **≤ broadcast_bytes** — the whole index (bucket dict + digest
+      dict) is ``ray.put`` once and the probe is ONE ``map_batches``
+      over the new snapshot: zero joins, zero shuffles.  The first
+      cut used the join plan unconditionally and took 88 s at sf0.1
+      — four hash joins in one streaming topology reserve
+      4 × join_partitions() aggregator-actor CPUs (the whole 32-CPU
+      box), starving every map stage; this plan runs in ~2 s.
+    * **larger** — hash-join plan, PHASED with materialize barriers
+      so at most one join's aggregator pool is alive at a time (the
+      CPU-reservation lesson above; the barriers hold only the
+      candidate pair list, not the corpus): new band rows ⋈ index
+      bands on (band, bhash) → candidates (deduped across bands,
+      materialized) → ⋈ new digests (materialized) → ⋈ indexed
+      digests → equality filter.  No corpus-sized state on any
+      worker; nothing re-pairs the OLD corpus."""
     import json
     import os
     import ray.data as rd
@@ -2060,13 +2082,74 @@ def probe_minhash_index(new_docs, index_dir: str,
 
     with open(os.path.join(index_dir, _MHIDX_META)) as f:
         meta = json.load(f)
-    co = coalesce_partitions()
-    np_ = join_partitions()
     rows = meta["num_perm"] // meta["bands"]
 
     sigs = minhash_signatures(new_docs, meta["num_perm"],
                               meta["shingle_n"], meta["seed"],
                               text_col, id_col)
+
+    if _index_bytes(index_dir) <= broadcast_bytes:
+        # ---- broadcast plan: lookup + verify inside one map ----
+        import pyarrow.parquet as _pq
+        import ray as _ray
+        bt = _pq.read_table(os.path.join(index_dir, "bands"))
+        buckets: dict = {}
+        key = np.stack([bt.column("band").to_numpy().astype(np.int64),
+                        bt.column("bhash").to_numpy()], axis=1) \
+            if bt.num_rows else np.empty((0, 2), np.int64)
+        oid = bt.column(meta["id_col"]).to_numpy().astype(np.int64) \
+            if bt.num_rows else np.empty(0, np.int64)
+        for (bb, hh), o in zip(map(tuple, key), oid):
+            buckets.setdefault((int(bb), int(hh)), []).append(int(o))
+        dt = _pq.read_table(os.path.join(index_dir, "digests"))
+        digests = dict(zip(
+            dt.column(meta["id_col"]).to_pylist(),
+            dt.column("digest").to_pylist()))
+        ref = _ray.put((buckets, digests))
+        bands_n, id_c, txt_c = meta["bands"], id_col, text_col
+
+        class Prober:
+            def __init__(self, r):
+                self.buckets, self.digests = resolve(r)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                out_n, out_o = [], []
+                texts = b.column(txt_c).to_pylist()
+                for i, sig, t in zip(b.column(id_c).to_pylist(),
+                                     b.column("minhash").to_pylist(),
+                                     texts):
+                    cands: set = set()
+                    for bi, h in enumerate(_bands(sig, bands_n, rows)):
+                        cands.update(self.buckets.get((bi, h), ()))
+                    if not cands:
+                        continue
+                    dg = hashlib.sha256(
+                        " ".join(sorted(set(t.split()))).encode()
+                    ).hexdigest()
+                    for o in sorted(cands):
+                        if self.digests.get(o) == dg:
+                            out_n.append(i)
+                            out_o.append(o)
+                return pa.table({
+                    "new_id": pa.array(out_n, pa.int64()),
+                    "old_id": pa.array(out_o, pa.int64())})
+
+        # re-attach text to the signature rows zero-copy: signatures
+        # and docs iterate in the same block order only within one
+        # map chain, so recompute the signature inline instead
+        def probe_batch(b: pa.Table) -> pa.Table:
+            hasher = MinHasher(meta["num_perm"], meta["shingle_n"],
+                               meta["seed"], txt_c, id_c)
+            sig_tbl = hasher(b)
+            merged = sig_tbl.append_column(txt_c, b.column(txt_c))
+            return Prober(ref)(merged)
+
+        return new_docs.map_batches(probe_batch, batch_format="pyarrow",
+                                    batch_size=2048)
+
+    # ---- join plan (index larger than the broadcast cap) ----
+    co = coalesce_partitions()
+    np_ = join_partitions()
 
     def explode(b: pa.Table) -> pa.Table:
         ids, bnd, bh = [], [], []
@@ -2092,14 +2175,20 @@ def probe_minhash_index(new_docs, index_dir: str,
         batch_format="pyarrow").repartition(co)
     cand = probe.join(idx, join_type="inner", on=("band", "bhash"),
                       num_partitions=np_)
-    # dedup across bands (a true pair collides in EVERY band)
-    cand = (cand.map_batches(
-                lambda b: b.select(["new_id", "old_id"]),
-                batch_format="pyarrow")
-            .groupby(["new_id", "old_id"])
-            .aggregate(_Min("new_id", alias_name="__k")))
-    cand = cand.map_batches(lambda b: b.select(["new_id", "old_id"]),
-                            batch_format="pyarrow").repartition(co)
+    # per-BATCH vectorized pair dedup only (one polars unique per
+    # block): a true pair collides in EVERY band (16× duplication)
+    # and a GLOBAL groupby-dedup here is the wrong place — profiled
+    # 88 s at sf0.1 (3.7 M candidate rows through a keyed aggregate)
+    # vs leaving residual cross-block dups for the digest joins to
+    # carry and deduping the (much smaller) VERIFIED output below.
+    # materialize = phase barrier releasing this join's actor pool.
+    cand = cand.map_batches(
+        lambda b: pl.from_arrow(b.select(["new_id", "old_id"]))
+        .unique().to_arrow().cast(
+            pa.schema([("new_id", pa.int64()),
+                       ("old_id", pa.int64())])),
+        batch_format="pyarrow").repartition(co)
+    cand = cand.materialize()
 
     def digest_side(idname, dgname, src_id):
         def prep(b: pa.Table) -> pa.Table:
@@ -2121,7 +2210,9 @@ def probe_minhash_index(new_docs, index_dir: str,
         batch_format="pyarrow").repartition(co)
     j = cand.join(dn, join_type="inner", on=("new_id",),
                   num_partitions=np_)
-    j = j.repartition(co)  # Ray 2.49: empty blocks break the next join
+    # second phase barrier: small (pairs + one digest column), keeps
+    # the two digest joins from holding actor pools concurrently
+    j = j.repartition(co).materialize()
     j = j.join(do, join_type="inner", on=("old_id",),
                num_partitions=np_)
 
@@ -2129,4 +2220,10 @@ def probe_minhash_index(new_docs, index_dir: str,
         keep = pc.equal(b.column("dg_new"), b.column("dg_old"))
         return b.filter(keep).select(["new_id", "old_id"])
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    out = j.map_batches(verify, batch_format="pyarrow")
+    # global dedup on the VERIFIED pairs (output-sized, not
+    # candidate-sized: residual cross-block band dups collapse here)
+    out = (out.groupby(["new_id", "old_id"])
+           .aggregate(_Min("new_id", alias_name="__k")))
+    return out.map_batches(lambda b: b.select(["new_id", "old_id"]),
+                           batch_format="pyarrow")

@@ -743,3 +743,22 @@ def test_minhash_index_probe_equals_wordset_bruteforce(ray_session,
                               old.column("text").to_pylist())
         if set(n_tx.split()) == set(o_tx.split())}
     assert got == want
+
+
+def test_minhash_index_probe_plans_agree(ray_session, tmp_path):
+    """Broadcast and phased-join probe plans are pair-identical
+    (broadcast_bytes=0 forces the join plan)."""
+    import ray.data as rd
+    t = _mk_docs(n=50, seed=4)
+    dedup.build_minhash_index(rd.from_arrow(t), str(tmp_path / "idx"))
+    new = rd.from_arrow(pa.table({
+        "doc_id": [300, 301, 302],
+        "text": [t.column("text")[7].as_py(),
+                 "fresh unseen words only",
+                 t.column("text")[20].as_py()]})).materialize()
+    bcast = _probe_pairs(new, str(tmp_path / "idx"))
+    joined = {(r["new_id"], r["old_id"])
+              for r in dedup.probe_minhash_index(
+                  new, str(tmp_path / "idx"),
+                  broadcast_bytes=0).take_all()}
+    assert bcast == joined and (300, 7) in bcast
