@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 108 queries, 103 with DuckDB oracles (counts asserted
+Round-5 surface: 109 queries, 104 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 5 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE,
@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top_terms": docs.docs_tfidf_top_terms,
         "docs_chunks": docs.docs_chunks,
         "docs_pack_offsets": docs.docs_pack_offsets,
+        "docs_packed_sequences": docs.docs_packed_sequences,
         "docs_bpe_pair_counts": docs.docs_bpe_pair_counts,
         "docs_snapshot_diff": docs.docs_snapshot_diff,
         "embeddings_covariance": docs.embeddings_covariance,
@@ -881,6 +882,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s // 1024 AS BIGINT) AS seq_id,
                    CAST(s % 1024 AS BIGINT) AS seq_offset
             FROM p ORDER BY doc_id""",
+        # materialized packed sequences (the write-side twin of
+        # docs_pack_offsets): each doc contributes token-range
+        # fragments to the sequences it spans; sequences reassemble
+        # by fragment start.  Full seq_text equality.
+        "docs_packed_sequences": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            p AS (SELECT doc_id, w, len(w) AS n,
+                         CAST(COALESCE(sum(len(w)) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS s
+                  FROM t),
+            frag AS (SELECT doc_id, s, n, w,
+                            unnest(generate_series(s // 1024,
+                                   (s + n - 1) // 1024)) AS seq_id
+                     FROM p),
+            fr AS (SELECT seq_id,
+                          greatest(seq_id * 1024, s) AS fstart,
+                          array_to_string(
+                              w[CAST(greatest(seq_id * 1024, s) - s + 1
+                                     AS INT) :
+                                CAST(least((seq_id + 1) * 1024, s + n)
+                                     - s AS INT)], ' ') AS ftext,
+                          least((seq_id + 1) * 1024, s + n)
+                              - greatest(seq_id * 1024, s) AS ftok
+                   FROM frag)
+            SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                   string_agg(ftext, ' ' ORDER BY fstart) AS seq_text,
+                   CAST(sum(ftok) AS BIGINT) AS n_tokens
+            FROM fr GROUP BY seq_id""",
         # fixed-size training chunks: 64 whitespace tokens, overlap 16
         # (stride 48); a doc with <=64 tokens is one chunk; the chunk
         # count is ceil((n-64)/48)+1 so the last token is always reached

@@ -1339,6 +1339,16 @@ def docs_quality_filter(sf_dir: str, q: float = 0.25):
         _read_docs(sf_dir, ["doc_id", "text"]), q=q)
 
 
+def docs_packed_sequences(sf_dir: str, seq_len: int = 1024):
+    """Materialized GPT-style packed training sequences (concat in
+    doc-id order, split every 1024 tokens): the write-side twin of
+    ``docs_pack_offsets`` — full sequence TEXT equality vs the SQL
+    fragment/window restatement."""
+    from ferenda_ray.stages.text_analysis import pack_sequences
+    return pack_sequences(_read_docs(sf_dir, ["doc_id", "text"]),
+                          seq_len=seq_len)
+
+
 def docs_gopher_rules(sf_dir: str):
     """The published Gopher document-quality rule gate (Rae et al.
     2021): per-rule boolean flags + the measured statistics, exact

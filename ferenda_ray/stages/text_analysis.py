@@ -1072,3 +1072,112 @@ def gopher_rules(docs, text_col: str = "text", id_col: str = "doc_id",
 
     return docs.map_batches(score, batch_format="pyarrow",
                             batch_size=16384)
+
+
+def pack_sequences(docs, seq_len: int = 1024,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   docs_per_part: int = 4096,
+                   seqs_per_shard: int = 1024):
+    """MATERIALIZE the packed training sequences (the layout
+    :func:`pack_sequence_offsets` only describes): concatenate every
+    doc's whitespace tokens in ``id`` order, split every ``seq_len``
+    tokens, return ``(seq_id, seq_text, n_tokens)`` — the final
+    partial sequence included with ``n_tokens < seq_len``.
+
+    Three stages, none corpus-sized on any worker:
+
+    1. the offsets prefix sum (per-partition token sums → tiny driver
+       reduce → broadcast base offsets), as in
+       :func:`pack_sequence_offsets`;
+    2. fragment slicing — one grouped pass per coarse id partition:
+       each doc emits its (sequence, token-range) fragments by direct
+       list slicing (a doc spans ``n // seq_len + 2`` sequences at
+       most, so fragment rows ≈ doc rows);
+    3. reassembly — fragments shuffle ONCE keyed by
+       ``seq_id // seqs_per_shard`` and each shard is reassembled in
+       ONE vectorized call (lexsort + ListArray + binary_join — the
+       ``remove_duplicate_segments`` idiom), never one Python call
+       per sequence."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        return df.select(
+            pl.col(id_col), pl.col(text_col),
+            (pl.col(text_col).str.count_matches(" ", literal=True)
+             + 1).cast(pl.Int64).alias("n_tokens"),
+            (pl.col(id_col) // docs_per_part).cast(pl.Int64)
+            .alias("__part")).to_arrow()
+
+    cnt = docs.map_batches(counts, batch_format="pyarrow")
+    psums = (cnt.map_batches(
+                 lambda b: b.select(["__part", "n_tokens"]),
+                 batch_format="pyarrow")
+             .groupby("__part")
+             .aggregate(_Sum("n_tokens", alias_name="__s")).take_all())
+    psums.sort(key=lambda r: r["__part"])
+    offsets, acc = {}, 0
+    for r in psums:
+        offsets[r["__part"]] = acc
+        acc += r["__s"]
+
+    def fragments(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        n = group.column("n_tokens").to_numpy()
+        order = np.argsort(ids)
+        texts = group.column(text_col).take(pa.array(order)).to_pylist()
+        n = n[order]
+        base = offsets[group.column("__part")[0].as_py()]
+        start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        out_sid, out_fs, out_tx, out_nt = [], [], [], []
+        for s, nn, t in zip(start, n, texts):
+            toks = t.split(" ")
+            for sid in range(int(s) // seq_len,
+                             int(s + nn - 1) // seq_len + 1):
+                a = max(sid * seq_len - int(s), 0)
+                b2 = min((sid + 1) * seq_len - int(s), int(nn))
+                out_sid.append(sid)
+                out_fs.append(int(s) + a)
+                out_tx.append(" ".join(toks[a:b2]))
+                out_nt.append(b2 - a)
+        return pa.table({
+            "seq_id": pa.array(out_sid, pa.int64()),
+            "__fstart": pa.array(out_fs, pa.int64()),
+            # plain string: binary_join has no list<large_string>
+            # kernel, and a fragment is at most seq_len tokens
+            "__ftext": pa.array(out_tx, pa.string()),
+            "__ftok": pa.array(out_nt, pa.int64()),
+            "__shard": pa.array(
+                [sid // seqs_per_shard for sid in out_sid], pa.int64()),
+        })
+
+    frag = cnt.groupby("__part").map_groups(fragments,
+                                            batch_format="pyarrow")
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        sid = group.column("seq_id").to_numpy()
+        fs = group.column("__fstart").to_numpy()
+        order = np.lexsort((fs, sid))
+        sid = sid[order]
+        tx = group.column("__ftext").combine_chunks().take(
+            pa.array(order))
+        nt = group.column("__ftok").to_numpy()[order]
+        first = np.empty(len(sid), bool)
+        if len(sid):
+            first[0] = True
+            np.not_equal(sid[1:], sid[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        bounds = np.concatenate((starts, [len(sid)]))
+        lj = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), tx)
+        seg = np.cumsum(first) - 1
+        return pa.table({
+            "seq_id": pa.array(sid[starts], pa.int64()),
+            "seq_text": pc.binary_join(lj, " "),
+            "n_tokens": pa.array(
+                np.bincount(seg, weights=nt,
+                            minlength=len(starts)).astype(np.int64),
+                pa.int64())})
+
+    return frag.groupby("__shard").map_groups(reassemble,
+                                              batch_format="pyarrow")

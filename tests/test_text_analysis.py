@@ -583,3 +583,38 @@ def test_gopher_rules_flags(ray_session):
     # stats exact on the good doc
     assert out[1]["n_words"] == 64
     assert not out[2]["passes_gopher"]
+
+
+def _brute_pack(ids, texts, seq_len):
+    stream = []
+    for _i, t in sorted(zip(ids, texts)):
+        stream.extend(t.split(" "))
+    out = {}
+    for s in range(0, len(stream), seq_len):
+        out[s // seq_len] = (" ".join(stream[s:s + seq_len]),
+                             len(stream[s:s + seq_len]))
+    return out
+
+
+@pytest.mark.parametrize("seq_len,docs_per_part", [(16, 4), (7, 3)])
+def test_pack_sequences_brute(ray_session, seq_len, docs_per_part):
+    """Materialized packed sequences equal the single-stream brute
+    force — sparse ids, doc spans crossing sequence AND partition
+    boundaries, a final partial sequence."""
+    import random
+    import ray.data as rd
+    rng = random.Random(7)
+    ids = sorted(rng.sample(range(200), 23))
+    texts = [" ".join(f"w{i}_{j}" for j in range(rng.randint(1, 40)))
+             for i in ids]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {r["seq_id"]: (r["seq_text"], r["n_tokens"])
+           for r in ta.pack_sequences(
+               ds, seq_len=seq_len,
+               docs_per_part=docs_per_part).take_all()}
+    assert got == _brute_pack(ids, texts, seq_len)
+    # every full sequence has exactly seq_len tokens; only the last
+    # may be partial
+    last = max(got)
+    for sid, (_t, n) in got.items():
+        assert n == seq_len or sid == last
