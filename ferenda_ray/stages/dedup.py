@@ -2084,14 +2084,9 @@ def probe_minhash_index(new_docs, index_dir: str,
         meta = json.load(f)
     rows = meta["num_perm"] // meta["bands"]
 
-    sigs = minhash_signatures(new_docs, meta["num_perm"],
-                              meta["shingle_n"], meta["seed"],
-                              text_col, id_col)
-
     if _index_bytes(index_dir) <= broadcast_bytes:
         # ---- broadcast plan: lookup + verify inside one map ----
         import pyarrow.parquet as _pq
-        import ray as _ray
         bt = _pq.read_table(os.path.join(index_dir, "bands"))
         buckets: dict = {}
         key = np.stack([bt.column("band").to_numpy().astype(np.int64),
@@ -2105,21 +2100,26 @@ def probe_minhash_index(new_docs, index_dir: str,
         digests = dict(zip(
             dt.column(meta["id_col"]).to_pylist(),
             dt.column("digest").to_pylist()))
-        ref = _ray.put((buckets, digests))
         bands_n, id_c, txt_c = meta["bands"], id_col, text_col
 
         class Prober:
-            def __init__(self, r):
-                self.buckets, self.digests = resolve(r)
+            """Index dict + hasher built ONCE per actor/closure
+            (stateful_map load-once policy), not per batch."""
+
+            def __init__(self, ref):
+                self.buckets, self.digests = resolve(ref)
+                self.hasher = MinHasher(meta["num_perm"],
+                                        meta["shingle_n"],
+                                        meta["seed"], txt_c, id_c)
 
             def __call__(self, b: pa.Table) -> pa.Table:
                 out_n, out_o = [], []
-                texts = b.column(txt_c).to_pylist()
-                for i, sig, t in zip(b.column(id_c).to_pylist(),
-                                     b.column("minhash").to_pylist(),
-                                     texts):
+                for i, t in zip(b.column(id_c).to_pylist(),
+                                b.column(txt_c).to_pylist()):
+                    sig = self.hasher.signature(t)
                     cands: set = set()
-                    for bi, h in enumerate(_bands(sig, bands_n, rows)):
+                    for bi, h in enumerate(
+                            _bands(sig.tolist(), bands_n, rows)):
                         cands.update(self.buckets.get((bi, h), ()))
                     if not cands:
                         continue
@@ -2134,22 +2134,15 @@ def probe_minhash_index(new_docs, index_dir: str,
                     "new_id": pa.array(out_n, pa.int64()),
                     "old_id": pa.array(out_o, pa.int64())})
 
-        # re-attach text to the signature rows zero-copy: signatures
-        # and docs iterate in the same block order only within one
-        # map chain, so recompute the signature inline instead
-        def probe_batch(b: pa.Table) -> pa.Table:
-            hasher = MinHasher(meta["num_perm"], meta["shingle_n"],
-                               meta["seed"], txt_c, id_c)
-            sig_tbl = hasher(b)
-            merged = sig_tbl.append_column(txt_c, b.column(txt_c))
-            return Prober(ref)(merged)
-
-        return new_docs.map_batches(probe_batch, batch_format="pyarrow",
-                                    batch_size=2048)
+        return stateful_map(new_docs, Prober, (buckets, digests),
+                            batch_size=2048)
 
     # ---- join plan (index larger than the broadcast cap) ----
     co = coalesce_partitions()
     np_ = join_partitions()
+    sigs = minhash_signatures(new_docs, meta["num_perm"],
+                              meta["shingle_n"], meta["seed"],
+                              text_col, id_col)
 
     def explode(b: pa.Table) -> pa.Table:
         ids, bnd, bh = [], [], []
