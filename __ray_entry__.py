@@ -5,15 +5,15 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 109 queries, 104 with DuckDB oracles (counts asserted
+Round-5 surface: 110 queries, 104 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
-5 rows-only entries are approximate/iterative BY DESIGN (MinHash
-estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE,
-PCA eigendecomposition); each has an exactness property verified in
-pytest instead, and each has an oracle-checked exact twin covering
-the same code path end-to-end (``docs_minhash_verified_dups``,
-``ivf_ann_topk``, ``ann_topk``, ``docs_bpe_pair_counts``,
-``embeddings_covariance``).  Entries past the driver's 50-entry
+6 rows-only entries are approximate/iterative BY DESIGN (MinHash
+estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
+train AND encode, PCA eigendecomposition); each has an exactness
+property verified in pytest instead, and each has an oracle-checked
+exact twin covering the same code path end-to-end
+(``docs_minhash_verified_dups``, ``ivf_ann_topk``, ``ann_topk``,
+``docs_bpe_pair_counts`` ×2, ``embeddings_covariance``).  Entries past the driver's 50-entry
 window are verified against the same oracles by
 ``tests/test_query_oracles.py`` (sf0.001, same column-sorted
 order-insensitive compare).
@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_stats": docs.language_stats,
         "ann_topk_int8": docs.ann_topk_int8,            # rows-only
         "docs_bpe_merges": docs.docs_bpe_merges,        # rows-only
+        "docs_bpe_encoded": docs.docs_bpe_encoded,      # rows-only
         "embeddings_pca": docs.embeddings_pca,   # rows-only: eigh is
         # not SQL-expressible; its covariance INPUT is the oracle-
         # checked exact twin and the decomposition is pytest-verified

@@ -1339,6 +1339,25 @@ def docs_quality_filter(sf_dir: str, q: float = 0.25):
         _read_docs(sf_dir, ["doc_id", "text"]), q=q)
 
 
+def docs_bpe_encoded(sf_dir: str, num_merges: int = 10):
+    """Tokenizer ENCODE over the corpus with merges trained on the
+    same corpus (train → encode composition).  Rows-only BY DESIGN:
+    greedy iterative merging is not SQL-expressible (see
+    ``text_analysis.bpe_encode``); exactness is pytest-pinned against
+    an independent reference encoder, and the oracle-checked exact
+    twins are ``docs_bpe_pair_counts`` (train side) and
+    ``docs_token_count`` (pre-tokenization side).  Emits counts, not
+    the token sequences — the driver hashes values, and list columns
+    are for downstream consumers."""
+    from ferenda_ray.stages.text_analysis import bpe_encode, bpe_train
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=num_merges)
+    enc = bpe_encode(docs, merges)
+    return enc.map_batches(
+        lambda b: b.select(["doc_id", "n_words", "n_bpe_tokens"]),
+        batch_format="pyarrow")
+
+
 def docs_packed_sequences(sf_dir: str, seq_len: int = 1024):
     """Materialized GPT-style packed training sequences (concat in
     doc-id order, split every 1024 tokens): the write-side twin of

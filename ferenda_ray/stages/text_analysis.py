@@ -1181,3 +1181,117 @@ def pack_sequences(docs, seq_len: int = 1024,
 
     return frag.groupby("__shard").map_groups(reassemble,
                                               batch_format="pyarrow")
+
+
+def bpe_encode(docs, merges, text_col: str = "text",
+               id_col: str = "doc_id",
+               driver_max_words: int = 2_000_000):
+    """Apply a trained merge list (``bpe_train`` output) to the
+    corpus — the tokenizer's ENCODE side.  Returns ``(doc_id,
+    n_words, n_bpe_tokens, bpe_tokens)`` with the full token
+    sequence per doc.
+
+    Scale shape: the corpus is never re-merged per doc.  The distinct
+    WORD vocabulary is encoded once (``_apply_merge``, the training
+    kernel, verbatim — one pass per merge in rank order, so encode
+    semantics are bit-identical to training by construction), then
+    docs re-tokenize through the word→tokens map via the
+    ``stateful_map`` broadcast policy.  Vocabulary-sized state, one
+    corpus pass.  Same plan pick as ``bpe_train``: vocab under
+    ``driver_max_words`` encodes on the driver, larger vocabularies
+    run the same kernels as ``map_batches`` passes.
+
+    Not SQL-expressible (iterative greedy merging — in particular a
+    replace-based restatement diverges on odd same-symbol runs, where
+    left-to-right greedy pairs (1,2)(3,4) but a guarded string
+    replace pairs (1,2)(4,5)); verified in pytest against an
+    independent reference encoder, with the oracle-checked exact
+    twins ``docs_bpe_pair_counts`` / ``docs_token_count`` covering
+    the input stats."""
+    import ray
+
+    from ferenda_ray.stages.broadcast import resolve, stateful_map
+
+    ordered = [(l, r) for _rank, l, r, _f in
+               sorted(merges, key=lambda m: m[0])]
+    vocab = word_frequencies(docs, text_col, id_col)
+
+    def init_syms(b: pa.Table) -> pa.Table:
+        ws = b.column("word").to_pylist()
+        return pa.table({
+            "word": b.column("word"),
+            "syms": pa.array([list(w) for w in ws],
+                             pa.list_(pa.string())),
+            # _apply_merge carries a freq column; unused here
+            "freq": pa.array([1] * len(ws), pa.int64())})
+
+    table = vocab.map_batches(init_syms,
+                              batch_format="pyarrow").materialize()
+
+    def keep_word(fn):
+        def apply(b: pa.Table) -> pa.Table:
+            out = fn(b.select(["syms", "freq"]))
+            return out.append_column("word", b.column("word"))
+        return apply
+
+    if table.count() <= driver_max_words:
+        tbls = [t for t in ray.get(table.to_arrow_refs()) if t.num_rows]
+        ltbl = (pa.concat_tables(tbls) if tbls
+                else pa.table({"word": pa.array([], pa.string()),
+                               "syms": pa.array([], pa.list_(pa.string())),
+                               "freq": pa.array([], pa.int64())}))
+        for l, r in ordered:
+            ltbl = keep_word(_apply_merge(l, r))(ltbl)
+        word_toks = dict(zip(ltbl.column("word").to_pylist(),
+                             ltbl.column("syms").to_pylist()))
+    else:
+        for l, r in ordered:
+            table = table.map_batches(
+                keep_word(_apply_merge(l, r)),
+                batch_format="pyarrow").materialize()
+        word_toks = {}
+        for t in ray.get(table.to_arrow_refs()):
+            word_toks.update(zip(t.column("word").to_pylist(),
+                                 t.column("syms").to_pylist()))
+
+    class Encoder:
+        def __init__(self, ref):
+            self.word_toks, self.ordered = resolve(ref)
+
+        def _encode_oov(self, w: str) -> list:
+            # word outside the vocabulary map (docs ≠ the corpus the
+            # map was built from): apply the merges directly —
+            # identical greedy left-to-right semantics
+            s = list(w)
+            for l, r in self.ordered:
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                s = res
+            return s
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(id_col)
+            toks_out, nw, nt = [], [], []
+            for t in b.column(text_col).to_pylist():
+                ws = t.split(" ")
+                toks = [s for w in ws
+                        for s in (self.word_toks.get(w)
+                                  or self._encode_oov(w))]
+                toks_out.append(toks)
+                nw.append(len(ws))
+                nt.append(len(toks))
+            return pa.table({
+                id_col: ids,
+                "n_words": pa.array(nw, pa.int64()),
+                "n_bpe_tokens": pa.array(nt, pa.int64()),
+                "bpe_tokens": pa.array(toks_out,
+                                       pa.list_(pa.string()))})
+
+    return stateful_map(docs, Encoder, (word_toks, ordered),
+                        batch_size=4096)

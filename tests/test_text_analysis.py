@@ -618,3 +618,62 @@ def test_pack_sequences_brute(ray_session, seq_len, docs_per_part):
     last = max(got)
     for sid, (_t, n) in got.items():
         assert n == seq_len or sid == last
+
+
+def _reference_encode(text, merges):
+    # independent apply: per word, merges in rank order, greedy
+    # left-to-right — mirrors the Sennrich training update
+    out = []
+    for w in text.split(" "):
+        syms = list(w)
+        for _rank, l, r, _f in sorted(merges, key=lambda m: m[0]):
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l \
+                        and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        out.extend(syms)
+    return out
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    import ray.data as rd
+    texts = ["low lower lowest low low", "newer newest new low",
+             "wider wide wider new", "aaaa aa aaa a"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    merges = ta.bpe_train(ds, num_merges=8)
+    assert merges  # sanity: corpus has repeating pairs
+    got = {r["doc_id"]: r for r in
+           ta.bpe_encode(ds, merges).take_all()}
+    for i, t in enumerate(texts):
+        want = _reference_encode(t, merges)
+        assert list(got[i]["bpe_tokens"]) == want, (i, t)
+        assert got[i]["n_bpe_tokens"] == len(want)
+        assert got[i]["n_words"] == len(t.split(" "))
+        # token concatenation preserves the characters
+        assert "".join(got[i]["bpe_tokens"]) == t.replace(" ", "")
+
+
+def test_bpe_encode_oov_and_plans(ray_session):
+    """Encoding a DIFFERENT corpus than the vocab was built from hits
+    the OOV path; distributed vocab plan (driver_max_words=0) equals
+    the driver plan."""
+    import ray.data as rd
+    train_texts = ["low lower lowest low low", "newer newest new low"]
+    train = rd.from_arrow(pa.table({
+        "doc_id": [0, 1], "text": train_texts}))
+    merges = ta.bpe_train(train, num_merges=6)
+    other = rd.from_arrow(pa.table({
+        "doc_id": [7], "text": ["slower lowdown unseen"]}))
+    got = ta.bpe_encode(other, merges).take_all()[0]
+    assert list(got["bpe_tokens"]) == _reference_encode(
+        "slower lowdown unseen", merges)
+    got2 = ta.bpe_encode(other, merges,
+                         driver_max_words=0).take_all()[0]
+    assert list(got2["bpe_tokens"]) == list(got["bpe_tokens"])
