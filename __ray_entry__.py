@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 110 queries, 104 with DuckDB oracles (counts asserted
+Round-5 surface: 111 queries, 105 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_rules": docs.docs_gopher_rules,
         "docs_train_split": docs.docs_train_split,
         "docs_fuzzy_decontaminate": docs.docs_fuzzy_decontaminate,
+        "docs_moore_lewis": docs.docs_moore_lewis,
         "events_user_zscore": events.user_zscore_outliers,
         "events_user_ewma": events.user_value_ewma,
         "docs_epoch_shards": docs.docs_epoch_shards,
@@ -1059,6 +1060,52 @@ def oracle_sql() -> dict[str, str]:
                          6) AS bits_per_bigram
             FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1)
             GROUP BY b.doc_id ORDER BY doc_id""",
+        # Moore-Lewis cross-entropy difference: in-domain LM on the
+        # lang='en' slice (left joins + COALESCE: unseen bigrams score
+        # the add-alpha floor), general LM on the whole corpus; keep
+        # docs whose ROUNDED diff < 0 (flag compared on the rounded
+        # value on both sides)
+        "docs_moore_lewis": """
+            WITH toks AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS l
+              FROM documents),
+            big AS (
+              SELECT doc_id, lang, l[CAST(p AS INT)] AS w1,
+                     l[CAST(p AS INT) + 1] AS w2
+              FROM (SELECT doc_id, lang, l,
+                           unnest(generate_series(1, len(l) - 1)) AS p
+                    FROM toks)),
+            cbg AS (SELECT w1, w2, count(*) AS c12 FROM big
+                    GROUP BY w1, w2),
+            cug AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+            vg AS (SELECT count(DISTINCT w2) AS vs FROM big),
+            bt AS (SELECT * FROM big WHERE lang = 'en'),
+            cbt AS (SELECT w1, w2, count(*) AS c12 FROM bt
+                    GROUP BY w1, w2),
+            cut AS (SELECT w1, count(*) AS c1 FROM bt GROUP BY w1),
+            vt AS (SELECT count(DISTINCT w2) AS vs FROM bt),
+            gen AS (
+              SELECT b.doc_id,
+                     -avg(log2((c12 + 0.5)
+                               / (c1 + 0.5 * (SELECT vs FROM vg))))
+                         AS bits_gen
+              FROM big b JOIN cbg USING (w1, w2) JOIN cug USING (w1)
+              GROUP BY b.doc_id),
+            ind AS (
+              SELECT b.doc_id, count(*) AS n_bigrams,
+                     -avg(log2((COALESCE(t.c12, 0) + 0.5)
+                               / (COALESCE(u.c1, 0)
+                                  + 0.5 * (SELECT vs FROM vt))))
+                         AS bits_in
+              FROM big b
+              LEFT JOIN cbt t USING (w1, w2)
+              LEFT JOIN cut u USING (w1)
+              GROUP BY b.doc_id)
+            SELECT ind.doc_id AS doc_id, ind.n_bigrams,
+                   round(bits_in - bits_gen, 6) AS ce_diff,
+                   round(bits_in - bits_gen, 6) < 0 AS keep
+            FROM ind JOIN gen ON ind.doc_id = gen.doc_id
+            ORDER BY doc_id""",
         "doc_entity_pagerank": "WITH de AS (SELECT 'doc:' || doc_id AS d, 'ent:batch' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bbatch\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:shuffle' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bshuffle\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:spark' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bspark\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:stream' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bstream\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:vector' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bvector\\b')) > 0\n              UNION ALL SELECT 'doc:' || doc_id AS d, 'ent:window' AS e FROM documents WHERE len(regexp_extract_all(text, '\\bwindow\\b')) > 0),\nedges AS (SELECT d AS src, e AS dst FROM de UNION ALL SELECT e, d FROM de),\ndeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),\nnodes AS (SELECT DISTINCT src AS node FROM edges),\nparams AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),\nr0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank FROM nodes)\n, r1 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r0 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r2 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r1 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r3 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r2 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r4 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r3 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r5 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r4 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r6 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r5 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r7 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r6 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r8 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r7 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r9 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r8 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\n, r10 AS (SELECT nn.node, 0.15/(SELECT n FROM params) + 0.85*COALESCE(m.mass, 0) AS rank FROM nodes nn LEFT JOIN (SELECT e.dst AS node, sum(r.rank/dg.outdeg) AS mass FROM edges e JOIN r9 r ON r.node = e.src JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m ON m.node = nn.node)\nSELECT node, round(rank, 6) AS rank FROM r10",
         "docs_search_bm25": r"""
             WITH d AS (

@@ -550,6 +550,22 @@ def docs_perplexity(sf_dir: str):
         batch_format="pyarrow")
 
 
+def docs_moore_lewis(sf_dir: str):
+    """Moore-Lewis cross-entropy-difference data selection: in-domain
+    LM trained on the ``lang='en'`` slice, general LM on the whole
+    corpus; keep docs whose rounded ce_diff < 0 (more in-domain than
+    general)."""
+    from ferenda_ray.stages.text_analysis import moore_lewis_weights
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en"))
+        .select(["doc_id", "text"]),
+        batch_format="pyarrow")
+    body = docs.map_batches(lambda b: b.select(["doc_id", "text"]),
+                            batch_format="pyarrow")
+    return moore_lewis_weights(body, target)
+
+
 def docs_quality(sf_dir: str):
     from ferenda_ray.stages.text_analysis import quality_score
     return quality_score(_read_docs(sf_dir, ["doc_id", "text"]))

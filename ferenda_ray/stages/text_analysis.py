@@ -429,24 +429,35 @@ def perplexity_score(docs, train=None, alpha: float = 0.5,
         cu = big.groupby("w1").aggregate(_C(alias_name="c1"))
         v = int(big.groupby("w2").aggregate(
             _C(alias_name="__n")).count())
+        # self-trained: every scored bigram exists in the counts by
+        # construction, so the cheaper inner join is exact
+        jt = "inner"
     else:
         cb, cu, v = bigram_lm_counts(train, text_col, id_col)
+        # cross-trained: a scored bigram (or its context word) can be
+        # ABSENT from the training counts — add-alpha smoothing says
+        # it scores (0+a)/(c1+aV), not "drop it from the mean" (which
+        # an inner join silently did; caught composing Moore-Lewis)
+        jt = "left_outer"
     np_ = join_partitions()
     if not ray_join_handles_empty_blocks():
         co = coalesce_partitions()
         big, cb, cu = (d.repartition(co) for d in (big, cb, cu))
-    j = big.join(cb, join_type="inner", num_partitions=np_,
+    j = big.join(cb, join_type=jt, num_partitions=np_,
                  on=("w1", "w2"))
     if not ray_join_handles_empty_blocks():
         j = j.repartition(coalesce_partitions())
-    j = j.join(cu, join_type="inner", num_partitions=np_, on=("w1",))
+    j = j.join(cu, join_type=jt, num_partitions=np_, on=("w1",))
 
     av = float(alpha) * v
     a = float(alpha)
 
     def logp(b: pa.Table) -> pa.Table:
-        c12 = b.column("c12").to_numpy().astype(np.float64)
-        c1 = b.column("c1").to_numpy().astype(np.float64)
+        zero = pa.scalar(0, pa.int64())
+        c12 = pc.fill_null(b.column("c12"), zero) \
+            .to_numpy().astype(np.float64)
+        c1 = pc.fill_null(b.column("c1"), zero) \
+            .to_numpy().astype(np.float64)
         bits = -np.log2((c12 + a) / (c1 + av))
         return pa.table({id_col: b.column(id_col),
                          "__bits": pa.array(bits, pa.float64())})
@@ -1295,3 +1306,57 @@ def bpe_encode(docs, merges, text_col: str = "text",
 
     return stateful_map(docs, Encoder, (word_toks, ordered),
                         batch_size=4096)
+
+
+def moore_lewis_weights(docs, target, alpha: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-entropy difference data selection (Moore & Lewis 2010):
+    per doc, ``ce_diff = bits_in_domain − bits_general`` where the
+    in-domain bigram LM trains on ``target`` and the general LM on
+    the scored corpus itself; ``keep`` = docs that look more like the
+    target domain than the general corpus (``ce_diff < 0``, compared
+    on the 6-digit rounded value so the flag is float-stable).
+
+    Two :func:`perplexity_score` passes + one id hash join — both
+    per-doc statistic tables are corpus-row-sized with two numeric
+    columns, and the LM count tables stay Datasets throughout (the
+    cross-trained pass smooths unseen bigrams at the add-alpha
+    floor via left joins)."""
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+
+    bits_in = perplexity_score(docs, train=target, alpha=alpha,
+                               text_col=text_col, id_col=id_col)
+    bits_gen = perplexity_score(docs, alpha=alpha,
+                                text_col=text_col, id_col=id_col)
+
+    def rename(suffix):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: b.column(id_col),
+                "n_bigrams" + ("" if suffix == "_in" else "__d"):
+                    b.column("n_bigrams"),
+                "bits" + suffix: b.column("bits_per_bigram")})
+        return f
+
+    left = bits_in.map_batches(rename("_in"), batch_format="pyarrow")
+    right = bits_gen.map_batches(rename("_gen"), batch_format="pyarrow")
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        left, right = left.repartition(co), right.repartition(co)
+    j = left.join(right, join_type="inner", on=(id_col,),
+                  num_partitions=np_)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        d = (b.column("bits_in").to_numpy()
+             - b.column("bits_gen").to_numpy())
+        d6 = np.floor(np.abs(d) * 1e6 + 0.5) / 1e6 * np.sign(d)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_bigrams": b.column("n_bigrams"),
+            "ce_diff": pa.array(d6, pa.float64()),
+            "keep": pa.array(d6 < 0, pa.bool_())})
+
+    return j.map_batches(finalize, batch_format="pyarrow")

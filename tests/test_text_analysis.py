@@ -677,3 +677,65 @@ def test_bpe_encode_oov_and_plans(ray_session):
     got2 = ta.bpe_encode(other, merges,
                          driver_max_words=0).take_all()[0]
     assert list(got2["bpe_tokens"]) == list(got["bpe_tokens"])
+
+
+def test_perplexity_cross_trained_smooths_unseen(ray_session):
+    """Regression: a scored bigram ABSENT from the training counts
+    scores the add-alpha floor instead of being dropped from the
+    mean (the inner join silently dropped it before Moore-Lewis
+    composition exposed the bug)."""
+    import math
+    import ray.data as rd
+    train = rd.from_arrow(pa.table(
+        {"doc_id": [1], "text": ["a b a b"]}))
+    # "z q": bigram (z, q) unseen, context z unseen
+    score = rd.from_arrow(pa.table(
+        {"doc_id": [10], "text": ["z q"]}))
+    rows = {r["doc_id"]: r for r in
+            ta.perplexity_score(score, train=train).take_all()}
+    # train bigrams: (a,b)x2, (b,a); V = |{b, a}| = 2
+    want = -math.log2((0 + 0.5) / (0 + 0.5 * 2))
+    assert rows[10]["n_bigrams"] == 1
+    assert abs(rows[10]["bits_per_bigram"] - want) < 1e-9
+
+
+def test_moore_lewis_selects_in_domain(ray_session):
+    """ce_diff orders docs by target-likeness and `keep` flags the
+    in-domain side; values match a hand-rolled two-LM computation."""
+    import math
+    from collections import Counter
+    import ray.data as rd
+    texts = ["spark batch spark batch spark",    # in-domain-ish
+             "noise qq zz noise qq zz qq",       # out-of-domain
+             "spark batch noise zz spark"]       # mixed
+    ids = [0, 1, 2]
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    target = rd.from_arrow(pa.table(
+        {"doc_id": [100], "text": ["spark batch spark batch"]}))
+    got = {r["doc_id"]: r for r in
+           ta.moore_lewis_weights(docs, target).take_all()}
+
+    def bigrams(ts):
+        out = []
+        for t in ts:
+            w = t.split(" ")
+            out += list(zip(w, w[1:]))
+        return out
+
+    def bits(doc_text, train_texts):
+        tb = bigrams(train_texts)
+        cb, cu = Counter(tb), Counter(w1 for w1, _ in tb)
+        V = len({w2 for _, w2 in tb})
+        bs = [-math.log2((cb[(a, b)] + 0.5) / (cu[a] + 0.5 * V))
+              for a, b in bigrams([doc_text])]
+        return sum(bs) / len(bs)
+
+    for i, t in zip(ids, texts):
+        want = bits(t, ["spark batch spark batch"]) - bits(t, texts)
+        want6 = math.copysign(
+            math.floor(abs(want) * 1e6 + 0.5) / 1e6, want)
+        assert abs(got[i]["ce_diff"] - want6) < 1e-12, (i, want6)
+        assert got[i]["keep"] == (want6 < 0)
+    # absolute keep flags depend on the smoothing floor (tiny
+    # target vocab => cheap floor); the ORDERING is the invariant
+    assert got[0]["ce_diff"] < got[2]["ce_diff"] < got[1]["ce_diff"]
