@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 111 queries, 105 with DuckDB oracles (counts asserted
+Round-5 surface: 112 queries, 106 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles": docs.docs_length_quantiles,
         "docs_stratified_sample": docs.docs_stratified_sample,
         "embeddings_quantized": docs.embeddings_quantized,
+        "embeddings_semdedup": docs.embeddings_semdedup,
         "embeddings_label_count": docs.embeddings_label_count,
         "events_cumulative_users": events.cumulative_users,
         # --- round-5 additions (never driver-verified) ---
@@ -1921,6 +1922,20 @@ def oracle_sql() -> dict[str, str]:
     # the quality-filter oracle embeds the docs_quality SQL as a CTE
     d["docs_quality_filter"] = d["docs_quality_filter"].replace(
         "{DOCS_QUALITY}", d["docs_quality"])
+    # SemDeDup: the unrolled-kmeans assignment feeds an EXISTS
+    # lower-id-same-cluster-neighbor check on 6-digit rounded cosines
+    d["embeddings_semdedup"] = """
+        WITH asg AS ({KMEANS}),
+        p AS (SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS x
+              FROM asg a JOIN embeddings e USING (vec_id))
+        SELECT p.vec_id, p.cluster,
+               NOT EXISTS (
+                 SELECT 1 FROM p q
+                 WHERE q.cluster = p.cluster AND q.vec_id < p.vec_id
+                   AND round(list_cosine_similarity(q.x, p.x), 6)
+                       >= 0.4) AS keep
+        FROM p ORDER BY vec_id""".replace(
+        "{KMEANS}", d["embeddings_kmeans"])
     return d
 
 

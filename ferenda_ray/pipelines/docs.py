@@ -1002,6 +1002,16 @@ def embeddings_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
     return assigns
 
 
+def embeddings_semdedup(sf_dir: str, eps: float = 0.4):
+    """SemDeDup over the embeddings table: k-means buckets (the
+    oracled k=4/iters=2 instance) + within-cluster cosine pruning,
+    keep-first.  ORACLE: the unrolled-kmeans SQL feeding an EXISTS
+    lower-id-neighbor check on 6-digit rounded cosines."""
+    from ferenda_ray.stages.similarity import semdedup
+    return semdedup(_read_emb(sf_dir).materialize(), k=4, iters=2,
+                    eps=eps)
+
+
 def embeddings_quantized(sf_dir: str):
     """int8-quantized embeddings EXPLODED to one row per dimension
     (the fingerprints pattern: the driver's value hash needs scalar

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ferenda_ray.stages.broadcast import resolve, stateful_map
 
@@ -915,3 +916,92 @@ def pca_components(embeddings, k: int = 4, vec_col: str = "embedding"):
                      "dim": pa.array(dims, pa.int64()),
                      "value": pa.array(vals, pa.float64()),
                      "explained_var": pa.array(ev, pa.float64())})
+
+
+def semdedup(embeddings, k: int = 4, iters: int = 2,
+             eps: float = 0.95, vec_col: str = "embedding",
+             id_col: str = "vec_id", shards: int | None = None):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means
+    bucketing + within-cluster cosine pruning — drop a vector iff a
+    LOWER-id member of its cluster has cosine ≥ ``eps`` with it (the
+    deterministic keep-first variant of the paper's per-pair policy).
+    Returns ``(vec_id, cluster, keep)``.
+
+    This is also the embedding near-dup SCALE shape: pairs are only
+    computed WITHIN clusters (choose k ≈ N/⟨cluster size⟩ so the
+    per-cluster n² stays bounded), unlike the all-pairs
+    ``dedup.embedding_neardup_pairs`` baseline.  The cluster pass is
+    :func:`kmeans_iterate` (deterministic smallest-id init, so the
+    whole composition stays oracle-checkable by unrolled SQL);
+    clusters shuffle ONCE keyed by ``cluster % shards`` and each
+    shard handles its clusters in one task (numpy segmentation, one
+    matmul per cluster — no per-cluster Ray task).
+
+    Cosines are rounded (half-away, 6 digits) BEFORE the ≥ eps
+    compare on both the numpy and SQL sides, so a summation-order ulp
+    cannot flip a drop decision."""
+    from ferenda_ray.cluster import (cluster_cpus, coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+
+    C, assigns = kmeans_iterate(embeddings, k=k, iters=iters,
+                                vec_col=vec_col, id_col=id_col)
+    dim = C.shape[1]
+    shards = shards or min(k, cluster_cpus() * 2)
+
+    # pack the vector into one fixed-size binary value: Arrow's hash
+    # join cannot carry list payload columns (the minhash sig-join
+    # packing, dedup.py)
+    def pack(b: pa.Table) -> pa.Table:
+        X = _col_matrix(b, vec_col).astype("<f8")
+        buf = pa.py_buffer(np.ascontiguousarray(X).tobytes())
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(dim * 8), b.num_rows, [None, buf])
+        return pa.table({id_col: b.column(id_col), "__vec": fsb})
+
+    vecs = embeddings.map_batches(pack, batch_format="pyarrow")
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        assigns, vecs = assigns.repartition(co), vecs.repartition(co)
+    j = assigns.join(vecs, join_type="inner", on=(id_col,),
+                     num_partitions=np_)
+    j = j.map_batches(
+        lambda b: b.append_column(
+            "__shard", pc.cast(
+                pc.subtract(b.column("cluster"),
+                            pc.multiply(pc.divide(b.column("cluster"),
+                                                  pa.scalar(shards,
+                                                            pa.int64())),
+                                        pa.scalar(shards, pa.int64()))),
+                pa.int64())),
+        batch_format="pyarrow")
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        cl = group.column("cluster").to_numpy()
+        order = np.lexsort((ids, cl))
+        ids, cl = ids[order], cl[order]
+        raw = b"".join(m.as_py() for m in
+                       group.column("__vec").combine_chunks())
+        X = np.frombuffer(raw, dtype="<f8").reshape(len(ids), dim)[order]
+        Xn = _normalize(X)
+        keep = np.ones(len(ids), dtype=bool)
+        bounds = np.flatnonzero(np.diff(cl)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(cl)]))
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            G = Xn[s:e] @ Xn[s:e].T
+            G6 = np.floor(np.abs(G) * 1e6 + 0.5) / 1e6 * np.sign(G)
+            hit = np.triu(G6 >= eps, k=1).any(axis=0)
+            keep[s:e] = ~hit
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "keep": pa.array(keep, pa.bool_())})
+
+    return j.groupby("__shard").map_groups(prune,
+                                           batch_format="pyarrow")

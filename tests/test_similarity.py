@@ -251,3 +251,37 @@ def test_pca_components_match_eigh(ray_session):
         assert np.allclose(mine, vec, atol=1e-5), c
         ev = got[got.component == c].explained_var.iloc[0]
         assert abs(ev - w[order[c]] / w.sum()) < 1e-5
+
+
+def test_semdedup_matches_bruteforce(ray_session):
+    """SemDeDup keep set == numpy brute force over the SAME kmeans
+    assignment (keep-first within cluster at rounded cosine >= eps);
+    planted duplicates are dropped, their lowest id kept."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.similarity import kmeans_iterate, semdedup
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((60, 8))
+    V[30] = V[4]                       # exact dup
+    V[31] = V[4] + 0.001 * rng.standard_normal(8)   # near dup
+    V[45] = -V[4]                      # anti-correlated: NOT a dup
+    t = pa.table({"vec_id": list(range(60)),
+                  "embedding": [v.tolist() for v in V]})
+    ds = rd.from_arrow(t).materialize()
+    eps = 0.95
+    got = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in semdedup(ds, k=4, iters=2, eps=eps).take_all()}
+    _, assigns = kmeans_iterate(ds, k=4, iters=2)
+    cl = {r["vec_id"]: r["cluster"] for r in assigns.take_all()}
+    Xn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for v in range(60):
+        G = Xn[v] @ Xn.T
+        g6 = np.floor(np.abs(G) * 1e6 + 0.5) / 1e6 * np.sign(G)
+        want_keep = not any(
+            cl[u] == cl[v] and g6[u] >= eps for u in range(v))
+        assert got[v] == (cl[v], want_keep), v
+    assert not got[30][1] and not got[31][1]   # dups dropped
+    assert got[4][1]                           # lowest id kept
+    # anti-correlated vector survives even if co-clustered
+    assert got[45][1]
