@@ -389,7 +389,8 @@ def bigram_lm_counts(docs, text_col: str = "text",
 
 
 def perplexity_score(docs, train=None, alpha: float = 0.5,
-                     text_col: str = "text", id_col: str = "doc_id"):
+                     text_col: str = "text", id_col: str = "doc_id",
+                     broadcast_bytes: int = 256 << 20):
     """Per-doc bits-per-bigram under an add-alpha bigram LM:
     ``-mean(log2((c12+alpha) / (c1+alpha*V)))`` — the CCNet filter
     statistic (low = fluent/in-domain, high = noise).  ``train``
@@ -400,30 +401,42 @@ def perplexity_score(docs, train=None, alpha: float = 0.5,
     bigrams).  Returns ``(doc_id, n_bigrams, bits_per_bigram)``
     with the float UNROUNDED — callers pin digits for comparison.
 
-    Scale: scoring joins each doc bigram to the count tables on
-    ``(w1, w2)`` then ``(w1,)`` — hash exchanges, no broadcast — and
-    reduces per doc with Sum/Count.  Every doc-sized or model-sized
-    structure stays a Dataset end-to-end."""
+    Two physical plans, picked from the MEASURED count-table size
+    (LM counts are VOCABULARY²-bounded, not corpus-sized):
+
+    * **≤ broadcast_bytes** — the count dicts ship once through the
+      ``stateful_map`` policy and every doc scores in ONE map pass:
+      zero joins, zero per-doc shuffles (the groupby disappears
+      because a doc's bigrams live in its own batch row).
+    * **larger** — scoring joins each doc bigram to the count tables
+      on ``(w1, w2)`` then ``(w1,)`` — hash exchanges, no broadcast —
+      and reduces per doc with Sum/Count.  Every doc-sized or
+      model-sized structure stays a Dataset end-to-end.
+
+    Both plans are asserted value-identical in pytest."""
     from ray.data.aggregate import Count as _Count, Sum as _Sum
 
     from ferenda_ray.cluster import (coalesce_partitions,
                                      join_partitions,
                                      ray_join_handles_empty_blocks)
 
-    # materialize the scored-side bigram table: it feeds the join AND
-    # (in the default self-trained arrangement) the count tables — one
-    # explode pass instead of three, and the empty-corpus guard below
-    # needs a count.  Blocks live in the object store (spillable).
-    big = _bigram_explode(docs, text_col, id_col).materialize()
-    if big.count() == 0:
-        # no doc has two tokens: nothing to score (and Acero cannot
-        # infer the schema of a zero-row join side)
+    def _empty():
         import ray.data as _rd
         return _rd.from_arrow(pa.table(
             {id_col: pa.array([], pa.int64()),
              "n_bigrams": pa.array([], pa.int64()),
              "bits_per_bigram": pa.array([], pa.float64())}))
+
+    big = None
     if train is None:
+        # materialize the scored-side bigram table: it feeds the
+        # count tables AND (join plan) the join — one explode pass
+        # instead of three.  Blocks live in the object store
+        # (spillable).  Cross-trained paths never build it unless the
+        # join plan needs it (the broadcast Scorer re-splits text).
+        big = _bigram_explode(docs, text_col, id_col).materialize()
+        if big.count() == 0:
+            return _empty()
         from ray.data.aggregate import Count as _C
         cb = big.groupby(["w1", "w2"]).aggregate(_C(alias_name="c12"))
         cu = big.groupby("w1").aggregate(_C(alias_name="c1"))
@@ -439,6 +452,60 @@ def perplexity_score(docs, train=None, alpha: float = 0.5,
         # it scores (0+a)/(c1+aV), not "drop it from the mean" (which
         # an inner join silently did; caught composing Moore-Lewis)
         jt = "left_outer"
+
+    cb = cb.materialize()
+    cu = cu.materialize()
+    if cb.size_bytes() + cu.size_bytes() <= broadcast_bytes:
+        # ---- broadcast plan: dict lookups inside one map pass ----
+        import ray as _ray
+        cbd, cud = {}, {}
+        # empty aggregate blocks carry no schema — skip them
+        for t in _ray.get(cb.to_arrow_refs()):
+            if t.num_rows:
+                cbd.update(zip(zip(t.column("w1").to_pylist(),
+                                   t.column("w2").to_pylist()),
+                               t.column("c12").to_pylist()))
+        for t in _ray.get(cu.to_arrow_refs()):
+            if t.num_rows:
+                cud.update(zip(t.column("w1").to_pylist(),
+                               t.column("c1").to_pylist()))
+        a, av = float(alpha), float(alpha) * v
+
+        class Scorer:
+            def __init__(self, ref):
+                self.cb, self.cu = resolve(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids, nb, bits = [], [], []
+                for i, t in zip(b.column(id_col).to_pylist(),
+                                b.column(text_col).to_pylist()):
+                    # literal single-space split, matching
+                    # _bigram_explode's str.split(" ")
+                    w = t.split(" ")
+                    if len(w) < 2:
+                        continue
+                    cbg, cug = self.cb.get, self.cu.get
+                    s = 0.0
+                    for p in zip(w, w[1:]):
+                        s -= np.log2((cbg(p, 0) + a)
+                                     / (cug(p[0], 0) + av))
+                    ids.append(i)
+                    nb.append(len(w) - 1)
+                    bits.append(s / (len(w) - 1))
+                return pa.table({
+                    id_col: pa.array(ids, pa.int64()),
+                    "n_bigrams": pa.array(nb, pa.int64()),
+                    "bits_per_bigram": pa.array(bits, pa.float64())})
+
+        from ferenda_ray.stages.broadcast import resolve, stateful_map
+        return stateful_map(docs, Scorer, (cbd, cud), batch_size=4096)
+
+    # ---- join plan (count tables larger than the broadcast cap) ----
+    if big is None:
+        big = _bigram_explode(docs, text_col, id_col).materialize()
+        if big.count() == 0:
+            # Acero cannot infer the schema of a zero-row join side
+            return _empty()
     np_ = join_partitions()
     if not ray_join_handles_empty_blocks():
         co = coalesce_partitions()
@@ -1326,10 +1393,16 @@ def moore_lewis_weights(docs, target, alpha: float = 0.5,
                                      join_partitions,
                                      ray_join_handles_empty_blocks)
 
+    # phase barriers: each leg holds 2 hash joins, and Ray's join
+    # aggregator actors reserve join_partitions() CPUs per join for
+    # the life of the topology — 5 concurrent joins (2+2+1) starve
+    # the map stages (46.7 s at sf0.1; 11 s phased).  The barrier
+    # holds only the per-doc (id, n_bigrams, bits) stat table.
     bits_in = perplexity_score(docs, train=target, alpha=alpha,
-                               text_col=text_col, id_col=id_col)
-    bits_gen = perplexity_score(docs, alpha=alpha,
-                                text_col=text_col, id_col=id_col)
+                               text_col=text_col,
+                               id_col=id_col).materialize()
+    bits_gen = perplexity_score(docs, alpha=alpha, text_col=text_col,
+                                id_col=id_col).materialize()
 
     def rename(suffix):
         def f(b: pa.Table) -> pa.Table:

@@ -739,3 +739,26 @@ def test_moore_lewis_selects_in_domain(ray_session):
     # absolute keep flags depend on the smoothing floor (tiny
     # target vocab => cheap floor); the ORDERING is the invariant
     assert got[0]["ce_diff"] < got[2]["ce_diff"] < got[1]["ce_diff"]
+
+
+def test_perplexity_plans_identical(ray_session):
+    """Broadcast-dict and join scoring plans agree to float noise
+    (broadcast_bytes=0 forces the join plan), self- and
+    cross-trained."""
+    import ray.data as rd
+    texts = ["a b a b c", "b c b c b", "z q a"]
+    ds = rd.from_arrow(pa.table(
+        {"doc_id": [0, 1, 2], "text": texts})).materialize()
+    train = rd.from_arrow(pa.table(
+        {"doc_id": [9], "text": ["a b a b"]})).materialize()
+    for tr in (None, train):
+        fast = {r["doc_id"]: r for r in
+                ta.perplexity_score(ds, train=tr).take_all()}
+        slow = {r["doc_id"]: r for r in
+                ta.perplexity_score(ds, train=tr,
+                                    broadcast_bytes=0).take_all()}
+        assert set(fast) == set(slow)
+        for i in fast:
+            assert fast[i]["n_bigrams"] == slow[i]["n_bigrams"]
+            assert abs(fast[i]["bits_per_bigram"]
+                       - slow[i]["bits_per_bigram"]) < 1e-9
