@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 112 queries, 106 with DuckDB oracles (counts asserted
+Round-5 surface: 113 queries, 107 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_logreg_scores": docs.embeddings_logreg_scores,
         "docs_quality_filter": docs.docs_quality_filter,
         "docs_gopher_rules": docs.docs_gopher_rules,
+        "docs_normalize": docs.docs_normalize,
         "docs_train_split": docs.docs_train_split,
         "docs_fuzzy_decontaminate": docs.docs_fuzzy_decontaminate,
         "docs_moore_lewis": docs.docs_moore_lewis,
@@ -1839,6 +1840,20 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_alpha_words >= 0.8
                     AND n_stop_hits >= 2) AS passes_gopher
             FROM m""",
+        # unicode NFC + control strip + whitespace collapse + trim +
+        # lowercase (NFKC has no DuckDB twin; pytest-pinned instead)
+        "docs_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                        lower(nfc_normalize(text)),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                        '\s+', ' ', 'g'), ' ') AS norm_text,
+                   length(text) AS n_chars_before,
+                   length(trim(regexp_replace(regexp_replace(
+                        lower(nfc_normalize(text)),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                        '\s+', ' ', 'g'), ' ')) AS n_chars_after
+            FROM documents""",
         # one-row dataset-card summary (every component a distributed
         # aggregate; only six scalars reach the driver)
         "docs_corpus_stats": r"""

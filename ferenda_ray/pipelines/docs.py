@@ -1394,6 +1394,15 @@ def docs_packed_sequences(sf_dir: str, seq_len: int = 1024):
                           seq_len=seq_len)
 
 
+def docs_normalize(sf_dir: str):
+    """Unicode NFC + control-strip + whitespace-collapse + lowercase
+    normalization (the oracled NFC instance of
+    ``text_analysis.normalize_text``; NFKC is pytest-pinned)."""
+    from ferenda_ray.stages.text_analysis import normalize_text
+    return normalize_text(_read_docs(sf_dir, ["doc_id", "text"]),
+                          form="NFC")
+
+
 def docs_gopher_rules(sf_dir: str):
     """The published Gopher document-quality rule gate (Rae et al.
     2021): per-rule boolean flags + the measured statistics, exact

@@ -1433,3 +1433,51 @@ def moore_lewis_weights(docs, target, alpha: float = 0.5,
             "keep": pa.array(d6 < 0, pa.bool_())})
 
     return j.map_batches(finalize, batch_format="pyarrow")
+
+
+def normalize_text(docs, form: str = "NFKC", lowercase: bool = True,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Unicode + whitespace normalization — the canonical first
+    cleaning stage: unicode normal form (``NFKC`` default; pass
+    ``None`` to skip), control-character strip, whitespace collapse
+    to single spaces, edge trim, optional lowercasing.  The regex
+    passes are vectorized polars kernels; the unicode form runs
+    through ``unicodedata.normalize`` with an ``isascii()`` fast
+    path — pyarrow 16.1's ``utf8_normalize`` is NOT used because its
+    NFC/NFKC emit DECOMPOSED forms (verified vs unicodedata:
+    Å → A+U+030A).  Returns ``(id, norm_text, n_chars_before,
+    n_chars_after)``.
+
+    The oracled driver instance runs ``form="NFC"`` because DuckDB
+    exposes only ``nfc_normalize``; NFKC (compatibility folding — the
+    form real pipelines want) is pytest-pinned on crafted unicode."""
+    def norm(b: pa.Table) -> pa.Table:
+        txt = b.column(text_col)
+        if form:
+            import unicodedata
+            txt = pa.array(
+                [t if t.isascii() else unicodedata.normalize(form, t)
+                 for t in txt.to_pylist()], pa.string())
+        df = pl.from_arrow(pa.table({id_col: b.column(id_col),
+                                     "__t": txt,
+                                     "__orig": b.column(text_col)}))
+        t = pl.col("__t")
+        if lowercase:
+            t = t.str.to_lowercase()
+        # keep \t \n \r out of the control class: they are WHITESPACE
+        # and must collapse to a space, not vanish (tab-fused words)
+        t = (t.str.replace_all(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+             .str.replace_all(r"\s+", " ")
+             .str.strip_chars(" "))
+        out = df.select(
+            pl.col(id_col),
+            t.alias("norm_text"),
+            pl.col("__orig").str.len_chars().cast(pl.Int64)
+            .alias("n_chars_before"))
+        out = out.with_columns(
+            pl.col("norm_text").str.len_chars().cast(pl.Int64)
+            .alias("n_chars_after"))
+        return out.to_arrow()
+
+    return docs.map_batches(norm, batch_format="pyarrow",
+                            batch_size=16384)

@@ -762,3 +762,26 @@ def test_perplexity_plans_identical(ray_session):
             assert fast[i]["n_bigrams"] == slow[i]["n_bigrams"]
             assert abs(fast[i]["bits_per_bigram"]
                        - slow[i]["bits_per_bigram"]) < 1e-9
+
+
+def test_normalize_text_unicode(ray_session):
+    """NFKC folding, control strip, whitespace collapse, trim, case —
+    on crafted unicode the SQL oracle can't express."""
+    import ray.data as rd
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["ﬁne  TEXT\x00 here ",   # ﬁ ligature, nbsp, NUL
+                 "  plain   spaced\tout\n",
+                 "Å ring"]})                    # Å (angstrom sign)
+    out = {r["doc_id"]: r for r in
+           ta.normalize_text(rd.from_arrow(docs)).take_all()}
+    assert out[1]["norm_text"] == "fine text here"   # NFKC: ﬁ→fi, nbsp→sp
+    assert out[2]["norm_text"] == "plain spaced out"
+    assert out[3]["norm_text"] == "å ring"      # NFKC+lower: Å→å
+    assert out[1]["n_chars_before"] == len(docs.column("text")[0].as_py())
+    assert out[1]["n_chars_after"] == len("fine text here")
+    # no-normalization mode leaves the ligature alone
+    raw = {r["doc_id"]: r["norm_text"] for r in
+           ta.normalize_text(rd.from_arrow(docs), form=None,
+                             lowercase=False).take_all()}
+    assert raw[1].startswith("ﬁne")
