@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 113 queries, 107 with DuckDB oracles (counts asserted
+Round-5 surface: 118 queries, 112 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -93,7 +93,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ferenda_ray.pipelines import docs, events, relational
+    from ferenda_ray.pipelines import code, docs, events, relational
 
     def kg_pipeline_synthetic(sf_dir: str):
         """Full 4-stage KG pipeline on the deterministic synthetic code
@@ -167,8 +167,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": docs.kg_incremental,
         "docs_fingerprint_pairs": docs.docs_fingerprint_pairs,
         "docs_incremental_neardup": docs.docs_incremental_neardup,
+        # --- NEW session 3: code-corpus hygiene over the north-rule
+        # input shape (repo, path, commit, lang, content); oracles
+        # recompute from raw sources.parquet, independent of the
+        # generator's goldens.  In-window by necessity: their oracle
+        # SQL reads the sf0.01 corpus cache path ---
+        "code_stack_filters": code.code_stack_filters,
+        "code_comment_stats": code.code_comment_stats,
+        "code_repo_comment_rollup": code.code_repo_comment_rollup,
+        "code_xref_edges": code.code_xref_edges,
+        "code_xref_degrees": code.code_xref_degrees,
         # --- implementation changed this round: kept/promoted in-window ---
-        "doc_triples": docs.doc_triples,        # shared-kernel refactor
         "embeddings_neardup": docs.embeddings_neardup,  # plan pick
         "docs_minhash_clusters": docs.docs_minhash_clusters,  # delegation
         "events_latest_per_type": events.latest_per_type,   # combiner
@@ -201,24 +210,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_moore_lewis": docs.docs_moore_lewis,
         "events_user_zscore": events.user_zscore_outliers,
         "events_user_ewma": events.user_value_ewma,
-        "docs_epoch_shards": docs.docs_epoch_shards,
         "docs_corpus_stats": docs.docs_corpus_stats,
         "docs_length_quantiles": docs.docs_length_quantiles,
         "docs_stratified_sample": docs.docs_stratified_sample,
         "embeddings_quantized": docs.embeddings_quantized,
         "embeddings_semdedup": docs.embeddings_semdedup,
-        "embeddings_label_count": docs.embeddings_label_count,
         "events_cumulative_users": events.cumulative_users,
         # --- round-5 additions (never driver-verified) ---
         "docs_segment_dup_stats": docs.docs_segment_dup_stats,
         "docs_remove_common_segments": docs.docs_remove_common_segments,
         "docs_segments_keep_first": docs.docs_segments_keep_first,
         # --- core spine (driver-green rounds 1-4; catches plumbing
-        # regressions inside the window; q1/doc_facets/exact_dedup
-        # moved past-window — 3+ green driver rounds each, still
+        # regressions inside the window; q1/doc_facets/exact_dedup/
+        # doc_triples/search_bm25/minhash_verified_dups moved
+        # past-window — 3+ green driver rounds each, still
         # pytest-oracle-verified there) ---
-        "docs_search_bm25": docs.docs_search_bm25,
-        "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_simhash_pairs": docs.docs_simhash_pairs,
         "events_sessionize": events.sessionize,
@@ -226,6 +232,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- position >50 below: rotated OUT this round
         # (driver-green in rounds 1-4); every oracled entry here is
         # verified per-commit by tests/test_query_oracles.py -----------
+        "doc_triples": docs.doc_triples,
+        "docs_search_bm25": docs.docs_search_bm25,
+        "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
+        "embeddings_label_count": docs.embeddings_label_count,
+        "docs_epoch_shards": docs.docs_epoch_shards,
         "doc_mentions": docs.doc_mentions,
         "docs_clean_corpus": docs.docs_clean_corpus,
         "ann_topk": docs.ann_topk,
@@ -443,6 +454,123 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {uri}, '{_NS["sha"]}', 'literal', sha256(text)
             FROM documents""",
+        # --- code-corpus hygiene: every oracle recomputes its
+        # statistics from the RAW sources.parquet (the north-rule
+        # input table), so the SQL side shares nothing with the
+        # operator or the generator's goldens.  Thresholds 92/32/0.72
+        # are corpus-calibrated so both branches of every flag carry
+        # rows (published Stack defaults are the operator's own
+        # defaults; pipelines/code.py docstring) ---
+        "code_stack_filters": f"""
+            WITH f AS (
+              SELECT repo, path, lang, content,
+                     string_split(content, chr(10)) AS ls
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            s AS (
+              SELECT repo, path, lang,
+                     len(ls) AS n_lines,
+                     list_max(list_transform(ls, x -> len(x)))
+                       AS max_line_len,
+                     round(list_sum(list_transform(ls, x -> len(x)))
+                           * 1.0 / greatest(len(ls), 1), 6)
+                       AS avg_line_len,
+                     round(len(regexp_replace(content, '[^A-Za-z0-9]',
+                                              '', 'g')) * 1.0
+                           / greatest(len(content), 1), 6)
+                       AS alnum_frac,
+                     regexp_matches(substr(content, 1, 300),
+                       '(?i)auto-?generated|generated by|do not edit')
+                       AS is_autogen
+              FROM f)
+            SELECT repo, path, lang, n_lines, max_line_len,
+                   avg_line_len, alnum_frac, is_autogen,
+                   max_line_len <= 92 AS pass_max_line,
+                   avg_line_len <= 32.0 AS pass_avg_line,
+                   alnum_frac >= 0.72 AS pass_alnum,
+                   (max_line_len <= 92 AND avg_line_len <= 32.0
+                    AND alnum_frac >= 0.72 AND NOT is_autogen)
+                     AS passes_stack
+            FROM s""",
+        "code_comment_stats": f"""
+            WITH f AS (
+              SELECT repo, path, lang,
+                     string_split(content, chr(10)) AS ls
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            s AS (
+              SELECT repo, path, lang, len(ls) AS n_lines,
+                     len(list_filter(ls,
+                         x -> regexp_matches(x, '^\\s*$')))
+                       AS blank_lines,
+                     CASE
+                       WHEN lang = 'python' THEN len(list_filter(ls,
+                            x -> regexp_matches(x, '^\\s*#')))
+                       WHEN lang IN ('go', 'java')
+                         THEN len(list_filter(ls,
+                            x -> regexp_matches(x, '^\\s*//')))
+                       ELSE 0 END AS comment_lines
+              FROM f)
+            SELECT repo, path, lang, n_lines, blank_lines,
+                   comment_lines,
+                   n_lines - blank_lines - comment_lines AS code_lines,
+                   round(comment_lines * 1.0
+                         / greatest(n_lines - blank_lines, 1), 6)
+                     AS comment_frac
+            FROM s""",
+        "code_repo_comment_rollup": f"""
+            WITH f AS (
+              SELECT repo, lang, string_split(content, chr(10)) AS ls
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            s AS (
+              SELECT repo, len(ls) AS n_lines,
+                     len(list_filter(ls,
+                         x -> regexp_matches(x, '^\\s*$')))
+                       AS blank_lines,
+                     CASE
+                       WHEN lang = 'python' THEN len(list_filter(ls,
+                            x -> regexp_matches(x, '^\\s*#')))
+                       WHEN lang IN ('go', 'java')
+                         THEN len(list_filter(ls,
+                            x -> regexp_matches(x, '^\\s*//')))
+                       ELSE 0 END AS comment_lines
+              FROM f)
+            SELECT repo, count(*) AS n_files,
+                   SUM(n_lines) AS total_lines,
+                   SUM(comment_lines) AS total_comment,
+                   SUM(blank_lines) AS total_blank,
+                   round(SUM(comment_lines) * 1.0
+                         / greatest(SUM(n_lines) - SUM(blank_lines),
+                                    1), 6) AS comment_frac
+            FROM s GROUP BY repo""",
+        "code_xref_edges": f"""
+            SELECT repo, path,
+                   unnest(regexp_extract_all(content,
+                     'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                     1)) AS dst_repo,
+                   unnest(regexp_extract_all(content,
+                     'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                     2)) AS dst_path
+            FROM read_parquet('{kg_cache}/sources.parquet')""",
+        "code_xref_degrees": f"""
+            WITH e AS (
+              SELECT repo, path,
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       1)) AS dst_repo,
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       2)) AS dst_path
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            o AS (SELECT repo, path, count(*) AS fan_out FROM e
+                  GROUP BY repo, path),
+            i AS (SELECT dst_repo, dst_path, count(*) AS fan_in FROM e
+                  GROUP BY dst_repo, dst_path)
+            SELECT f.repo AS repo, f.path AS path, f.lang AS lang,
+                   COALESCE(o.fan_out, 0) AS fan_out,
+                   COALESCE(i.fan_in, 0) AS fan_in
+            FROM read_parquet('{kg_cache}/sources.parquet') f
+            LEFT JOIN o ON o.repo = f.repo AND o.path = f.path
+            LEFT JOIN i ON i.dst_repo = f.repo
+                       AND i.dst_path = f.path""",
         # the banded-Hamming pair kernel (shared by SimHash and the
         # perceptual image/audio/video near-dup family) over a
         # deterministic 64-bit fingerprint: md5_number_lower(lang)

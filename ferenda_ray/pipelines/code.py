@@ -1,0 +1,90 @@
+"""Driver queries over the synthetic source-code corpus.
+
+These run the :mod:`ferenda_ray.stages.code_quality` operators over
+the SAME deterministic ``(repo, path, commit, lang, content)`` corpus
+the flagship KG pipeline consumes (north-rule input shape), cached
+per size under ``/tmp/ferenda_ray_corpus_<n>``.  Unlike the flagship
+(whose oracle is the generator's golden triples), every query here is
+checked against an INDEPENDENT DuckDB restatement over the raw
+``sources.parquet`` — SQL recomputes the statistics from content, so
+generator and operator cannot share a bug.
+
+Thresholds for the gate query are tightened from the published Stack
+defaults (1000/100/0.25) to values inside the synthetic corpus's
+measured distribution (92/32/0.72) so BOTH branches of every flag are
+exercised at every scale; the operator itself defaults to the
+published numbers.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _sources(sf_dir: str):
+    """Corpus Dataset for the sf tier, generating the cache on first
+    use (same n↔sf mapping as the flagship so the cache is shared)."""
+    import ray.data as rd
+    from ferenda_ray.corpus import CorpusSpec, write_corpus
+    n = 200 if "0.001" in sf_dir else (400 if "0.01" in sf_dir else 1200)
+    cache = f"/tmp/ferenda_ray_corpus_{n}"
+    if not os.path.exists(os.path.join(cache, "sources.parquet")):
+        write_corpus(CorpusSpec(n_files=n), cache)
+    return rd.read_parquet(os.path.join(cache, "sources.parquet"))
+
+
+def corpus_cache_path(sf_dir: str) -> str:
+    """The sources.parquet path for the tier (oracle SQL reads it)."""
+    n = 200 if "0.001" in sf_dir else (400 if "0.01" in sf_dir else 1200)
+    return f"/tmp/ferenda_ray_corpus_{n}/sources.parquet"
+
+
+def code_stack_filters(sf_dir: str):
+    """Stack-style per-file gates with corpus-calibrated thresholds
+    (both branches of every flag populated — see module docstring)."""
+    from ferenda_ray.stages.code_quality import stack_filters
+    ds = stack_filters(_sources(sf_dir), max_line_len=92,
+                       max_avg_line_len=32.0, min_alnum_frac=0.72)
+    return ds.map_batches(
+        lambda b: b.select(
+            ["repo", "path", "lang", "n_lines", "max_line_len",
+             "avg_line_len", "alnum_frac", "is_autogen",
+             "pass_max_line", "pass_avg_line", "pass_alnum",
+             "passes_stack"]),
+        batch_format="pyarrow")
+
+
+def code_comment_stats(sf_dir: str):
+    """Per-file comment / blank / code line counts + comment_frac."""
+    from ferenda_ray.stages.code_quality import comment_stats
+    ds = comment_stats(_sources(sf_dir))
+    return ds.map_batches(
+        lambda b: b.select(
+            ["repo", "path", "lang", "n_lines", "blank_lines",
+             "comment_lines", "code_lines", "comment_frac"]),
+        batch_format="pyarrow")
+
+
+def code_repo_comment_rollup(sf_dir: str):
+    """Repo-level comment density (one tiny groupby exchange)."""
+    from ferenda_ray.stages.code_quality import repo_comment_rollup
+    return repo_comment_rollup(_sources(sf_dir))
+
+
+def code_xref_edges(sf_dir: str):
+    """The file dependency edge list (multiplicity preserved)."""
+    from ferenda_ray.stages.code_quality import xref_edges
+    ds = xref_edges(_sources(sf_dir))
+    return ds.map_batches(
+        lambda b: b.select(["repo", "path", "dst_repo", "dst_path"]),
+        batch_format="pyarrow")
+
+
+def code_xref_degrees(sf_dir: str):
+    """Per-file fan-out / fan-in over the dependency graph."""
+    from ferenda_ray.stages.code_quality import xref_degrees
+    ds = xref_degrees(_sources(sf_dir))
+    return ds.map_batches(
+        lambda b: b.select(["repo", "path", "lang",
+                            "fan_out", "fan_in"]),
+        batch_format="pyarrow")
