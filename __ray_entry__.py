@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 118 queries, 112 with DuckDB oracles (counts asserted
+Round-5 surface: 119 queries, 113 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # not SQL-expressible; its covariance INPUT is the oracle-
         # checked exact twin and the decomposition is pytest-verified
         "docs_fingerprints": docs.docs_fingerprints,
+        "docs_dsir": docs.docs_dsir,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -1190,6 +1191,36 @@ def oracle_sql() -> dict[str, str]:
                          6) AS bits_per_bigram
             FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1)
             GROUP BY b.doc_id ORDER BY doc_id""",
+        # DSIR (hashed-bigram importance resampling): bucket =
+        # md5_number_lower(bigram) % 1024 (the engine's DuckDB-parity
+        # hash), target = lang='en', add-one smoothing over the
+        # bucket space; keep on the ROUNDED mean log ratio > 0
+        "docs_dsir": """
+            WITH toks AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS l
+              FROM documents),
+            big AS (
+              SELECT doc_id, lang,
+                     l[CAST(p AS INT)] || ' '
+                       || l[CAST(p AS INT) + 1] AS bg
+              FROM (SELECT doc_id, lang, l,
+                           unnest(generate_series(1, len(l) - 1)) AS p
+                    FROM toks)),
+            bk AS (SELECT doc_id, lang,
+                          CAST(md5_number_lower(bg) % 1024 AS BIGINT)
+                            AS b FROM big),
+            cnt AS (SELECT b, count(*) AS n_raw,
+                           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                               END) AS n_tgt
+                    FROM bk GROUP BY b),
+            tot AS (SELECT SUM(n_raw) AS R, SUM(n_tgt) AS T FROM cnt),
+            lam AS (SELECT b, ln((n_tgt + 1.0) / (T + 1024.0))
+                           - ln((n_raw + 1.0) / (R + 1024.0)) AS lam
+                    FROM cnt, tot)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lam), 6) AS dsir_logratio,
+                   round(avg(lam), 6) > 0 AS keep
+            FROM bk JOIN lam USING (b) GROUP BY doc_id""",
         # Moore-Lewis cross-entropy difference: in-domain LM on the
         # lang='en' slice (left joins + COALESCE: unseen bigrams score
         # the add-alpha floor), general LM on the whole corpus; keep

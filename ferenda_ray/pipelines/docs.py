@@ -566,6 +566,21 @@ def docs_moore_lewis(sf_dir: str):
     return moore_lewis_weights(body, target)
 
 
+def docs_dsir(sf_dir: str):
+    """DSIR hashed-bigram importance weights: target distribution from
+    the ``lang='en'`` slice, raw distribution from the whole corpus;
+    keep docs whose rounded mean log importance ratio > 0."""
+    from ferenda_ray.stages.text_analysis import dsir_weights
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en"))
+        .select(["doc_id", "text"]),
+        batch_format="pyarrow")
+    body = docs.map_batches(lambda b: b.select(["doc_id", "text"]),
+                            batch_format="pyarrow")
+    return dsir_weights(body, target)
+
+
 def docs_quality(sf_dir: str):
     from ferenda_ray.stages.text_analysis import quality_score
     return quality_score(_read_docs(sf_dir, ["doc_id", "text"]))

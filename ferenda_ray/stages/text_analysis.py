@@ -1435,6 +1435,115 @@ def moore_lewis_weights(docs, target, alpha: float = 0.5,
     return j.map_batches(finalize, batch_format="pyarrow")
 
 
+def _md5_bucket(s: str, n_buckets: int) -> int:
+    """``md5_number_lower``-compatible bucket (little-endian bytes
+    8:16 of the md5 digest, mod ``n_buckets``) — the engine-wide
+    DuckDB-parity hash (see stages/sample.py:91)."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                          "little") % n_buckets
+
+
+def _bigram_bucket_arrays(texts, n_buckets: int):
+    """Flat bucket-id array for every bigram of every text plus the
+    per-text bigram counts.  md5 runs ONCE per DISTINCT bigram in the
+    batch (``np.unique`` inverse mapping) — on natural text the
+    within-batch vocabulary is a small fraction of the token count."""
+    grams, lens = [], np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        n = max(len(ws) - 1, 0)
+        lens[i] = n
+        grams.extend(ws[j] + " " + ws[j + 1] for j in range(n))
+    if not grams:
+        return np.empty(0, np.int64), lens
+    uniq, inv = np.unique(np.asarray(grams, dtype=object),
+                          return_inverse=True)
+    ub = np.fromiter((_md5_bucket(u, n_buckets) for u in uniq),
+                     dtype=np.int64, count=len(uniq))
+    return ub[inv], lens
+
+
+def dsir_weights(docs, target, n_buckets: int = 1024,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    hashed-n-gram variant): per doc, the mean log importance ratio of
+    its hashed bigram features under the target-vs-raw distributions,
+
+        ``lam[b] = ln((t[b]+1)/(T+B)) - ln((r[b]+1)/(R+B))``
+
+    with ``t``/``r`` the bucket counts over ``target`` / ``docs``
+    and add-one smoothing over the ``B = n_buckets`` feature space.
+    Emits ``(id, n_bigrams, dsir_logratio, keep)`` — ``keep`` is the
+    deterministic selection surrogate (rounded ratio > 0: the doc
+    looks more target- than corpus-like); docs with <2 tokens have no
+    features and emit no row (matches the SQL inner join).
+
+    Scale shape — the reason DSIR works at 100 TB: the model is a
+    FIXED ``B``-float array regardless of corpus size.  Two count
+    passes (per-batch ``np.bincount`` partials → one tiny
+    ``groupby('bucket')`` exchange each, ≤B rows out), a ≤B-row
+    driver reduce, then ONE broadcast scoring pass
+    (``stateful_map`` policy) — no joins, nothing corpus-sized off
+    the Datasets.  Rounded half-away to 6 digits (signed) before the
+    keep compare, the repo-wide float-stability convention."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ferenda_ray.stages.broadcast import resolve, stateful_map
+
+    def bucket_hist(b: pa.Table) -> pa.Table:
+        ub, _ = _bigram_bucket_arrays(
+            b.column(text_col).to_pylist(), n_buckets)
+        cnt = np.bincount(ub, minlength=n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    def totals(ds):
+        out = np.zeros(n_buckets, np.float64)
+        agg = (ds.map_batches(bucket_hist, batch_format="pyarrow",
+                              batch_size=8192)
+               .groupby("bucket")
+               .aggregate(_Sum("n", alias_name="n")))
+        for r in agg.take_all():            # ≤ n_buckets rows
+            out[r["bucket"]] = r["n"]
+        return out
+
+    r, t = totals(docs), totals(target)
+    lam = (np.log((t + 1.0) / (t.sum() + n_buckets))
+           - np.log((r + 1.0) / (r.sum() + n_buckets)))
+
+    class Scorer:
+        def __init__(self, ref):
+            self.lam = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ub, lens = _bigram_bucket_arrays(
+                b.column(text_col).to_pylist(), n_buckets)
+            keep_rows = lens > 0
+            if not keep_rows.any():
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "dsir_logratio": pa.array([], pa.float64()),
+                    "keep": pa.array([], pa.bool_())})
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            sums = np.add.reduceat(
+                np.concatenate([self.lam[ub], [0.0]]),
+                np.minimum(starts[keep_rows], len(ub)))
+            mean = sums / lens[keep_rows]
+            m6 = np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6 * np.sign(mean)
+            return pa.table({
+                id_col: b.column(id_col).filter(
+                    pa.array(keep_rows, pa.bool_())),
+                "n_bigrams": pa.array(lens[keep_rows], pa.int64()),
+                "dsir_logratio": pa.array(m6, pa.float64()),
+                "keep": pa.array(m6 > 0, pa.bool_())})
+
+    return stateful_map(docs, Scorer, lam, batch_size=8192)
+
+
 def normalize_text(docs, form: str = "NFKC", lowercase: bool = True,
                    text_col: str = "text", id_col: str = "doc_id"):
     """Unicode + whitespace normalization — the canonical first

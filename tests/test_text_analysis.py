@@ -785,3 +785,64 @@ def test_normalize_text_unicode(ray_session):
            ta.normalize_text(rd.from_arrow(docs), form=None,
                              lowercase=False).take_all()}
     assert raw[1].startswith("ﬁne")
+
+
+def test_dsir_weights_math_and_edges(ray_session):
+    """dsir_logratio matches a hand-rolled bucket computation (same
+    md5 parity hash), single-token/empty docs emit no row, and the
+    result is invariant to batch boundaries (hash is content-only)."""
+    import hashlib
+    import math
+    from collections import Counter
+    import ray.data as rd
+
+    texts = ["spark batch spark batch spark",
+             "noise qq zz noise qq zz qq",
+             "spark batch noise zz spark",
+             "solo",                             # 1 token: no bigrams
+             ""]                                 # empty: no bigrams
+    ids = [0, 1, 2, 3, 4]
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    target = rd.from_arrow(pa.table(
+        {"doc_id": [100], "text": ["spark batch spark batch"]}))
+    got = {r["doc_id"]: r
+           for r in ta.dsir_weights(docs, target, n_buckets=64)
+           .take_all()}
+    assert set(got) == {0, 1, 2}                 # 3 and 4 dropped
+
+    def buckets(ts):
+        out = []
+        for t in ts:
+            w = t.split(" ")
+            out += [int.from_bytes(
+                        hashlib.md5((a + " " + b).encode())
+                        .digest()[8:16], "little") % 64
+                    for a, b in zip(w, w[1:])]
+        return out
+
+    r, t = Counter(buckets(texts)), Counter(
+        buckets(["spark batch spark batch"]))
+    R, T = sum(r.values()), sum(t.values())
+    lam = {b: math.log((t[b] + 1) / (T + 64))
+              - math.log((r[b] + 1) / (R + 64))
+           for b in set(r) | set(t)}
+    for i, txt in zip(ids[:3], texts[:3]):
+        bs = buckets([txt])
+        want = sum(lam[b] for b in bs) / len(bs)
+        want6 = math.copysign(
+            math.floor(abs(want) * 1e6 + 0.5) / 1e6, want)
+        assert abs(got[i]["dsir_logratio"] - want6) < 1e-12
+        assert got[i]["keep"] == (want6 > 0)
+        assert got[i]["n_bigrams"] == len(bs)
+    # absolute keep flags depend on the smoothing floor (tiny target
+    # => the add-one prior drags every ratio down); the ORDERING is
+    # the invariant, and keep==rounded>0 is asserted in the loop
+    assert (got[0]["dsir_logratio"] > got[2]["dsir_logratio"]
+            > got[1]["dsir_logratio"])
+
+    # batch-boundary invariance: per-row batches == one batch
+    one_by_one = {r["doc_id"]: r["dsir_logratio"] for r in
+                  ta.dsir_weights(
+                      docs.repartition(5), target, n_buckets=64)
+                  .take_all()}
+    assert one_by_one == {i: got[i]["dsir_logratio"] for i in got}
