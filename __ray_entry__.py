@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 119 queries, 113 with DuckDB oracles (counts asserted
+Round-5 surface: 121 queries, 115 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -289,6 +289,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checked exact twin and the decomposition is pytest-verified
         "docs_fingerprints": docs.docs_fingerprints,
         "docs_dsir": docs.docs_dsir,
+        # corpus-backed past-window entries: tests/test_query_oracles
+        # rewrites the oracle's corpus_400 path to the sf0.001 cache
+        "code_xref_components": code.code_xref_components,
+        "code_xref_pagerank": code.code_xref_pagerank,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -551,6 +555,63 @@ def oracle_sql() -> dict[str, str]:
                      'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
                      2)) AS dst_path
             FROM read_parquet('{kg_cache}/sources.parquet')""",
+        "code_xref_components": f"""
+            WITH RECURSIVE e0 AS (
+              SELECT repo || ':' || path AS src,
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       1)) || ':' ||
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       2)) AS dst
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            e AS (SELECT src, dst FROM e0
+                  UNION SELECT dst, src FROM e0),
+            n AS (SELECT DISTINCT node FROM (
+                    SELECT repo || ':' || path AS node
+                    FROM read_parquet('{kg_cache}/sources.parquet')
+                    UNION ALL SELECT src FROM e
+                    UNION ALL SELECT dst FROM e)),
+            reach AS (
+              SELECT node, node AS label FROM n
+              UNION
+              SELECT e.dst AS node, reach.label
+              FROM reach JOIN e ON e.src = reach.node)
+            SELECT f.repo AS repo, f.path AS path,
+                   m.component AS component
+            FROM read_parquet('{kg_cache}/sources.parquet') f
+            JOIN (SELECT node, min(label) AS component FROM reach
+                  GROUP BY node) m
+              ON m.node = f.repo || ':' || f.path""",
+        "code_xref_pagerank": f"""
+            WITH e0 AS (
+              SELECT repo || ':' || path AS src,
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       1)) || ':' ||
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       2)) AS dst
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            edges AS (SELECT src, dst FROM e0
+                      UNION ALL SELECT dst, src FROM e0),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges
+                    GROUP BY src),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            params AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                       FROM nodes),
+            r0 AS (SELECT node, 1.0/(SELECT n FROM params) AS rank
+                   FROM nodes)
+            {"".join(
+                f", r{i} AS (SELECT nn.node, 0.15/(SELECT n FROM"
+                " params) + 0.85*COALESCE(m.mass, 0) AS rank FROM"
+                " nodes nn LEFT JOIN (SELECT e.dst AS node,"
+                " sum(r.rank/dg.outdeg) AS mass FROM edges e"
+                f" JOIN r{i-1} r ON r.node = e.src"
+                " JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m"
+                " ON m.node = nn.node)"
+                for i in range(1, 11))}
+            SELECT node, round(rank, 6) AS rank FROM r10""",
         "code_xref_degrees": f"""
             WITH e AS (
               SELECT repo, path,

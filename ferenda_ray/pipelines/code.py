@@ -80,6 +80,19 @@ def code_xref_edges(sf_dir: str):
         batch_format="pyarrow")
 
 
+def code_xref_components(sf_dir: str):
+    """Connected components of the file dependency graph (one row
+    per file; component = lexicographic min ``repo:path`` node)."""
+    from ferenda_ray.stages.code_quality import xref_components
+    return xref_components(_sources(sf_dir))
+
+
+def code_xref_pagerank(sf_dir: str):
+    """PageRank over the symmetrized file dependency graph."""
+    from ferenda_ray.stages.code_quality import xref_pagerank
+    return xref_pagerank(_sources(sf_dir))
+
+
 def code_xref_degrees(sf_dir: str):
     """Per-file fan-out / fan-in over the dependency graph."""
     from ferenda_ray.stages.code_quality import xref_degrees

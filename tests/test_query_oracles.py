@@ -75,7 +75,14 @@ def test_past_window_query_matches_oracle(ray_session, oracle_con, name):
         got = result.to_pandas()
     else:
         got = result
-    exp = oracle_con.execute(entry.oracle_sql()[name]).df()
+    sql = entry.oracle_sql()[name]
+    if "corpus_400" in sql:
+        # corpus-backed query: oracle_sql() bakes the driver's sf0.01
+        # corpus path; at sf0.001 the query ran over the corpus_200
+        # cache (materialized by the query itself) — point the SQL at
+        # the same cache
+        sql = sql.replace("corpus_400", "corpus_200")
+    exp = oracle_con.execute(sql).df()
     assert sorted(got.columns) == sorted(exp.columns), name
     assert len(got) == len(exp), name
     assert _normalize(got) == _normalize(exp), name
