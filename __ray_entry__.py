@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 121 queries, 115 with DuckDB oracles (counts asserted
+Round-5 surface: 122 queries, 116 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rewrites the oracle's corpus_400 path to the sf0.001 cache
         "code_xref_components": code.code_xref_components,
         "code_xref_pagerank": code.code_xref_pagerank,
+        "code_neardup_files": code.code_neardup_files,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -555,6 +556,25 @@ def oracle_sql() -> dict[str, str]:
                      'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
                      2)) AS dst_path
             FROM read_parquet('{kg_cache}/sources.parquet')""",
+        # near-dup files: identifier-token Jaccard >= 0.6 through the
+        # PPJoin kernel; file ids = md5_number_lower(repo:path) int63
+        "code_neardup_files": f"""
+            WITH w AS (
+              SELECT CAST(md5_number_lower(repo || ':' || path)
+                          & 9223372036854775807 AS BIGINT) AS file_id,
+                     list_distinct(regexp_extract_all(content,
+                                                      '[A-Za-z0-9_]+'))
+                       AS words
+              FROM read_parquet('{kg_cache}/sources.parquet'))
+            SELECT a.file_id AS id_a, b.file_id AS id_b,
+                   round(CAST(len(list_intersect(a.words, b.words))
+                              AS DOUBLE)
+                         / len(list_distinct(a.words || b.words)), 6)
+                     AS jaccard
+            FROM w a JOIN w b ON a.file_id < b.file_id
+            WHERE CAST(len(list_intersect(a.words, b.words))
+                       AS DOUBLE)
+                  / len(list_distinct(a.words || b.words)) >= 0.6""",
         "code_xref_components": f"""
             WITH RECURSIVE e0 AS (
               SELECT repo || ':' || path AS src,

@@ -80,6 +80,39 @@ def code_xref_edges(sf_dir: str):
         batch_format="pyarrow")
 
 
+def code_neardup_files(sf_dir: str, threshold: float = 0.6):
+    """Near-duplicate FILE detection across the whole corpus (clone /
+    boilerplate discovery): exact pairwise Jaccard ≥ threshold over
+    each file's identifier-token set, via the shared PPJoin
+    prefix-filter kernel (:func:`ferenda_ray.stages.dedup.
+    jaccard_pairs`).  File ids are ``md5_number_lower(repo:path)``
+    int63 keys (DuckDB-parity, stable across runs and cluster
+    sizes); tokens are ``[A-Za-z0-9_]+`` identifiers so formatting
+    noise doesn't mask clones."""
+    import polars as pl
+
+    from ferenda_ray.stages.dedup import jaccard_pairs
+    from ferenda_ray.stages.sample import _md5_int63
+
+    def keyed(b):
+        df = pl.from_arrow(b)
+        nodes = df.select(
+            (pl.col("repo") + ":" + pl.col("path")).alias("n")
+        ).get_column("n").to_list()
+        toks = df.select(
+            pl.col("content").str.extract_all("[A-Za-z0-9_]+")
+            .list.join(" ").alias("text"))
+        import pyarrow as pa
+        return pa.table({
+            "file_id": pa.array(_md5_int63(nodes), pa.int64()),
+            "text": toks.get_column("text").to_arrow()
+                        .cast(pa.string())})
+
+    ds = _sources(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    return jaccard_pairs(ds, threshold=threshold, text_col="text",
+                         id_col="file_id")
+
+
 def code_xref_components(sf_dir: str):
     """Connected components of the file dependency graph (one row
     per file; component = lexicographic min ``repo:path`` node)."""
