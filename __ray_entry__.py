@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 122 queries, 116 with DuckDB oracles (counts asserted
+Round-5 surface: 123 queries, 117 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_xref_components": code.code_xref_components,
         "code_xref_pagerank": code.code_xref_pagerank,
         "code_neardup_files": code.code_neardup_files,
+        "code_repo_summary": code.code_repo_summary,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -556,6 +557,53 @@ def oracle_sql() -> dict[str, str]:
                      'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
                      2)) AS dst_path
             FROM read_parquet('{kg_cache}/sources.parquet')""",
+        # per-repo dashboard: three oracle-checked legs composed
+        # (comment rollup + Stack pass rate + lang counts)
+        "code_repo_summary": f"""
+            WITH f AS (
+              SELECT repo, path, lang, content,
+                     string_split(content, chr(10)) AS ls
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            s AS (
+              SELECT repo, lang, len(ls) AS n_lines,
+                     len(list_filter(ls,
+                         x -> regexp_matches(x, '^\\s*$')))
+                       AS blank_lines,
+                     CASE
+                       WHEN lang = 'python' THEN len(list_filter(ls,
+                            x -> regexp_matches(x, '^\\s*#')))
+                       WHEN lang IN ('go', 'java')
+                         THEN len(list_filter(ls,
+                            x -> regexp_matches(x, '^\\s*//')))
+                       ELSE 0 END AS comment_lines,
+                     list_max(list_transform(ls, x -> len(x))) AS mll,
+                     round(list_sum(list_transform(ls, x -> len(x)))
+                           * 1.0 / greatest(len(ls), 1), 6) AS all_,
+                     round(len(regexp_replace(content, '[^A-Za-z0-9]',
+                                              '', 'g')) * 1.0
+                           / greatest(len(content), 1), 6) AS af,
+                     regexp_matches(substr(content, 1, 300),
+                       '(?i)auto-?generated|generated by|do not edit')
+                       AS ag
+              FROM f)
+            SELECT repo, count(*) AS n_files,
+                   SUM(CASE WHEN lang = 'python' THEN 1 ELSE 0 END)
+                     AS n_python,
+                   SUM(CASE WHEN lang = 'java' THEN 1 ELSE 0 END)
+                     AS n_java,
+                   SUM(CASE WHEN lang = 'go' THEN 1 ELSE 0 END)
+                     AS n_go,
+                   SUM(CASE WHEN lang = 'markdown' THEN 1 ELSE 0 END)
+                     AS n_markdown,
+                   SUM(n_lines) AS total_lines,
+                   round(SUM(comment_lines) * 1.0
+                         / greatest(SUM(n_lines) - SUM(blank_lines),
+                                    1), 6) AS comment_frac,
+                   round(SUM(CASE WHEN mll <= 92 AND all_ <= 32.0
+                                  AND af >= 0.72 AND NOT ag
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                     AS stack_pass_rate
+            FROM s GROUP BY repo""",
         # near-dup files: identifier-token Jaccard >= 0.6 through the
         # PPJoin kernel; file ids = md5_number_lower(repo:path) int63
         "code_neardup_files": f"""

@@ -80,6 +80,64 @@ def code_xref_edges(sf_dir: str):
         batch_format="pyarrow")
 
 
+def code_repo_summary(sf_dir: str):
+    """Per-repo dashboard row composing three oracle-checked legs:
+    comment rollup (files/lines/comment_frac), the Stack-gate pass
+    rate, and per-language file counts.  Each leg reduces to O(repos)
+    rows via its own distributed pass; the final compose is a polars
+    join over those tiny tables on the driver (repos ≪ files — the
+    same regime as ``doc_stats``)."""
+    import polars as pl
+
+    from ferenda_ray.stages.code_quality import (repo_comment_rollup,
+                                                 stack_filters)
+    from ferenda_ray.stages.text_analysis import _rha
+
+    src = _sources(sf_dir)
+    roll = pl.from_arrow(pa_concat(
+        repo_comment_rollup(src).to_arrow_refs()))
+    gates = stack_filters(src, max_line_len=92, max_avg_line_len=32.0,
+                          min_alnum_frac=0.72)
+
+    def per_repo_flags(b):
+        import pyarrow as pa
+        df = pl.from_arrow(b)
+        return (df.group_by("repo")
+                .agg(pl.col("passes_stack").cast(pl.Int64).sum()
+                     .alias("n_pass"),
+                     *[(pl.col("lang") == lg).cast(pl.Int64).sum()
+                       .alias(f"n_{lg}")
+                       for lg in ("python", "java", "go", "markdown")])
+                .to_arrow())
+
+    from ray.data.aggregate import Sum
+    flags = (gates.map_batches(per_repo_flags, batch_format="pyarrow")
+             .groupby("repo")
+             .aggregate(Sum("n_pass", alias_name="n_pass"),
+                        *[Sum(f"n_{lg}", alias_name=f"n_{lg}")
+                          for lg in ("python", "java", "go",
+                                     "markdown")]))
+    fl = pl.from_arrow(pa_concat(flags.to_arrow_refs()))
+    out = (roll.join(fl, on="repo", how="inner")
+           .with_columns(
+               _rha(pl.col("n_pass") / pl.col("n_files"), 6)
+               .alias("stack_pass_rate"))
+           .select(["repo", "n_files", "n_python", "n_java", "n_go",
+                    "n_markdown", "total_lines", "comment_frac",
+                    "stack_pass_rate"])
+           .sort("repo"))
+    return out.to_arrow()
+
+
+def pa_concat(refs):
+    """Concatenate a Dataset's arrow refs into one table (tiny
+    post-aggregate results only)."""
+    import ray
+    import pyarrow as pa
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
 def code_neardup_files(sf_dir: str, threshold: float = 0.6):
     """Near-duplicate FILE detection across the whole corpus (clone /
     boilerplate discovery): exact pairwise Jaccard ≥ threshold over
