@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 123 queries, 117 with DuckDB oracles (counts asserted
+Round-5 surface: 124 queries, 118 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_xref_pagerank": code.code_xref_pagerank,
         "code_neardup_files": code.code_neardup_files,
         "code_repo_summary": code.code_repo_summary,
+        "code_commit_diff": code.code_commit_diff,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -557,6 +558,28 @@ def oracle_sql() -> dict[str, str]:
                      'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
                      2)) AS dst_path
             FROM read_parquet('{kg_cache}/sources.parquet')""",
+        # incremental code-table maintenance: snapshot diff keyed by
+        # the repo:path node (added / changed / removed)
+        "code_commit_diff": f"""
+            WITH newt AS (
+              SELECT repo || ':' || path AS file, content,
+                     CAST(regexp_extract(path, 'mod_(\\d+)', 1)
+                          AS INT) AS o
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            oldt AS (
+              SELECT file,
+                     CASE WHEN o % 10 = 5 THEN substr(content, 1, 64)
+                          ELSE content END AS content
+              FROM newt WHERE o % 10 != 0
+              UNION ALL SELECT 'org0/repo0:ghost.py', 'gone'),
+            d AS (
+              SELECT COALESCE(n.file, o.file) AS file,
+                     CASE WHEN o.file IS NULL THEN 'added'
+                          WHEN n.file IS NULL THEN 'removed'
+                          WHEN n.content != o.content THEN 'changed'
+                          END AS status
+              FROM newt n FULL OUTER JOIN oldt o ON n.file = o.file)
+            SELECT file, status FROM d WHERE status IS NOT NULL""",
         # per-repo dashboard: three oracle-checked legs composed
         # (comment rollup + Stack pass rate + lang counts)
         "code_repo_summary": f"""

@@ -80,6 +80,55 @@ def code_xref_edges(sf_dir: str):
         batch_format="pyarrow")
 
 
+def code_commit_diff(sf_dir: str):
+    """Incremental maintenance over the code table itself:
+    :func:`~ferenda_ray.stages.dedup.corpus_diff` keyed by the
+    ``repo:path`` file node — an OLD snapshot (files with ordinal
+    ``%10==0`` absent → ``added``; ordinal ``%10==5`` at a truncated
+    revision → ``changed``; one phantom file present only in OLD →
+    ``removed``) diffed against the current corpus.  Same two
+    hash-side passes + one full-outer join as the documents variant;
+    statuses feed ``sinks.upsert_partitioned`` in the kg_incremental
+    composition."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import polars as pl
+    import ray.data as rd
+
+    from ferenda_ray.stages.dedup import corpus_diff
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "file": pc.binary_join_element_wise(
+                b.column("repo").cast(pa.string()),
+                b.column("path").cast(pa.string()), ":"),
+            "content": b.column("content").cast(pa.string())})
+
+    new = _sources(sf_dir).map_batches(keyed, batch_format="pyarrow")
+
+    def make_old(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b)
+              .with_columns(pl.col("file").str.extract(r"mod_(\d+)", 1)
+                            .cast(pl.Int64).alias("__o"))
+              .filter(pl.col("__o") % 10 != 0)
+              .with_columns(
+                  pl.when(pl.col("__o") % 10 == 5)
+                  .then(pl.col("content").str.slice(0, 64))
+                  .otherwise(pl.col("content")).alias("content"))
+              .drop(["__o"]))
+        t = df.to_arrow()
+        return pa.table({"file": t.column("file").cast(pa.string()),
+                         "content": t.column("content")
+                                     .cast(pa.string())})
+
+    phantom = rd.from_arrow(pa.table(
+        {"file": pa.array(["org0/repo0:ghost.py"], pa.string()),
+         "content": pa.array(["gone"], pa.string())}))
+    old = new.map_batches(make_old,
+                          batch_format="pyarrow").union(phantom)
+    return corpus_diff(old, new, id_col="file", text_col="content")
+
+
 def code_repo_summary(sf_dir: str):
     """Per-repo dashboard row composing three oracle-checked legs:
     comment rollup (files/lines/comment_frac), the Stack-gate pass
