@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 124 queries, 118 with DuckDB oracles (counts asserted
+Round-5 surface: 128 queries, 122 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -293,6 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rewrites the oracle's corpus_400 path to the sf0.001 cache
         "code_xref_components": code.code_xref_components,
         "code_xref_pagerank": code.code_xref_pagerank,
+        "code_symbols": code.code_symbols,
+        "code_imports": code.code_imports,
+        "code_symbol_stats": code.code_symbol_stats,
+        "code_symbol_triples": code.code_symbol_triples,
         "code_neardup_files": code.code_neardup_files,
         "code_repo_summary": code.code_repo_summary,
         "code_commit_diff": code.code_commit_diff,
@@ -542,9 +546,9 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 0 END AS comment_lines
               FROM f)
             SELECT repo, count(*) AS n_files,
-                   SUM(n_lines) AS total_lines,
-                   SUM(comment_lines) AS total_comment,
-                   SUM(blank_lines) AS total_blank,
+                   CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+                   CAST(SUM(comment_lines) AS BIGINT) AS total_comment,
+                   CAST(SUM(blank_lines) AS BIGINT) AS total_blank,
                    round(SUM(comment_lines) * 1.0
                          / greatest(SUM(n_lines) - SUM(blank_lines),
                                     1), 6) AS comment_frac
@@ -610,15 +614,12 @@ def oracle_sql() -> dict[str, str]:
                        AS ag
               FROM f)
             SELECT repo, count(*) AS n_files,
-                   SUM(CASE WHEN lang = 'python' THEN 1 ELSE 0 END)
-                     AS n_python,
-                   SUM(CASE WHEN lang = 'java' THEN 1 ELSE 0 END)
-                     AS n_java,
-                   SUM(CASE WHEN lang = 'go' THEN 1 ELSE 0 END)
-                     AS n_go,
-                   SUM(CASE WHEN lang = 'markdown' THEN 1 ELSE 0 END)
+                   count(*) FILTER (WHERE lang = 'python') AS n_python,
+                   count(*) FILTER (WHERE lang = 'java') AS n_java,
+                   count(*) FILTER (WHERE lang = 'go') AS n_go,
+                   count(*) FILTER (WHERE lang = 'markdown')
                      AS n_markdown,
-                   SUM(n_lines) AS total_lines,
+                   CAST(SUM(n_lines) AS BIGINT) AS total_lines,
                    round(SUM(comment_lines) * 1.0
                          / greatest(SUM(n_lines) - SUM(blank_lines),
                                     1), 6) AS comment_frac,
@@ -2262,7 +2263,57 @@ def oracle_sql() -> dict[str, str]:
                        >= 0.4) AS keep
         FROM p ORDER BY vec_id""".replace(
         "{KMEANS}", d["embeddings_kmeans"])
+    d.update(_code_symbol_oracles(kg_cache))
     return d
+
+
+def _code_symbol_oracles(kg_cache: str) -> dict[str, str]:
+    """Oracles for the symbol-extraction family, generated from the
+    SAME pattern tables the operators compile
+    (``code_quality.SYMBOL_PATTERNS`` / ``IMPORT_PATTERNS``) — the
+    regex strings are shared so operator and oracle can only diverge
+    on ENGINE behavior (polars/Rust-regex vs DuckDB/RE2), which is
+    exactly what the hash compare should catch."""
+    from ferenda_ray.stages.code_quality import (DEFINES_PRED,
+                                                 IMPORT_PATTERNS,
+                                                 REQUIRES_PRED,
+                                                 SYMBOL_PATTERNS)
+    src = (f"SELECT repo, path, lang, content FROM "
+           f"read_parquet('{kg_cache}/sources.parquet')")
+    sym_legs = "\nUNION ALL\n".join(
+        f"SELECT repo, path, lang, '{kind}' AS kind, "
+        f"unnest(regexp_extract_all(content, '{pat}', 1)) AS name "
+        f"FROM src WHERE lang = '{lang}'"
+        for lang, kinds in SYMBOL_PATTERNS.items()
+        for kind, pat in kinds)
+    imp_legs = "\nUNION ALL\n".join(
+        f"SELECT repo, path, lang, "
+        f"unnest(regexp_extract_all(content, '{pat}', 1)) AS module "
+        f"FROM src WHERE lang = '{lang}'"
+        for lang, pat in IMPORT_PATTERNS.items())
+    subj = "'https://example.org/res/' || repo || '/' || path"
+    return {
+        "code_symbols": f"WITH src AS ({src})\n{sym_legs}",
+        "code_imports": f"WITH src AS ({src})\n{imp_legs}",
+        "code_symbol_stats": f"""
+            WITH src AS ({src}), u AS ({sym_legs})
+            SELECT repo,
+                   count(*) FILTER (WHERE kind = 'function')
+                       AS n_functions,
+                   count(*) FILTER (WHERE kind = 'class') AS n_classes,
+                   count(*) FILTER (WHERE kind = 'method') AS n_methods
+            FROM u GROUP BY repo""",
+        "code_symbol_triples": f"""
+            WITH src AS ({src}), u AS ({sym_legs}), m AS ({imp_legs})
+            SELECT {subj} AS subj, '{DEFINES_PRED}' AS pred,
+                   'uri' AS obj_type,
+                   {subj} || '#' || kind || '.' || name AS obj_value
+            FROM u
+            UNION ALL
+            SELECT {subj}, '{REQUIRES_PRED}', 'uri',
+                   'https://example.org/module/' || module
+            FROM m""",
+    }
 
 
 def _lang_expr(lang: str, words) -> str:

@@ -216,8 +216,11 @@ def code_neardup_files(sf_dir: str, threshold: float = 0.6):
                         .cast(pa.string())})
 
     ds = _sources(sf_dir).map_batches(keyed, batch_format="pyarrow")
-    return jaccard_pairs(ds, threshold=threshold, text_col="text",
-                         id_col="file_id")
+    out = jaccard_pairs(ds, threshold=threshold, text_col="text",
+                        id_col="file_id")
+    from ferenda_ray.pipelines.relational import _round_cols
+    return out.map_batches(lambda b: _round_cols(b, {"jaccard": 6}),
+                           batch_format="pyarrow")
 
 
 def code_xref_components(sf_dir: str):
@@ -231,6 +234,30 @@ def code_xref_pagerank(sf_dir: str):
     """PageRank over the symmetrized file dependency graph."""
     from ferenda_ray.stages.code_quality import xref_pagerank
     return xref_pagerank(_sources(sf_dir))
+
+
+def code_symbols(sf_dir: str):
+    """Per-file defined symbols (function/class/method per language)."""
+    from ferenda_ray.stages.code_quality import symbol_defs
+    return symbol_defs(_sources(sf_dir))
+
+
+def code_imports(sf_dir: str):
+    """Module-import edges as written in source, per language."""
+    from ferenda_ray.stages.code_quality import module_imports
+    return module_imports(_sources(sf_dir))
+
+
+def code_symbol_stats(sf_dir: str):
+    """Per-repo symbol inventory (functions / classes / methods)."""
+    from ferenda_ray.stages.code_quality import symbol_repo_stats
+    return symbol_repo_stats(_sources(sf_dir))
+
+
+def code_symbol_triples(sf_dir: str):
+    """The code-entity KG leg: defines + requires triples."""
+    from ferenda_ray.stages.code_quality import symbol_triples
+    return symbol_triples(_sources(sf_dir))
 
 
 def code_xref_degrees(sf_dir: str):
