@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 128 queries, 122 with DuckDB oracles (counts asserted
+Round-5 surface: 129 queries, 123 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_imports": code.code_imports,
         "code_symbol_stats": code.code_symbol_stats,
         "code_symbol_triples": code.code_symbol_triples,
+        "code_secrets_scan": code.code_secrets_scan,
         "code_neardup_files": code.code_neardup_files,
         "code_repo_summary": code.code_repo_summary,
         "code_commit_diff": code.code_commit_diff,
@@ -2277,7 +2278,9 @@ def _code_symbol_oracles(kg_cache: str) -> dict[str, str]:
     from ferenda_ray.stages.code_quality import (DEFINES_PRED,
                                                  IMPORT_PATTERNS,
                                                  REQUIRES_PRED,
+                                                 SECRET_PATTERNS,
                                                  SYMBOL_PATTERNS)
+    secret_re = "|".join(p for _, p in SECRET_PATTERNS)
     src = (f"SELECT repo, path, lang, content FROM "
            f"read_parquet('{kg_cache}/sources.parquet')")
     sym_legs = "\nUNION ALL\n".join(
@@ -2313,6 +2316,28 @@ def _code_symbol_oracles(kg_cache: str) -> dict[str, str]:
             SELECT {subj}, '{REQUIRES_PRED}', 'uri',
                    'https://example.org/module/' || module
             FROM m""",
+        # secret scan: the oracle injects the SAME deterministic key
+        # line (ordinal %13==3, AKIA + upper(md5(path)[:16])) before
+        # scanning, then counts/redacts with the same alternation
+        "code_secrets_scan": f"""
+            WITH src AS ({src}),
+            inj AS (
+              SELECT repo, path,
+                     CASE WHEN CAST(regexp_extract(path, 'mod_(\\d+)',
+                                                   1) AS INT)
+                               % 13 = 3
+                          THEN content || chr(10) || '# key AKIA'
+                               || upper(substr(md5(path), 1, 16))
+                          ELSE content END AS content
+              FROM src)
+            SELECT repo, path,
+                   CAST(len(regexp_extract_all(content, '{secret_re}'))
+                        AS BIGINT) AS n_secret_hits,
+                   len(regexp_extract_all(content, '{secret_re}')) > 0
+                       AS has_secret,
+                   md5(regexp_replace(content, '{secret_re}',
+                                      '<SECRET>', 'g')) AS scrubbed_md5
+            FROM inj""",
     }
 
 

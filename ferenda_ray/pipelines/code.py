@@ -260,6 +260,52 @@ def code_symbol_triples(sf_dir: str):
     return symbol_triples(_sources(sf_dir))
 
 
+def code_secrets_scan(sf_dir: str):
+    """Secret detection + redaction over the code table.  The clean
+    synthetic corpus carries no credentials, so the query DETERMINISTICALLY
+    INJECTS one AWS-style key line into every file whose ordinal
+    ``%13==3`` (``# key AKIA`` + upper(md5(path)[:16]) — derivable in
+    SQL, so the oracle injects identically) before scanning; output
+    carries ``md5(scrubbed)`` instead of the scrubbed text so the
+    compare stays row-sized.  Both branches of ``has_secret`` are
+    populated at every tier."""
+    import hashlib
+
+    import polars as pl
+    import pyarrow as pa
+
+    from ferenda_ray.stages.code_quality import secrets_scan
+
+    def inject(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).with_columns(
+            pl.col("path").str.extract(r"mod_(\d+)", 1)
+            .cast(pl.Int64).alias("__o"))
+        paths = df.get_column("path").to_list()
+        keys = ["AKIA" + hashlib.md5(p.encode()).hexdigest()[:16].upper()
+                for p in paths]
+        df = (df.with_columns(pl.Series("__k", keys, pl.String))
+              .with_columns(
+                  pl.when(pl.col("__o") % 13 == 3)
+                  .then(pl.col("content") + "\n# key " + pl.col("__k"))
+                  .otherwise(pl.col("content")).alias("content"))
+              .drop(["__o", "__k"]))
+        return df.to_arrow()
+
+    scanned = secrets_scan(
+        _sources(sf_dir).map_batches(inject, batch_format="pyarrow"))
+
+    def digest(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        md5s = [hashlib.md5(s.encode()).hexdigest()
+                for s in df.get_column("scrubbed").to_list()]
+        return (df.with_columns(
+                    pl.Series("scrubbed_md5", md5s, pl.String))
+                .select(["repo", "path", "n_secret_hits", "has_secret",
+                         "scrubbed_md5"])).to_arrow()
+
+    return scanned.map_batches(digest, batch_format="pyarrow")
+
+
 def code_xref_degrees(sf_dir: str):
     """Per-file fan-out / fan-in over the dependency graph."""
     from ferenda_ray.stages.code_quality import xref_degrees
