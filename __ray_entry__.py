@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 129 queries, 123 with DuckDB oracles (counts asserted
+Round-5 surface: 130 queries, 124 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_symbol_stats": code.code_symbol_stats,
         "code_symbol_triples": code.code_symbol_triples,
         "code_secrets_scan": code.code_secrets_scan,
+        "code_dedup_keep_best": code.code_dedup_keep_best,
         "code_neardup_files": code.code_neardup_files,
         "code_repo_summary": code.code_repo_summary,
         "code_commit_diff": code.code_commit_diff,
@@ -2338,6 +2339,45 @@ def _code_symbol_oracles(kg_cache: str) -> dict[str, str]:
                    md5(regexp_replace(content, '{secret_re}',
                                       '<SECRET>', 'g')) AS scrubbed_md5
             FROM inj""",
+        # near-dup file resolution: the code_neardup_files pair graph
+        # → recursive min-label components → keep longest per cluster
+        "code_dedup_keep_best": f"""
+            WITH RECURSIVE w AS (
+              SELECT CAST(md5_number_lower(repo || ':' || path)
+                          & 9223372036854775807 AS BIGINT) AS file_id,
+                     len(content) AS n_chars,
+                     list_distinct(regexp_extract_all(content,
+                                                      '[A-Za-z0-9_]+'))
+                       AS words
+              FROM read_parquet('{{kg_cache}}/sources.parquet')),
+            p AS (
+              SELECT a.file_id AS id_a, b.file_id AS id_b
+              FROM w a JOIN w b ON a.file_id < b.file_id
+              WHERE CAST(len(list_intersect(a.words, b.words))
+                         AS DOUBLE)
+                    / len(list_distinct(a.words || b.words)) >= 0.6),
+            e AS (SELECT id_a AS s, id_b AS d FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach AS (
+              SELECT file_id AS node, file_id AS label FROM w
+              UNION
+              SELECT e.d, reach.label FROM reach
+              JOIN e ON e.s = reach.node),
+            cl AS (SELECT node AS file_id, min(label) AS cluster_id
+                   FROM reach GROUP BY node),
+            sz AS (SELECT cluster_id, count(*) AS cluster_size
+                   FROM cl GROUP BY cluster_id),
+            best AS (
+              SELECT c.file_id, c.cluster_id, w.n_chars,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY w.n_chars DESC,
+                                                 c.file_id) AS rn
+              FROM cl c JOIN w ON w.file_id = c.file_id)
+            SELECT b.file_id, b.cluster_id,
+                   CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                   CAST(b.n_chars AS BIGINT) AS n_chars
+            FROM best b JOIN sz s USING (cluster_id)
+            WHERE b.rn = 1""".replace("{kg_cache}", kg_cache),
     }
 
 

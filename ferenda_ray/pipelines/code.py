@@ -260,6 +260,44 @@ def code_symbol_triples(sf_dir: str):
     return symbol_triples(_sources(sf_dir))
 
 
+def code_dedup_keep_best(sf_dir: str, threshold: float = 0.6):
+    """Near-dup FILE resolution — the step The-Stack-style pipelines
+    run after pair detection: connected components over the
+    :func:`code_neardup_files` pair graph, keep the LONGEST file per
+    component (ties → min file_id); singletons survive.  Composes the
+    shared :func:`~ferenda_ray.stages.dedup.neardup_clusters` /
+    ``dedup_keep_best`` resolution kernels (measured-edge-count plan
+    pick) on md5 int63 file keys with ``n_chars`` as the keep score."""
+    import polars as pl
+    import pyarrow as pa
+
+    from ferenda_ray.stages.dedup import dedup_keep_best, jaccard_pairs
+    from ferenda_ray.stages.sample import _md5_int63
+
+    def keyed(b):
+        df = pl.from_arrow(b)
+        nodes = df.select(
+            (pl.col("repo") + ":" + pl.col("path")).alias("n")
+        ).get_column("n").to_list()
+        toks = df.select(
+            pl.col("content").str.extract_all("[A-Za-z0-9_]+")
+            .list.join(" ").alias("text"),
+            pl.col("content").str.len_chars().cast(pl.Int64)
+            .alias("n_chars"))
+        return pa.table({
+            "file_id": pa.array(_md5_int63(nodes), pa.int64()),
+            "text": toks.get_column("text").to_arrow()
+                        .cast(pa.string()),
+            "n_chars": toks.get_column("n_chars").to_arrow()})
+
+    files = _sources(sf_dir).map_batches(
+        keyed, batch_format="pyarrow").materialize()
+    pairs = jaccard_pairs(files, threshold=threshold, text_col="text",
+                          id_col="file_id")
+    return dedup_keep_best(files, pairs, id_col="file_id",
+                           score_col="n_chars")
+
+
 def code_secrets_scan(sf_dir: str):
     """Secret detection + redaction over the code table.  The clean
     synthetic corpus carries no credentials, so the query DETERMINISTICALLY
