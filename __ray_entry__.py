@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 130 queries, 124 with DuckDB oracles (counts asserted
+Round-5 surface: 131 queries, 125 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_symbol_triples": code.code_symbol_triples,
         "code_secrets_scan": code.code_secrets_scan,
         "code_dedup_keep_best": code.code_dedup_keep_best,
+        "code_complexity": code.code_complexity,
         "code_neardup_files": code.code_neardup_files,
         "code_repo_summary": code.code_repo_summary,
         "code_commit_diff": code.code_commit_diff,
@@ -2276,12 +2277,17 @@ def _code_symbol_oracles(kg_cache: str) -> dict[str, str]:
     regex strings are shared so operator and oracle can only diverge
     on ENGINE behavior (polars/Rust-regex vs DuckDB/RE2), which is
     exactly what the hash compare should catch."""
-    from ferenda_ray.stages.code_quality import (DEFINES_PRED,
+    from ferenda_ray.stages.code_quality import (DECISION_PATTERNS,
+                                                 DEFINES_PRED,
                                                  IMPORT_PATTERNS,
                                                  REQUIRES_PRED,
                                                  SECRET_PATTERNS,
                                                  SYMBOL_PATTERNS)
     secret_re = "|".join(p for _, p in SECRET_PATTERNS)
+    cx_expr = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN "
+        f"len(regexp_extract_all(content, '{pat}'))"
+        for lang, pat in DECISION_PATTERNS.items()) + " ELSE 0 END"
     src = (f"SELECT repo, path, lang, content FROM "
            f"read_parquet('{kg_cache}/sources.parquet')")
     sym_legs = "\nUNION ALL\n".join(
@@ -2339,6 +2345,13 @@ def _code_symbol_oracles(kg_cache: str) -> dict[str, str]:
                    md5(regexp_replace(content, '{secret_re}',
                                       '<SECRET>', 'g')) AS scrubbed_md5
             FROM inj""",
+        # cyclomatic estimate: same per-language decision alternation
+        "code_complexity": f"""
+            WITH src AS ({src})
+            SELECT repo, path, lang,
+                   CAST({cx_expr} AS BIGINT) AS decision_points,
+                   CAST({cx_expr} AS BIGINT) + 1 AS cyclomatic
+            FROM src""",
         # near-dup file resolution: the code_neardup_files pair graph
         # → recursive min-label components → keep longest per cluster
         "code_dedup_keep_best": f"""

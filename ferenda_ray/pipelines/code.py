@@ -298,6 +298,18 @@ def code_dedup_keep_best(sf_dir: str, threshold: float = 0.6):
                            score_col="n_chars")
 
 
+def code_complexity(sf_dir: str):
+    """Per-file decision-point count + cyclomatic estimate."""
+    import pyarrow as pa
+
+    from ferenda_ray.stages.code_quality import complexity_stats
+    ds = complexity_stats(_sources(sf_dir))
+    return ds.map_batches(
+        lambda b: b.select(["repo", "path", "lang", "decision_points",
+                            "cyclomatic"]),
+        batch_format="pyarrow")
+
+
 def code_secrets_scan(sf_dir: str):
     """Secret detection + redaction over the code table.  The clean
     synthetic corpus carries no credentials, so the query DETERMINISTICALLY
