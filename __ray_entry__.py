@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 131 queries, 125 with DuckDB oracles (counts asserted
+Round-5 surface: 132 queries, 126 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search_bm25": docs.docs_search_bm25,
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
         "embeddings_label_count": docs.embeddings_label_count,
+        "embeddings_knn_graph": docs.embeddings_knn_graph,
         "docs_epoch_shards": docs.docs_epoch_shards,
         "doc_mentions": docs.doc_mentions,
         "docs_clean_corpus": docs.docs_clean_corpus,
@@ -1666,6 +1667,27 @@ def oracle_sql() -> dict[str, str]:
             FROM w a JOIN w b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
                   / len(list_distinct(a.words || b.words)) >= 0.4""",
+        # exact k-NN graph: all ordered pairs, rank by raw float64
+        # cosine then neighbor id (numpy matmul and DuckDB
+        # list_cosine_similarity agree on float64 — the ann_topk
+        # precedent), cosine rounded to 4 only in the output
+        "embeddings_knn_graph": """
+            WITH s AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])
+                         AS cos
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id != b.vec_id
+            ), r AS (
+              SELECT vec_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC,
+                                                 neighbor_id) AS rank
+              FROM s)
+            SELECT vec_id, neighbor_id, round(cos, 4) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5""",
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

@@ -1017,6 +1017,18 @@ def embeddings_kmeans(sf_dir: str, k: int = 4, iters: int = 2):
     return assigns
 
 
+def embeddings_knn_graph(sf_dir: str, k: int = 5):
+    """Exact cosine k-NN graph over every vector (self excluded,
+    rank by cosine desc then neighbor id; float64 math so the
+    oracle's arithmetic matches; cosine rounded 4 AFTER ranking,
+    the ann_topk convention)."""
+    from ferenda_ray.pipelines.relational import _round_cols
+    from ferenda_ray.stages.similarity import knn_graph
+    out = knn_graph(_read_emb(sf_dir), k=k)
+    return out.map_batches(lambda b: _round_cols(b, {"cosine": 4}),
+                           batch_format="pyarrow")
+
+
 def embeddings_semdedup(sf_dir: str, eps: float = 0.4):
     """SemDeDup over the embeddings table: k-means buckets (the
     oracled k=4/iters=2 instance) + within-cluster cosine pruning,

@@ -89,6 +89,140 @@ def brute_topk(embeddings, queries, k: int = 10,
         merge, batch_format="pyarrow")
 
 
+def knn_graph(embeddings, k: int = 5, vec_col: str = "embedding",
+              id_col: str = "vec_id",
+              broadcast_bytes: int = 256 << 20):
+    """Exact cosine k-NN graph over ALL vectors: one row per
+    (vector, neighbor) with ``rank`` 1..k by (cosine desc, neighbor_id
+    asc), self excluded — the primitive under graph-based semantic
+    dedup and cluster seeding.
+
+    Plan picked from the MEASURED table size (the
+    :func:`~ferenda_ray.stages.dedup.embedding_neardup_pairs` gate):
+
+    * **≤ broadcast_bytes** — the id-sorted normalized matrix ships
+      once via ``ray.put``; each batch is one matmul against it and
+      an in-batch exact top-k (candidates = every corpus column, so
+      no merge exchange at all).
+    * **larger** — block-pair fan-out: every ordered block pair (i, j)
+      emits block-i rows' top-k against block-j columns, then ONE
+      ``groupby(vec_id)`` merge keeps the global top-k.  O(N²) flops
+      — exact all-pairs is inherently quadratic; for sub-quadratic
+      use the LSH/IVF index routes — but no worker holds more than
+      two blocks.
+
+    Tie discipline matches the SQL oracle (ORDER BY cosine DESC, id):
+    candidates are cut at ``max(4k, 64)`` per row before the exact
+    (−cosine, id) sort, so results are deterministic unless >4k−1
+    columns tie EXACTLY (bit-equal float64) with the k-th value."""
+    import ray as _ray
+    import ray.data as rd
+
+    emb = embeddings.select_columns([id_col, vec_col]).materialize()
+
+    def _row_topk(bids: np.ndarray, cids: np.ndarray, S: np.ndarray,
+                  per_row_k: int, mask_self: bool) -> pa.Table:
+        if mask_self:
+            pos = np.searchsorted(cids, bids)
+            pos = np.clip(pos, 0, len(cids) - 1)
+            hit = cids[pos] == bids
+            S[np.flatnonzero(hit), pos[hit]] = -np.inf
+        m = min(S.shape[1], max(4 * per_row_k, 64))
+        part = np.argpartition(-S, m - 1, axis=1)[:, :m]
+        rows_out, nb_out, cos_out, rk_out = [], [], [], []
+        for r in range(S.shape[0]):
+            cand = part[r]
+            c = S[r, cand]
+            keep = c > -np.inf
+            cand, c = cand[keep], c[keep]
+            order = np.lexsort((cids[cand], -c))[:per_row_k]
+            nb = cids[cand[order]]
+            rows_out.append(np.full(len(nb), bids[r], np.int64))
+            nb_out.append(nb)
+            cos_out.append(c[order])
+            rk_out.append(np.arange(1, len(nb) + 1, dtype=np.int64))
+        if not rows_out:
+            return _KNN_EMPTY
+        return pa.table({
+            id_col: pa.array(np.concatenate(rows_out), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(nb_out), pa.int64()),
+            "cosine": pa.array(np.concatenate(cos_out), pa.float64()),
+            "rank": pa.array(np.concatenate(rk_out), pa.int64())})
+
+    if emb.size_bytes() <= broadcast_bytes:
+        refs = emb.to_arrow_refs()
+        tbls = [t for t in _ray.get(refs) if t.num_rows]
+        if not tbls:
+            return rd.from_arrow(_KNN_EMPTY)
+        packed = pa.concat_tables(tbls)
+        ids = packed.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order].astype(np.int64)
+        M = _normalize(_col_matrix(packed, vec_col, np.float64))[order]
+
+        class Finder:
+            def __init__(self, ref):
+                self.ids, self.M = resolve(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                bids = (b.column(id_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+                V = _normalize(_col_matrix(b, vec_col, np.float64))
+                return _row_topk(bids, self.ids, V @ self.M.T, k, True)
+
+        return stateful_map(emb, Finder, (ids, M), batch_size=2048)
+
+    # block-pair plan
+    @_ray.remote
+    def _norm_block(tbl: pa.Table):
+        bids = (tbl.column(id_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+        order = np.argsort(bids)
+        return (bids[order],
+                _normalize(_col_matrix(tbl, vec_col,
+                                       np.float64))[order])
+
+    blocks = [_norm_block.remote(r) for r in emb.to_arrow_refs()]
+    if not blocks:
+        return rd.from_arrow(_KNN_EMPTY)
+    P = len(blocks)
+    items = [{"i": i, "j": j} for i in range(P) for j in range(P)]
+
+    class BlockPair:
+        def __init__(self, ref):
+            self.blocks = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            outs = []
+            for i, j in zip(b.column("i").to_pylist(),
+                            b.column("j").to_pylist()):
+                ids_i, Mi = _ray.get(self.blocks[i])
+                ids_j, Mj = _ray.get(self.blocks[j])
+                outs.append(_row_topk(ids_i, ids_j, Mi @ Mj.T, k,
+                                      i == j))
+            return (pa.concat_tables(outs) if outs else _KNN_EMPTY)
+
+    idx = rd.from_items(items, override_num_blocks=min(len(items), 256))
+    cand = stateful_map(idx, BlockPair, blocks, batch_size=8)
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"),
+                           ("neighbor_id", "ascending")]).slice(0, k)
+        return g.set_column(
+            g.schema.get_field_index("rank"), "rank",
+            pa.array(range(1, g.num_rows + 1), pa.int64()))
+
+    return cand.groupby(id_col).map_groups(merge,
+                                           batch_format="pyarrow")
+
+
+_KNN_EMPTY = pa.table({"vec_id": pa.array([], pa.int64()),
+                       "neighbor_id": pa.array([], pa.int64()),
+                       "cosine": pa.array([], pa.float64()),
+                       "rank": pa.array([], pa.int64())})
+
+
 def bucket_codes(embeddings, n_planes: int = 8, seed: int = 7,
                  vec_col: str = "embedding", id_col: str = "vec_id"):
     """Assign each vector its sign-LSH bucket code (int in

@@ -285,3 +285,35 @@ def test_semdedup_matches_bruteforce(ray_session):
     assert got[4][1]                           # lowest id kept
     # anti-correlated vector survives even if co-clustered
     assert got[45][1]
+
+
+def test_knn_graph_plans_identical(ray_session):
+    """Broadcast and block-pair plans must produce the same graph,
+    self always excluded, ranks contiguous from 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.similarity import knn_graph
+
+    rng = np.random.default_rng(11)
+    n, d = 40, 8
+    emb = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([rng.normal(size=d).tolist()
+                               for _ in range(n)],
+                              pa.list_(pa.float64()))})
+    ds = rd.from_arrow(emb).repartition(5)
+
+    def canon(out):
+        return sorted((r["vec_id"], r["rank"], r["neighbor_id"],
+                       round(r["cosine"], 9)) for r in out.take_all())
+
+    a = canon(knn_graph(ds, k=3))
+    b = canon(knn_graph(ds, k=3, broadcast_bytes=0))
+    assert a == b
+    assert len(a) == n * 3
+    per = {}
+    for vid, rank, nb, _ in a:
+        assert nb != vid
+        per.setdefault(vid, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
