@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 132 queries, 126 with DuckDB oracles (counts asserted
+Round-5 surface: 133 queries, 127 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_secrets_scan": code.code_secrets_scan,
         "code_dedup_keep_best": code.code_dedup_keep_best,
         "code_complexity": code.code_complexity,
+        "code_symbols_incremental": code.code_symbols_incremental,
         "code_neardup_files": code.code_neardup_files,
         "code_repo_summary": code.code_repo_summary,
         "code_commit_diff": code.code_commit_diff,
@@ -2326,6 +2327,9 @@ def _code_symbol_oracles(kg_cache: str) -> dict[str, str]:
     subj = "'https://example.org/res/' || repo || '/' || path"
     return {
         "code_symbols": f"WITH src AS ({src})\n{sym_legs}",
+        # delta-maintained view must equal the full rebuild
+        "code_symbols_incremental":
+            f"WITH src AS ({src})\n{sym_legs}",
         "code_imports": f"WITH src AS ({src})\n{imp_legs}",
         "code_symbol_stats": f"""
             WITH src AS ({src}), u AS ({sym_legs})

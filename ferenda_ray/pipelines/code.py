@@ -298,6 +298,78 @@ def code_dedup_keep_best(sf_dir: str, threshold: float = 0.6):
                            score_col="n_chars")
 
 
+def code_symbols_incremental(sf_dir: str):
+    """Incremental maintenance of the DERIVED symbol table — the
+    delta-view twin of ``kg_incremental`` (which proves the
+    partitioned-sink flow; this one proves in-memory view
+    maintenance): an OLD snapshot (ordinal %10==0 absent, %10==5 at a
+    truncated revision) had its symbols extracted; the snapshot diff
+    names the added/changed/removed files; the maintained view =
+    old symbols MINUS (changed ∪ removed files) UNION re-extraction
+    of ONLY (added ∪ changed) files.  The oracle is the plain
+    full-corpus ``code_symbols`` restatement — delta-maintained must
+    equal full rebuild.  The file sets ride as broadcast id sets
+    (≪ corpus by construction); only delta files are re-parsed."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ferenda_ray.stages.code_quality import symbol_defs
+    from ferenda_ray.stages.dedup import corpus_diff
+
+    new_src = _sources(sf_dir)
+
+    def make_old(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b)
+              .with_columns(pl.col("path").str.extract(r"mod_(\d+)", 1)
+                            .cast(pl.Int64).alias("__o"))
+              .filter(pl.col("__o") % 10 != 0)
+              .with_columns(
+                  pl.when(pl.col("__o") % 10 == 5)
+                  .then(pl.col("content").str.slice(0, 64))
+                  .otherwise(pl.col("content")).alias("content"))
+              .drop(["__o"]))
+        return df.to_arrow().cast(b.schema)
+
+    old_src = new_src.map_batches(make_old, batch_format="pyarrow")
+
+    def keyed(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).select(
+            (pl.col("repo") + ":" + pl.col("path")).alias("file"),
+            pl.col("content"))
+        t = df.to_arrow()
+        return pa.table({"file": t.column("file").cast(pa.string()),
+                         "content": t.column("content")
+                                     .cast(pa.string())})
+
+    delta = corpus_diff(old_src.map_batches(keyed,
+                                            batch_format="pyarrow"),
+                        new_src.map_batches(keyed,
+                                            batch_format="pyarrow"),
+                        id_col="file", text_col="content")
+    rows = delta.take_all()                     # ≪ corpus by design
+    refresh = pa.array(sorted(r["file"] for r in rows
+                              if r["status"] in ("added", "changed")),
+                       pa.string())
+    drop = pa.array(sorted(r["file"] for r in rows
+                           if r["status"] in ("changed", "removed")),
+                    pa.string())
+
+    def file_key(b: pa.Table) -> pa.Array:
+        return pc.binary_join_element_wise(
+            b.column("repo").cast(pa.string()),
+            b.column("path").cast(pa.string()), ":")
+
+    keep_old = symbol_defs(old_src).map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(file_key(b),
+                                              value_set=drop))),
+        batch_format="pyarrow")
+    fresh = symbol_defs(new_src.map_batches(
+        lambda b: b.filter(pc.is_in(file_key(b), value_set=refresh)),
+        batch_format="pyarrow"))
+    return keep_old.union(fresh)
+
+
 def code_complexity(sf_dir: str):
     """Per-file decision-point count + cyclomatic estimate."""
     import pyarrow as pa
