@@ -24,10 +24,16 @@ import sys
 
 
 def _ray():
+    import os
+
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # honor the surrounding cluster: under `ray job submit` (the
+        # north rule's launch mode) RAY_ADDRESS points at the running
+        # cluster and the job must JOIN it, not boot a private local
+        # instance; standalone runs fall back to a local cluster
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     import ray.data as rd
     rd.DataContext.get_current().enable_progress_bars = False
     return ray
