@@ -893,18 +893,28 @@ def _bitset_verify(ex: "pl.DataFrame", pairs: "pl.DataFrame",
     sizes = _POPCNT8[words.view(np.uint8)].sum(axis=1).astype(np.int64)
     a = np.searchsorted(ids_u, pairs.get_column("id_a").to_numpy())
     b = np.searchsorted(ids_u, pairs.get_column("id_b").to_numpy())
-    inter = _POPCNT8[(words[a] & words[b]).view(np.uint8)] \
-        .sum(axis=1).astype(np.int64)
-    union = sizes[a] + sizes[b] - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        jac = inter / union
-    keep = (inter > 0) & (jac >= threshold)
+    ia = pairs.get_column("id_a").to_numpy()
+    ib = pairs.get_column("id_b").to_numpy()
+    # fixed-size slabs: the dense gathers (chunk × n_words uint64 ×2
+    # + the uint16 LUT expansion) peak at ~50 MB per slab instead of
+    # O(n_pairs × n_words) for the whole candidate set at once
+    chunk = max(1, (1 << 25) // max(words.shape[1], 1))
+    outs_a, outs_b, outs_j = [], [], []
+    for s in range(0, len(a), chunk):
+        aa, bb = a[s:s + chunk], b[s:s + chunk]
+        inter = _POPCNT8[(words[aa] & words[bb]).view(np.uint8)] \
+            .sum(axis=1).astype(np.int64)
+        union = sizes[aa] + sizes[bb] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = inter / union
+        keep = (inter > 0) & (jac >= threshold)
+        outs_a.append(ia[s:s + chunk][keep])
+        outs_b.append(ib[s:s + chunk][keep])
+        outs_j.append(jac[keep])
     return pa.table({
-        "id_a": pa.array(pairs.get_column("id_a").to_numpy()[keep],
-                         pa.int64()),
-        "id_b": pa.array(pairs.get_column("id_b").to_numpy()[keep],
-                         pa.int64()),
-        "jaccard": pa.array(jac[keep], pa.float64())})
+        "id_a": pa.array(np.concatenate(outs_a), pa.int64()),
+        "id_b": pa.array(np.concatenate(outs_b), pa.int64()),
+        "jaccard": pa.array(np.concatenate(outs_j), pa.float64())})
 
 
 def jaccard_pairs_broadcast(docs, threshold: float = 0.5,

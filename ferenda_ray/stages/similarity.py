@@ -104,12 +104,17 @@ def knn_graph(embeddings, k: int = 5, vec_col: str = "embedding",
       once via ``ray.put``; each batch is one matmul against it and
       an in-batch exact top-k (candidates = every corpus column, so
       no merge exchange at all).
-    * **larger** — block-pair fan-out: every ordered block pair (i, j)
-      emits block-i rows' top-k against block-j columns, then ONE
-      ``groupby(vec_id)`` merge keeps the global top-k.  O(N²) flops
-      — exact all-pairs is inherently quadratic; for sub-quadratic
-      use the LSH/IVF index routes — but no worker holds more than
-      two blocks.
+    * **larger** — block-pair fan-out: every UNORDERED block pair
+      (i ≤ j) computes one matmul and emits block-i rows' top-k from
+      S plus block-j rows' top-k from S.T (the transpose is free — no
+      (j, i) re-compute), then ONE ``groupby(vec_id)`` merge keeps the
+      global top-k.  O(N²) flops — exact all-pairs is inherently
+      quadratic; for sub-quadratic use the LSH/IVF index routes — but
+      no worker holds more than two blocks.
+
+    Memory discipline: the broadcast plan's batch size is derived
+    from N so each batch's (rows × N) float64 score matrix stays
+    ≤ ~256 MB regardless of how small the (bytes-gated) matrix is.
 
     Tie discipline matches the SQL oracle (ORDER BY cosine DESC, id):
     candidates are cut at ``max(4k, 64)`` per row before the exact
@@ -119,6 +124,7 @@ def knn_graph(embeddings, k: int = 5, vec_col: str = "embedding",
     import ray.data as rd
 
     emb = embeddings.select_columns([id_col, vec_col]).materialize()
+    empty = _knn_empty(id_col)
 
     def _row_topk(bids: np.ndarray, cids: np.ndarray, S: np.ndarray,
                   per_row_k: int, mask_self: bool) -> pa.Table:
@@ -142,7 +148,7 @@ def knn_graph(embeddings, k: int = 5, vec_col: str = "embedding",
             cos_out.append(c[order])
             rk_out.append(np.arange(1, len(nb) + 1, dtype=np.int64))
         if not rows_out:
-            return _KNN_EMPTY
+            return empty
         return pa.table({
             id_col: pa.array(np.concatenate(rows_out), pa.int64()),
             "neighbor_id": pa.array(np.concatenate(nb_out), pa.int64()),
@@ -153,7 +159,7 @@ def knn_graph(embeddings, k: int = 5, vec_col: str = "embedding",
         refs = emb.to_arrow_refs()
         tbls = [t for t in _ray.get(refs) if t.num_rows]
         if not tbls:
-            return rd.from_arrow(_KNN_EMPTY)
+            return rd.from_arrow(empty)
         packed = pa.concat_tables(tbls)
         ids = packed.column(id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
@@ -171,11 +177,15 @@ def knn_graph(embeddings, k: int = 5, vec_col: str = "embedding",
                 V = _normalize(_col_matrix(b, vec_col, np.float64))
                 return _row_topk(bids, self.ids, V @ self.M.T, k, True)
 
-        return stateful_map(emb, Finder, (ids, M), batch_size=2048)
+        # rows × N × 16 B (scores + argpartition indices) ≤ ~512 MB
+        bs = int(min(2048, max(32, (256 << 20) // (len(ids) * 16))))
+        return stateful_map(emb, Finder, (ids, M), batch_size=bs)
 
-    # block-pair plan
+    # ---- block-pair plan: nothing corpus-sized on any one worker ----
     @_ray.remote
     def _norm_block(tbl: pa.Table):
+        if tbl.num_rows == 0:     # repartition can leave empty blocks
+            return np.empty(0, np.int64), None
         bids = (tbl.column(id_col).to_numpy(zero_copy_only=False)
                 .astype(np.int64))
         order = np.argsort(bids)
@@ -185,9 +195,9 @@ def knn_graph(embeddings, k: int = 5, vec_col: str = "embedding",
 
     blocks = [_norm_block.remote(r) for r in emb.to_arrow_refs()]
     if not blocks:
-        return rd.from_arrow(_KNN_EMPTY)
+        return rd.from_arrow(empty)
     P = len(blocks)
-    items = [{"i": i, "j": j} for i in range(P) for j in range(P)]
+    items = [{"i": i, "j": j} for i in range(P) for j in range(i, P)]
 
     class BlockPair:
         def __init__(self, ref):
@@ -199,9 +209,19 @@ def knn_graph(embeddings, k: int = 5, vec_col: str = "embedding",
                             b.column("j").to_pylist()):
                 ids_i, Mi = _ray.get(self.blocks[i])
                 ids_j, Mj = _ray.get(self.blocks[j])
-                outs.append(_row_topk(ids_i, ids_j, Mi @ Mj.T, k,
-                                      i == j))
-            return (pa.concat_tables(outs) if outs else _KNN_EMPTY)
+                if Mi is None or Mj is None:
+                    continue
+                S = Mi @ Mj.T
+                # S serves both directions: i-rows vs j-cols, and the
+                # free transpose for j-rows vs i-cols.  Safe order:
+                # the i==j call is the only one that mutates S (self
+                # mask) and is also the only one with no second use.
+                outs.append(_row_topk(ids_i, ids_j, S, k, i == j))
+                if i != j:
+                    outs.append(_row_topk(ids_j, ids_i,
+                                          np.ascontiguousarray(S.T),
+                                          k, False))
+            return (pa.concat_tables(outs) if outs else empty)
 
     idx = rd.from_items(items, override_num_blocks=min(len(items), 256))
     cand = stateful_map(idx, BlockPair, blocks, batch_size=8)
@@ -217,10 +237,11 @@ def knn_graph(embeddings, k: int = 5, vec_col: str = "embedding",
                                            batch_format="pyarrow")
 
 
-_KNN_EMPTY = pa.table({"vec_id": pa.array([], pa.int64()),
-                       "neighbor_id": pa.array([], pa.int64()),
-                       "cosine": pa.array([], pa.float64()),
-                       "rank": pa.array([], pa.int64())})
+def _knn_empty(id_col: str) -> pa.Table:
+    return pa.table({id_col: pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64()),
+                     "rank": pa.array([], pa.int64())})
 
 
 def bucket_codes(embeddings, n_planes: int = 8, seed: int = 7,

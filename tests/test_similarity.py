@@ -317,3 +317,27 @@ def test_knn_graph_plans_identical(ray_session):
         assert nb != vid
         per.setdefault(vid, []).append(rank)
     assert all(sorted(v) == [1, 2, 3] for v in per.values())
+
+
+def test_knn_graph_block_plan_handles_empty_blocks(ray_session):
+    """Repartition can leave zero-row blocks; the block-pair plan
+    must skip them instead of crashing in _norm_block (found by
+    review: _col_matrix on an empty table raises)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ferenda_ray.stages.similarity import knn_graph
+
+    rng = np.random.default_rng(3)
+    emb = pa.table({
+        "vec_id": pa.array(range(3), pa.int64()),
+        "embedding": pa.array([rng.normal(size=4).tolist()
+                               for _ in range(3)],
+                              pa.list_(pa.float64()))})
+    ds = rd.from_arrow(emb).repartition(8)   # most blocks empty
+    a = sorted((r["vec_id"], r["rank"], r["neighbor_id"])
+               for r in knn_graph(ds, k=2, broadcast_bytes=0)
+               .take_all())
+    b = sorted((r["vec_id"], r["rank"], r["neighbor_id"])
+               for r in knn_graph(ds, k=2).take_all())
+    assert a == b and len(a) == 6
