@@ -220,18 +220,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_segment_dup_stats": docs.docs_segment_dup_stats,
         "docs_remove_common_segments": docs.docs_remove_common_segments,
         "docs_segments_keep_first": docs.docs_segments_keep_first,
-        # --- core spine (driver-green rounds 1-4; catches plumbing
-        # regressions inside the window; q1/doc_facets/exact_dedup/
-        # doc_triples/search_bm25/minhash_verified_dups moved
-        # past-window — 3+ green driver rounds each, still
-        # pytest-oracle-verified there) ---
+        # ---------------- position >50 below: rotated OUT this round
+        # (driver-green in rounds 1-4); every oracled entry here is
+        # verified per-commit by tests/test_query_oracles.py.  The
+        # core spine (jaccard/simhash/sessionize/tumbling, q1,
+        # doc_facets, exact_dedup, doc_triples, search_bm25,
+        # minhash_verified_dups) leads this section — 3+ green driver
+        # rounds each. -------------------------------------------------
         "docs_jaccard_pairs": docs.docs_jaccard_pairs,
         "docs_simhash_pairs": docs.docs_simhash_pairs,
         "events_sessionize": events.sessionize,
         "events_tumbling_hour": events.tumbling_hour,
-        # ---------------- position >50 below: rotated OUT this round
-        # (driver-green in rounds 1-4); every oracled entry here is
-        # verified per-commit by tests/test_query_oracles.py -----------
         "doc_triples": docs.doc_triples,
         "docs_search_bm25": docs.docs_search_bm25,
         "docs_minhash_verified_dups": docs.docs_minhash_verified_dups,
@@ -259,9 +258,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_citation_roles": docs.docs_citation_roles,
         "docs_dup_ngrams": docs.docs_dup_ngrams,
         "docs_remove_dup_spans": docs.docs_remove_dup_spans,
-        "docs_segment_dup_stats": docs.docs_segment_dup_stats,
-        "docs_remove_common_segments": docs.docs_remove_common_segments,
-        "docs_segments_keep_first": docs.docs_segments_keep_first,
         "docs_perplexity": docs.docs_perplexity,
         "docs_top_tokens": docs.docs_top_tokens,
         "embeddings_kmeans": docs.embeddings_kmeans,

@@ -620,19 +620,29 @@ def _annotations_broadcast(triples, up, dockeys):
         return pl.from_arrow(pa.concat_tables(tbls)).with_columns(
             [pl.col(c).cast(pl.String) for c in cols])
 
-    up_ref = ray.put(_collect_df(up, ["node", "anchor"]))
-    dk_ref = ray.put(_collect_df(dockeys, ["doc_uri", "ref_key"]))
+    from ferenda_ray.stages.broadcast import (resolve as _resolve_state,
+                                              stateful_map)
 
-    def resolve(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(_ref_edges_batch(b))
-        j = (df.join(ray.get(dk_ref), on="ref_key")
-             .with_columns((pl.col("doc_uri") + pl.col("ref_frag"))
-                           .alias("part"))
-             .join(ray.get(up_ref), left_on="part", right_on="node"))
-        return j.select(["anchor", "part", "ref_src"]).to_arrow()
+    up_df = _collect_df(up, ["node", "anchor"])
+    dk_df = _collect_df(dockeys, ["doc_uri", "ref_key"])
 
-    hits = triples.map_batches(resolve,
-                               batch_format="pyarrow").materialize()
+    class _ResolveRefs:
+        # side tables deserialize ONCE per actor/task in __init__ —
+        # a ray.get inside __call__ would rebuild the polars frames
+        # on every batch
+        def __init__(self, ref):
+            self.dk, self.up = _resolve_state(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(_ref_edges_batch(b))
+            j = (df.join(self.dk, on="ref_key")
+                 .with_columns((pl.col("doc_uri") + pl.col("ref_frag"))
+                               .alias("part"))
+                 .join(self.up, left_on="part", right_on="node"))
+            return j.select(["anchor", "part", "ref_src"]).to_arrow()
+
+    hits = stateful_map(triples, _ResolveRefs, (dk_df, up_df),
+                        batch_size=None).materialize()
 
     def to_b2a(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -645,20 +655,24 @@ def _annotations_broadcast(triples, up, dockeys):
             "obj_value": b.column("ref_src").cast(pa.string())})
 
     b2a = hits.map_batches(to_b2a, batch_format="pyarrow")
-    src_ref = ray.put(
-        _collect_df(hits, ["ref_src", "anchor"]).unique()
-        .rename({"ref_src": "subj"}))
+    src_df = (_collect_df(hits, ["ref_src", "anchor"]).unique()
+              .rename({"ref_src": "subj"}))
 
-    def emit(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(_five_cols(b))
-        one = df.join(ray.get(up_ref), left_on="subj",
-                      right_on="node")            # branch 1
-        two = df.join(ray.get(src_ref), on="subj")  # branch 2b
-        cols = ["anchor", "subj", "pred", "obj_type", "obj_value"]
-        return pl.concat([one.select(cols), two.select(cols)]) \
-            .to_arrow()
+    class _EmitBranches:
+        def __init__(self, ref):
+            self.up, self.src = _resolve_state(ref)
 
-    out = triples.map_batches(emit, batch_format="pyarrow").union(b2a)
+        def __call__(self, b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(_five_cols(b))
+            one = df.join(self.up, left_on="subj",
+                          right_on="node")          # branch 1
+            two = df.join(self.src, on="subj")      # branch 2b
+            cols = ["anchor", "subj", "pred", "obj_type", "obj_value"]
+            return pl.concat([one.select(cols), two.select(cols)]) \
+                .to_arrow()
+
+    out = stateful_map(triples, _EmitBranches, (up_df, src_df),
+                       batch_size=None).union(b2a)
     return distinct(out, ["anchor", "subj", "pred", "obj_type",
                           "obj_value"])
 

@@ -1490,18 +1490,14 @@ def docs_fingerprint_pairs(sf_dir: str, max_hamming: int = 1):
     same-lang docs sit at Hamming 0 (same flipped bit) or 2, and the
     ≤1 pair set is exactly the same-lang same-bit classes, checkable
     by a DuckDB ``bit_count(xor(...))`` cross join."""
-    import hashlib
-
     import numpy as np
 
     from ferenda_ray.stages.dedup import hamming_pairs64
 
     def fp(b: pa.Table) -> pa.Table:
+        from ferenda_ray.stages.sample import md5_u64
         langs = b.column("lang").to_pylist()
-        cache: dict = {}
-        for L in set(langs):
-            cache[L] = int.from_bytes(
-                hashlib.md5(L.encode()).digest()[8:16], "little")
+        cache = {L: md5_u64(L) for L in set(langs)}
         base = np.fromiter((cache[L] for L in langs), dtype=np.uint64,
                            count=len(langs))
         ids = b.column("doc_id").to_numpy().astype(np.uint64)

@@ -505,9 +505,8 @@ class SimHasher:
             self._th = lambda t: ((zlib.crc32(t.encode()) << 32)
                                   | zlib.crc32(t[::-1].encode()))
         elif token_hash == "md5":
-            import hashlib
-            self._th = lambda t: int.from_bytes(
-                hashlib.md5(t.encode()).digest()[8:16], "little")
+            from ferenda_ray.stages.sample import md5_u64
+            self._th = md5_u64
         else:
             raise ValueError("token_hash must be crc or md5")
 
@@ -1756,14 +1755,22 @@ def segment_dup_stats(docs, min_docs: int = 2, delim: str = "\n",
         occ_all = np.concatenate([occ, blank_occ[bz]])
         blank = np.concatenate([np.zeros(len(doc), np.int8),
                                 np.ones(len(bz), np.int8)])
+        # sentinel rows never hash-match (flag() masks them with
+        # ~blank), so spread them by DOC id instead of funnelling
+        # every blank-holding doc into hash-0's bucket — on a prose
+        # corpus nearly all docs emit one sentinel, and `0 % nb`
+        # would rebuild the single-partition skew explode() salts
+        # against in remove_duplicate_segments
+        bucket = np.concatenate([
+            (dh1 % np.uint64(nb)).astype(np.int32),
+            (ids[bz] % nb).astype(np.int32)])
         return pa.table({
             id_col: pa.array(doc_all, pa.int64()),
             "__h1": pa.array(h1_all.view(np.int64), pa.int64()),
             "__h2": pa.array(h2_all.view(np.int64), pa.int64()),
             "__occ": pa.array(occ_all, pa.int64()),
             "__blank": pa.array(blank, pa.int8()),
-            "__bucket": pa.array(
-                (h1_all % np.uint64(nb)).astype(np.int32), pa.int32()),
+            "__bucket": pa.array(bucket, pa.int32()),
         })
 
     def flag(group: pa.Table) -> pa.Table:

@@ -69,9 +69,7 @@ def stratified_sample(docs, group_col: str = "lang", k: int = 10,
 
     def hkey(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_pylist()
-        hs = [(int.from_bytes(
-            hashlib.md5(str(i).encode()).digest()[8:16], "little")
-            & 0x7FFFFFFFFFFFFFFF) for i in ids]
+        hs = _md5_int63(ids)
         t = b.append_column("__h", pa.array(hs, pa.int64()))
         # partial top-k per group inside the batch
         df = (pl.from_arrow(t).sort(["__h", id_col])
@@ -88,13 +86,21 @@ def stratified_sample(docs, group_col: str = "lang", k: int = 10,
             .map_groups(final, batch_format="pyarrow"))
 
 
+def md5_u64(data) -> int:
+    """Little-endian bytes 8:16 of the md5 digest as an unsigned
+    64-bit int — the ONE engine-wide DuckDB ``md5_number_lower``
+    parity base.  Every hash-ordered / hash-bucketed operator derives
+    its key from this (masked to int63 or reduced mod n at the call
+    site) so a parity change lands in exactly one place."""
+    if isinstance(data, str):
+        data = data.encode()
+    return int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
+
+
 def _md5_int63(values) -> list[int]:
-    """``md5_number_lower``-compatible int63 per value (little-endian
-    bytes 8:16 of the digest, masked positive) — the shared key idiom
-    that keeps every hash-ordered operator DuckDB-oracle-checkable."""
-    return [(int.from_bytes(
-        hashlib.md5(str(v).encode()).digest()[8:16], "little")
-        & 0x7FFFFFFFFFFFFFFF) for v in values]
+    """``md5_number_lower``-compatible int63 per value (masked
+    positive) — keeps hash-ordered operators oracle-checkable."""
+    return [md5_u64(str(v)) & 0x7FFFFFFFFFFFFFFF for v in values]
 
 
 def token_budget_sample(docs, budget: int, group_col: str = "lang",

@@ -142,10 +142,8 @@ class Fingerprinter:
         if hash == "crc32":
             self._h = lambda b: zlib.crc32(b)
         elif hash == "md5":
-            import hashlib
-            self._h = lambda b: (int.from_bytes(
-                hashlib.md5(b).digest()[8:16], "little")
-                & 0x7FFFFFFFFFFFFFFF)
+            from ferenda_ray.stages.sample import md5_u64
+            self._h = lambda b: md5_u64(b) & 0x7FFFFFFFFFFFFFFF
         else:
             raise ValueError("hash must be crc32 or md5")
 
@@ -1273,11 +1271,15 @@ def bpe_encode(docs, merges, text_col: str = "text",
     WORD vocabulary is encoded once (``_apply_merge``, the training
     kernel, verbatim — one pass per merge in rank order, so encode
     semantics are bit-identical to training by construction), then
-    docs re-tokenize through the word→tokens map via the
-    ``stateful_map`` broadcast policy.  Vocabulary-sized state, one
-    corpus pass.  Same plan pick as ``bpe_train``: vocab under
-    ``driver_max_words`` encodes on the driver, larger vocabularies
-    run the same kernels as ``map_batches`` passes.
+    docs re-tokenize through the word→tokens map.  Same plan pick as
+    ``bpe_train``: a vocab under ``driver_max_words`` encodes on the
+    driver and broadcasts via the ``stateful_map`` policy; larger
+    vocabularies run the merge kernels as ``map_batches`` passes and
+    attach tokens through a distributed hash join (explode to
+    ``(doc, ord, word)`` → join on word → per-doc reassemble), so
+    the map never lands in one heap.  The vocabulary is built from
+    ``docs`` itself, so the join cannot miss (the driver plan's OOV
+    fallback is the same belt-and-braces).
 
     Not SQL-expressible (iterative greedy merging — in particular a
     replace-based restatement diverges on odd same-symbol runs, where
@@ -1327,10 +1329,62 @@ def bpe_encode(docs, merges, text_col: str = "text",
             table = table.map_batches(
                 keep_word(_apply_merge(l, r)),
                 batch_format="pyarrow").materialize()
-        word_toks = {}
-        for t in ray.get(table.to_arrow_refs()):
-            word_toks.update(zip(t.column("word").to_pylist(),
-                                 t.column("syms").to_pylist()))
+        # distributed encode — the point of the plan pick is that the
+        # word→tokens map never lands in ONE heap (driver or actor):
+        # explode docs to (doc_id, __ord, word), hash-join the
+        # encoded vocabulary, reassemble per doc in word order
+        from ferenda_ray.cluster import (coalesce_partitions,
+                                         join_partitions,
+                                         ray_join_handles_empty_blocks)
+        SEP = "\x1f"
+
+        def pack(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "word": b.column("word"),
+                "__enc": pa.array(
+                    [SEP.join(s) for s in b.column("syms").to_pylist()],
+                    pa.string())})
+
+        enc = table.map_batches(pack, batch_format="pyarrow")
+
+        def explode(b: pa.Table) -> pa.Table:
+            words = [t.split(" ")
+                     for t in b.column(text_col).to_pylist()]
+            n = np.array([len(w) for w in words], np.int64)
+            idx = np.repeat(np.arange(b.num_rows), n)
+            ords = (np.concatenate([np.arange(k) for k in n])
+                    if len(n) else np.array([], np.int64))
+            return pa.table({
+                id_col: b.column(id_col).take(pa.array(idx)),
+                "__ord": pa.array(ords, pa.int64()),
+                "word": pa.array([w for ws in words for w in ws],
+                                 pa.string())})
+
+        ex = docs.map_batches(explode, batch_format="pyarrow")
+        np_ = join_partitions()
+        if not ray_join_handles_empty_blocks():
+            co = coalesce_partitions()
+            ex, enc = ex.repartition(co), enc.repartition(co)
+        j = ex.join(enc, join_type="left_outer", on=("word",),
+                    num_partitions=np_)
+
+        def reassemble(g: pa.Table) -> pa.Table:
+            order = np.argsort(g.column("__ord").to_numpy(),
+                               kind="stable")
+            encs = g.column("__enc").to_pylist()
+            toks: list = []
+            for k in order:
+                e = encs[k]
+                toks.extend(e.split(SEP) if e else [])
+            return pa.table({
+                id_col: g.column(id_col).slice(0, 1),
+                "n_words": pa.array([g.num_rows], pa.int64()),
+                "n_bpe_tokens": pa.array([len(toks)], pa.int64()),
+                "bpe_tokens": pa.array([toks],
+                                       pa.list_(pa.string()))})
+
+        return j.groupby(id_col).map_groups(reassemble,
+                                            batch_format="pyarrow")
 
     class Encoder:
         def __init__(self, ref):
@@ -1436,12 +1490,10 @@ def moore_lewis_weights(docs, target, alpha: float = 0.5,
 
 
 def _md5_bucket(s: str, n_buckets: int) -> int:
-    """``md5_number_lower``-compatible bucket (little-endian bytes
-    8:16 of the md5 digest, mod ``n_buckets``) — the engine-wide
-    DuckDB-parity hash (see stages/sample.py:91)."""
-    import hashlib
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
-                          "little") % n_buckets
+    """``md5_number_lower``-compatible bucket — the engine-wide
+    DuckDB-parity hash (one base: ``sample.md5_u64``)."""
+    from ferenda_ray.stages.sample import md5_u64
+    return md5_u64(s) % n_buckets
 
 
 def _bigram_bucket_arrays(texts, n_buckets: int):

@@ -291,7 +291,13 @@ class XSLT:
                 "stylesheet", "transform"):
             raise XSLTError("not an xsl:stylesheet")
         _strip_stylesheet_space(root)
-        n_imports = 0
+        # XSLT 1.0 §2.6.2: every import ranks below the importing sheet,
+        # and LATER imports have HIGHER precedence than earlier ones —
+        # so the i-th of N imports (1-based) gets base - (N - i + 1) slots.
+        n_imports = sum(1 for c in root.children
+                        if c.kind == ELEMENT and _is_xsl(c)
+                        and c.local_name == "import")
+        i_import = 0
         for child in root.children:
             if child.kind != ELEMENT:
                 continue
@@ -299,11 +305,10 @@ class XSLT:
                 continue
             kind = child.local_name
             if kind == "import":
-                # each import gets successively lower precedence below
-                # every definition of the importing sheet
-                n_imports += 1
-                self._parse_sheet(self.loader(child.attrs["href"].text),
-                                  precedence - n_imports * 1000)
+                i_import += 1
+                self._parse_sheet(
+                    self.loader(child.attrs["href"].text),
+                    precedence - (n_imports - i_import + 1) * 1000)
             elif kind == "include":
                 self._parse_include(child.attrs["href"].text, precedence)
             elif kind == "template":
@@ -843,9 +848,30 @@ class _Run:
                 else:
                     k.append(to_string(v))
             return tuple(k)
-        order = sorts[0].attrs.get("order")
-        rev = order is not None and order.text == "descending"
-        return sorted(nodes, key=keyfn, reverse=rev)
+        revs = []
+        for s in sorts:
+            order = s.attrs.get("order")
+            revs.append(order is not None and order.text == "descending")
+        if len(set(revs)) == 1:
+            return sorted(nodes, key=keyfn, reverse=revs[0])
+        # mixed per-key directions: compare component-wise, flipping
+        # only the descending keys (order= applies per sort key)
+        import functools
+
+        def _cmp(a, b):
+            for va, vb, rev in zip(a[0], b[0], revs):
+                if va == vb:
+                    continue
+                if va < vb:
+                    return 1 if rev else -1
+                if vb < va:
+                    return -1 if rev else 1
+            return 0                       # incomparable (NaN) → stable
+
+        decorated = sorted(((keyfn(n), i, n) for i, n in enumerate(nodes)),
+                           key=functools.cmp_to_key(
+                               lambda a, b: _cmp(a, b) or (a[1] - b[1])))
+        return [n for _, _, n in decorated]
 
     def variable_value(self, el, ctx):
         """Value of xsl:variable / xsl:param / xsl:with-param: the

@@ -695,10 +695,6 @@ def _axis_nodes(node, axis):
         return list(reversed(sibs[:idx]))
     raise XPathError(f"unsupported axis {axis!r}")
 
-_REVERSE_AXES = {"ancestor", "ancestor-or-self", "preceding-sibling",
-                 "parent"}
-
-
 def _node_test_match(node, test, ctx, axis):
     kind = test[0]
     if kind == "node":
@@ -874,14 +870,19 @@ def _fn_substring(ctx, s, start, length=None):
     start = to_number(start)
     if math.isnan(start):
         return ""
-    start = int(math.floor(start + 0.5))       # XPath round(), not banker's
+    if not math.isinf(start):                   # round(±inf) is ±inf
+        start = math.floor(start + 0.5)         # XPath round(), not banker's
     if length is None:
-        end = len(s) + 1
+        end = len(s) + 1.0
     else:
         length = to_number(length)
         if math.isnan(length):
             return ""
-        end = start + int(math.floor(length + 0.5))
+        if not math.isinf(length):
+            length = math.floor(length + 0.5)
+        end = start + length                    # -inf + inf → nan → ""
+        if math.isnan(end):
+            return ""
     # XPath is 1-based and allows out-of-range starts
     return "".join(c for i, c in enumerate(s, start=1)
                    if start <= i < end)
@@ -900,7 +901,9 @@ def _fn_translate(ctx, s, frm, to):
     s, frm, to = to_string(s), to_string(frm), to_string(to)
     table = {}
     for i, c in enumerate(frm):
-        if c not in table:
+        # XPath 1.0 §4.2: the FIRST occurrence of a repeated character
+        # in the from-string wins (str.maketrans would take the last).
+        if ord(c) not in table:
             table[ord(c)] = to[i] if i < len(to) else None
     return s.translate(table)
 

@@ -64,8 +64,16 @@ def ctx(tree):
     ("not(false())", True),
     ("string(//h:div[2]/h:p)", "para"),
     ("translate('abc','ab','A')", "Ac"),
+    # first occurrence of a repeated from-char wins (XPath 1.0 §4.2)
+    ("translate('a','aa','bc')", "b"),
+    ("translate('a','aa','b')", "b"),
     ("substring('12345', 2, 3)", "234"),
     ("substring('12345', 0)", "12345"),
+    # spec examples: non-finite start/length must not raise
+    ("substring('12345', 2, 1 div 0)", "2345"),
+    ("substring('12345', -42, 1 div 0)", "12345"),
+    ("substring('12345', -1 div 0, 1 div 0)", ""),
+    ("substring('12345', 1 div 0)", ""),
     ("count(/root/h:div[1]/following-sibling::*)", 3.0),
     ("count(/root/item[1]/preceding-sibling::h:div)", 2.0),
     ("//h:div[@about='http://ex/doc#s2']/h:p/text()='para'", True),
@@ -234,6 +242,47 @@ def test_import_precedence_and_include(tmp_path):
     # importing sheet wins for <a>; imported fills the <b> gap
     assert "<main/>" in out and "<imported/>" not in out
     assert "<from-lib/>" in out
+
+
+def test_later_import_beats_earlier_import(tmp_path):
+    # XSLT 1.0 §2.6.2: with two sibling imports, the LATER one has
+    # higher import precedence
+    (tmp_path / "a.xsl").write_text("""<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="x"><from-a/></xsl:template>
+      <xsl:template match="y"><only-a/></xsl:template>
+    </xsl:stylesheet>""")
+    (tmp_path / "b.xsl").write_text("""<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="x"><from-b/></xsl:template>
+    </xsl:stylesheet>""")
+    main = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:import href="a.xsl"/>
+      <xsl:import href="b.xsl"/>
+      <xsl:template match="/"><r><xsl:apply-templates select="//x|//y"/></r></xsl:template>
+    </xsl:stylesheet>"""
+    out = XSLT(main, base_dir=str(tmp_path)).transform_text(
+        "<d><x/><y/></d>")
+    assert "<from-b/>" in out and "<from-a/>" not in out
+    assert "<only-a/>" in out          # a.xsl still fills the gap
+
+
+def test_sort_order_is_per_key():
+    # secondary key descending while primary ascends
+    s = XSLT("""<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <r><xsl:for-each select="//i">
+          <xsl:sort select="@a"/>
+          <xsl:sort select="@b" data-type="number" order="descending"/>
+          <v><xsl:value-of select="concat(@a, @b)"/></v>
+        </xsl:for-each></r>
+      </xsl:template>
+    </xsl:stylesheet>""")
+    out = s.transform_text(
+        "<d><i a='x' b='1'/><i a='x' b='2'/><i a='w' b='3'/></d>")
+    assert "<v>w3</v><v>x2</v><v>x1</v>" in out
 
 
 def test_modes_priority_builtins_and_params():
