@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 133 queries, 127 with DuckDB oracles (counts asserted
+Round-5 surface: 135 queries, 129 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_neardup_files": code.code_neardup_files,
         "code_repo_summary": code.code_repo_summary,
         "code_commit_diff": code.code_commit_diff,
+        "code_license_scan": code.code_license_scan,
+        "code_repo_license": code.code_repo_license,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -325,6 +327,34 @@ def oracle_sql() -> dict[str, str]:
     if not os.path.exists(os.path.join(kg_cache, "expected_triples.parquet")):
         from ferenda_ray.corpus import CorpusSpec, write_corpus
         write_corpus(CorpusSpec(n_files=400), kg_cache)
+    # the license-injected corpus copy DuckDB reads must exist even if
+    # the oracle runs before the Ray query (pure pyarrow, no Ray)
+    from ferenda_ray.pipelines.code import ensure_lic_cache
+    ensure_lic_cache("/root/testdata/sf0.01")
+
+    # first-match-wins license CASE over the header probe — the SAME
+    # ordered literals as code_quality.LICENSE_PATTERNS
+    lic_case = """CASE
+              WHEN contains(head, 'SPDX-License-Identifier: MIT')
+                THEN 'MIT'
+              WHEN contains(head, 'SPDX-License-Identifier: Apache-2.0')
+                THEN 'Apache-2.0'
+              WHEN contains(head, 'SPDX-License-Identifier: GPL-3.0-only')
+                THEN 'GPL-3.0-only'
+              WHEN contains(head, 'SPDX-License-Identifier: BSD-3-Clause')
+                THEN 'BSD-3-Clause'
+              WHEN contains(head, 'SPDX-License-Identifier: MPL-2.0')
+                THEN 'MPL-2.0'
+              WHEN contains(head, 'MIT License') THEN 'MIT'
+              WHEN contains(head, 'Apache License, Version 2.0')
+                THEN 'Apache-2.0'
+              WHEN contains(head, 'GNU General Public License')
+                THEN 'GPL-3.0-only'
+              WHEN contains(head, 'BSD 3-Clause License')
+                THEN 'BSD-3-Clause'
+              WHEN contains(head, 'Mozilla Public License')
+                THEN 'MPL-2.0'
+              ELSE 'none' END"""
 
     uri = "'https://example.org/res/' || source || '/' || doc_id"
     mention_union = "\nUNION ALL\n".join(
@@ -553,6 +583,44 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(comment_lines) * 1.0
                          / greatest(SUM(n_lines) - SUM(blank_lines),
                                     1), 6) AS comment_frac
+            FROM s GROUP BY repo""",
+        "code_license_scan": f"""
+            WITH f AS (
+              SELECT repo, path, lang,
+                     substr(content, 1, 512) AS head
+              FROM read_parquet('{kg_cache}/sources_lic.parquet')),
+            s AS (
+              SELECT repo, path, lang, {lic_case} AS license
+              FROM f)
+            SELECT repo, path, lang, license,
+                   CASE WHEN license IN ('MIT', 'Apache-2.0',
+                                         'BSD-3-Clause')
+                          THEN 'permissive'
+                        WHEN license IN ('GPL-3.0-only', 'MPL-2.0')
+                          THEN 'copyleft'
+                        ELSE 'unknown' END AS license_family,
+                   license IN ('MIT', 'Apache-2.0', 'BSD-3-Clause')
+                     AS is_permissive
+            FROM s""",
+        "code_repo_license": f"""
+            WITH f AS (
+              SELECT repo, substr(content, 1, 512) AS head
+              FROM read_parquet('{kg_cache}/sources_lic.parquet')),
+            s AS (SELECT repo, {lic_case} AS license FROM f)
+            SELECT repo, count(*) AS n_files,
+                   CAST(SUM(CASE WHEN license IN ('MIT', 'Apache-2.0',
+                                                  'BSD-3-Clause')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_permissive,
+                   CAST(SUM(CASE WHEN license IN ('GPL-3.0-only',
+                                                  'MPL-2.0')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_copyleft,
+                   CAST(SUM(CASE WHEN license = 'none'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unknown,
+                   SUM(CASE WHEN license IN ('GPL-3.0-only', 'MPL-2.0')
+                            THEN 1 ELSE 0 END) = 0 AS train_ok
             FROM s GROUP BY repo""",
         "code_xref_edges": f"""
             SELECT repo, path,

@@ -436,3 +436,96 @@ def code_xref_degrees(sf_dir: str):
         lambda b: b.select(["repo", "path", "lang",
                             "fan_out", "fan_in"]),
         batch_format="pyarrow")
+
+
+# license-header variants injected into a DERIVED copy of the corpus
+# cache: per-file pick by the engine md5 parity hash, covering every
+# detector branch (each SPDX tag, each phrase form, and no-header).
+# Both the Ray query and the DuckDB oracle read the SAME persisted
+# sources_lic.parquet, so injection is input synthesis — detection is
+# recomputed independently on each side.
+_LIC_HEADERS: tuple = (
+    "SPDX-License-Identifier: MIT",
+    "SPDX-License-Identifier: MIT",
+    "SPDX-License-Identifier: Apache-2.0",
+    "SPDX-License-Identifier: Apache-2.0",
+    "SPDX-License-Identifier: GPL-3.0-only",
+    "SPDX-License-Identifier: BSD-3-Clause",
+    "SPDX-License-Identifier: MPL-2.0",
+    "Licensed under the MIT License.",
+    "Licensed under the Apache License, Version 2.0.",
+    "This file is part of a GNU General Public License project.",
+    "Subject to the terms of the Mozilla Public License.",
+    None,
+)
+
+_LIC_COMMENT = {"python": ("# ", ""), "go": ("// ", ""),
+                "java": ("// ", ""), "markdown": ("<!-- ", " -->")}
+
+
+def ensure_lic_cache(sf_dir: str) -> str:
+    """Materialize ``sources_lic.parquet`` beside the shared cache
+    (the header-free flagship cache is untouched) and return its
+    path.  Pure pyarrow — no Ray — so ``oracle_sql()`` can call it
+    driver-side before DuckDB reads the file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.stages.sample import md5_u64
+
+    src = corpus_cache_path(sf_dir)
+    lic = src.replace("sources.parquet", "sources_lic.parquet")
+    if not os.path.exists(lic):
+        if not os.path.exists(src):            # ensure the base cache
+            from ferenda_ray.corpus import CorpusSpec, write_corpus
+            n = int(os.path.basename(os.path.dirname(src))
+                    .rsplit("_", 1)[1])
+            write_corpus(CorpusSpec(n_files=n), os.path.dirname(src))
+        t = pq.read_table(src)
+        repos = t.column("repo").to_pylist()
+        paths = t.column("path").to_pylist()
+        langs = t.column("lang").to_pylist()
+        texts = t.column("content").to_pylist()
+        out = []
+        for r, p, L, c in zip(repos, paths, langs, texts):
+            h = _LIC_HEADERS[md5_u64(f"{r}:{p}:lic") % len(_LIC_HEADERS)]
+            if h is None:
+                out.append(c)
+            else:
+                pre, post = _LIC_COMMENT.get(L, ("", ""))
+                out.append(f"{pre}{h}{post}\n{c}")
+        t = t.set_column(t.schema.get_field_index("content"),
+                         "content", pa.array(out, t.column("content").type))
+        pq.write_table(t, lic + ".tmp")
+        os.replace(lic + ".tmp", lic)
+    return lic
+
+
+def _sources_lic(sf_dir: str):
+    """Corpus Dataset with deterministic license headers."""
+    import ray.data as rd
+    return rd.read_parquet(ensure_lic_cache(sf_dir))
+
+
+def lic_cache_path(sf_dir: str) -> str:
+    """The sources_lic.parquet path for the tier (oracle SQL input)."""
+    return corpus_cache_path(sf_dir).replace("sources.parquet",
+                                             "sources_lic.parquet")
+
+
+def code_license_scan(sf_dir: str):
+    """Per-file license id / family / permissive flag from the header
+    probe (The Stack's license gate)."""
+    from ferenda_ray.stages.code_quality import license_scan
+    ds = license_scan(_sources_lic(sf_dir))
+    return ds.map_batches(
+        lambda b: b.select(["repo", "path", "lang", "license",
+                            "license_family", "is_permissive"]),
+        batch_format="pyarrow")
+
+
+def code_repo_license(sf_dir: str):
+    """Repo-level license posture: per-family counts + ``train_ok``
+    (no copyleft file in the repo)."""
+    from ferenda_ray.stages.code_quality import repo_license_rollup
+    return repo_license_rollup(_sources_lic(sf_dir))
