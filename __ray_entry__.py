@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 135 queries, 129 with DuckDB oracles (counts asserted
+Round-5 surface: 136 queries, 130 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_commit_diff": code.code_commit_diff,
         "code_license_scan": code.code_license_scan,
         "code_repo_license": code.code_repo_license,
+        "docs_c4_rules": docs.docs_c4_rules,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -2204,6 +2205,49 @@ def oracle_sql() -> dict[str, str]:
         # Gopher rule gate (Rae et al. 2021 A1.1): flags computed on
         # 6-digit half-away-rounded ratios on BOTH sides so no ulp can
         # flip a threshold; words = single-space split on both sides
+        "docs_c4_rules": """
+            WITH d AS (
+              SELECT doc_id, CASE CAST(doc_id % 13 AS INT)
+                WHEN 1 THEN text || chr(10)
+                  || 'Lorem ipsum dolor sit amet.'
+                WHEN 3 THEN text || chr(10)
+                  || 'function f() { return 1; }'
+                WHEN 5 THEN text || chr(10)
+                  || 'Enable javascript to continue'
+                WHEN 7 THEN text || chr(10)
+                  || 'See our privacy policy for details.'
+                WHEN 9 THEN text || chr(10) || 'One. Two. Three.'
+                ELSE text END AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS ls
+              FROM d),
+            t AS (
+              SELECT doc_id,
+                     len(ls) AS n_lines,
+                     round(len(list_filter(ls, x ->
+                             regexp_matches(x, '[.!?"]$'))) * 1.0
+                           / greatest(len(ls), 1), 6)
+                       AS frac_terminal_punct,
+                     CAST(len(regexp_extract_all(text, '[.!?]'))
+                          AS BIGINT) AS n_sentences,
+                     regexp_matches(text, '(?i)lorem ipsum')
+                       AS has_lorem,
+                     contains(text, '{') AS has_brace,
+                     regexp_matches(text, '(?i)javascript')
+                       AS has_javascript,
+                     regexp_matches(text,
+                       '(?i)privacy policy|terms of use|cookie policy')
+                       AS has_policy
+              FROM s)
+            SELECT doc_id, n_lines, frac_terminal_punct, n_sentences,
+                   has_lorem, has_brace, has_javascript, has_policy,
+                   (n_sentences >= 1 AND frac_terminal_punct >= 0.5
+                    AND NOT has_lorem AND NOT has_brace
+                    AND NOT has_javascript AND NOT has_policy)
+                     AS passes_c4
+            FROM t""",
         "docs_gopher_rules": f"""
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws, text

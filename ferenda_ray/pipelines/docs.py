@@ -1579,3 +1579,42 @@ def kg_incremental(sf_dir: str, base: str = DEFAULT_BASE):
         key_col="doc_key")
     return sinks.read_partitioned(out).map_batches(
         lambda b: b.drop_columns(["doc_key"]), batch_format="pyarrow")
+
+
+def docs_c4_rules(sf_dir: str):
+    """The published C4 heuristic gate (Raffel et al. 2020 §2.2).
+    The synthetic docs are single-line and punctuation-free, so —
+    like ``code_secrets_scan``'s key injection — a deterministic
+    ``doc_id % 13`` marker line is appended on BOTH sides (here and
+    the SQL oracle) so every rule's branches carry rows at every
+    tier; gates are tier-calibrated (≥1 sentence, ≥0.5 of lines
+    terminal-punctuated)."""
+    import polars as pl
+
+    from ferenda_ray.stages.text_analysis import c4_rules
+
+    def inject(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        m = pl.col("doc_id") % 13
+        df = df.with_columns(
+            pl.when(m == 1)
+             .then(pl.col("text")
+                   + pl.lit("\nLorem ipsum dolor sit amet."))
+             .when(m == 3)
+             .then(pl.col("text")
+                   + pl.lit("\nfunction f() { return 1; }"))
+             .when(m == 5)
+             .then(pl.col("text")
+                   + pl.lit("\nEnable javascript to continue"))
+             .when(m == 7)
+             .then(pl.col("text")
+                   + pl.lit("\nSee our privacy policy for details."))
+             .when(m == 9)
+             .then(pl.col("text") + pl.lit("\nOne. Two. Three."))
+             .otherwise(pl.col("text")).alias("text"))
+        return df.to_arrow()
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow")
+    return c4_rules(ds, min_sentences=1,
+                    min_terminal_punct_frac=0.5)

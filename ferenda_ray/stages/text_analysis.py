@@ -1642,3 +1642,62 @@ def normalize_text(docs, form: str = "NFKC", lowercase: bool = True,
 
     return docs.map_batches(norm, batch_format="pyarrow",
                             batch_size=16384)
+
+
+def c4_rules(docs, text_col: str = "text", id_col: str = "doc_id",
+             min_sentences: int = 3,
+             min_terminal_punct_frac: float = 0.0):
+    """Per-document C4 heuristic flags (Raffel et al. 2020 §2.2),
+    fully vectorized — the line/boilerplate cleaning family that
+    complements :func:`gopher_rules`' token statistics.  Emits the
+    measured statistic AND a boolean per rule:
+
+    * ``n_sentences`` — terminal-punctuation count; gate ≥
+      ``min_sentences`` (C4 drops pages under 3 sentences);
+    * ``frac_terminal_punct`` — fraction of lines ending in
+      ``. ! ? "`` (C4 keeps only such lines; we flag at doc level);
+    * ``has_lorem`` / ``has_brace`` / ``has_javascript`` /
+      ``has_policy`` — the published page-level discard markers
+      ("lorem ipsum", ``{``, "javascript", privacy/terms/cookie
+      boilerplate);
+    * ``passes_c4`` — sentence + punct-frac gates AND no marker.
+
+    Ratios rounded half-away to 6 digits BEFORE thresholding (the
+    engine float-stability convention); lines = ``\\n`` split,
+    matching the SQL oracle."""
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        ls = pl.col(text_col).str.split("\n")
+        df = df.with_columns(
+            ls.list.len().cast(pl.Int64).alias("n_lines"),
+            ls.list.eval(pl.element().str.contains(r'[.!?"]$')
+                         .cast(pl.Int64))
+              .list.sum().cast(pl.Int64).alias("__term"),
+            pl.col(text_col).str.count_matches(r"[.!?]")
+              .cast(pl.Int64).alias("n_sentences"),
+            pl.col(text_col).str.contains(r"(?i)lorem ipsum")
+              .alias("has_lorem"),
+            pl.col(text_col).str.contains("{", literal=True)
+              .alias("has_brace"),
+            pl.col(text_col).str.contains(r"(?i)javascript")
+              .alias("has_javascript"),
+            pl.col(text_col).str.contains(
+                r"(?i)privacy policy|terms of use|cookie policy")
+              .alias("has_policy"),
+        )
+        df = df.with_columns(
+            _rha(pl.col("__term")
+                 / pl.max_horizontal(pl.col("n_lines"), 1), 6)
+            .alias("frac_terminal_punct"))
+        df = df.with_columns(
+            ((pl.col("n_sentences") >= min_sentences)
+             & (pl.col("frac_terminal_punct")
+                >= min_terminal_punct_frac)
+             & ~pl.col("has_lorem") & ~pl.col("has_brace")
+             & ~pl.col("has_javascript") & ~pl.col("has_policy"))
+            .alias("passes_c4"))
+        return df.drop([text_col, "__term"]).to_arrow()
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=16384)

@@ -846,3 +846,50 @@ def test_dsir_weights_math_and_edges(ray_session):
                       docs.repartition(5), target, n_buckets=64)
                   .take_all()}
     assert one_by_one == {i: got[i]["dsir_logratio"] for i in got}
+
+
+def test_c4_rules_flags(ray_session):
+    """Every C4 rule branch on hand-built docs: sentence gate,
+    terminal-punct line fraction, and each discard marker."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from ferenda_ray.stages import text_analysis as ta
+
+    rows = [
+        (1, "Clean doc. Three lines here.\nAll end well.\nYes."),
+        (2, "short no punct"),
+        (3, "Has Lorem Ipsum inside. And more. Therefore fails."),
+        (4, "Some code { infix }. Else fine. Truly."),
+        (5, "Please enable JavaScript now. Ok. Ok."),
+        (6, "Read the Privacy Policy. Ok. Ok."),
+        (7, "Good sentences. But half the lines\nlack punctuation\nhere"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows]}))
+    got = {r["doc_id"]: r
+           for r in ta.c4_rules(ds, min_sentences=3,
+                                min_terminal_punct_frac=0.75)
+           .take_all()}
+    assert got[1]["passes_c4"] and got[1]["n_sentences"] == 4
+    assert got[1]["frac_terminal_punct"] == 1.0
+    assert not got[2]["passes_c4"] and got[2]["n_sentences"] == 0
+    assert got[3]["has_lorem"] and not got[3]["passes_c4"]
+    assert got[4]["has_brace"] and not got[4]["passes_c4"]
+    assert got[5]["has_javascript"] and not got[5]["passes_c4"]
+    assert got[6]["has_policy"] and not got[6]["passes_c4"]
+    # 3 sentences but only 1/3 lines end in terminal punctuation
+    assert got[7]["frac_terminal_punct"] < 0.75
+    assert not got[7]["passes_c4"]
+
+
+def test_c4_corpus_covers_every_branch(ray_session):
+    """The injected sf0.001 corpus must populate both sides of every
+    flag, else the oracle row is vacuous."""
+    import __ray_entry__ as entry
+    df = entry.queries()["docs_c4_rules"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    for c in ["has_lorem", "has_brace", "has_javascript",
+              "has_policy", "passes_c4"]:
+        assert df[c].nunique() == 2, c
