@@ -100,18 +100,24 @@ def build_kg(sources, aliases=None, sameas: pa.Table | None = None,
     return triples
 
 
-def run_kg(sources_path: str, out_dir: str, aliases=None, sameas=None,
+def run_kg(sources_path, out_dir: str, aliases=None, sameas=None,
            vocab=None, base: str = DEFAULT_BASE, num_buckets: int = 32,
            resume: bool = True, fmt: str = "parquet",
            link_concurrency=None, graph: str = GRAPH) -> pa.Table:
     """End-to-end: read corpus parquet → … → materialized shards.
-    Returns the manifest table.
+    Returns the manifest table.  ``sources_path`` is a parquet
+    path/list, or an already-constructed corpus ``Dataset`` (e.g.
+    from :func:`ferenda_ray.sources.ingest.read_code_corpus` for
+    JSONL/CSV corpora).
 
     The exchange runs compact (static pred vocabulary = engine
     predicates + any predicates in the ``vocab`` side table; constant
     graph dropped in flight) — ~30% fewer shuffled bytes."""
     import ray.data as rd
-    sources = rd.read_parquet(sources_path)
+    if isinstance(sources_path, (str, list, tuple)):
+        sources = rd.read_parquet(sources_path)
+    else:
+        sources = sources_path
     canon = build_kg(sources, aliases=aliases, sameas=sameas, vocab=vocab,
                      base=base, graph=graph,
                      link_concurrency=link_concurrency,
