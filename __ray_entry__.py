@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 136 queries, 130 with DuckDB oracles (counts asserted
+Round-5 surface: 137 queries, 131 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_license_scan": code.code_license_scan,
         "code_repo_license": code.code_repo_license,
         "docs_c4_rules": docs.docs_c4_rules,
+        "kg_entity_embeddings": docs.kg_entity_embeddings,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -2205,6 +2206,22 @@ def oracle_sql() -> dict[str, str]:
         # Gopher rule gate (Rae et al. 2021 A1.1): flags computed on
         # 6-digit half-away-rounded ratios on BOTH sides so no ulp can
         # flip a threshold; words = single-space split on both sides
+        "kg_entity_embeddings": f"""
+            WITH m AS ({mention_union}),
+            j AS (
+              SELECT m.alias, e.embedding
+              FROM m JOIN embeddings e ON e.vec_id = m.doc_id),
+            nd AS (SELECT alias, count(*) AS n_docs
+                   FROM j GROUP BY alias),
+            x AS (
+              SELECT alias,
+                     generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS v
+              FROM j)
+            SELECT x.alias, nd.n_docs, x.dim,
+                   round(avg(x.v), 4) AS value
+            FROM x JOIN nd ON nd.alias = x.alias
+            GROUP BY x.alias, nd.n_docs, x.dim""",
         "docs_c4_rules": """
             WITH d AS (
               SELECT doc_id, CASE CAST(doc_id % 13 AS INT)

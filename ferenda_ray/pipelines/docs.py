@@ -1618,3 +1618,21 @@ def docs_c4_rules(sf_dir: str):
         inject, batch_format="pyarrow")
     return c4_rules(ds, min_sentences=1,
                     min_terminal_punct_frac=0.5)
+
+
+def kg_entity_embeddings(sf_dir: str):
+    """Per-entity mean embedding over the docs that mention it — the
+    KG × vector-table composition (mention pairs hash-join the
+    embeddings table on doc id; per-batch partial vector sums; one
+    tiny (entity, dim) groupby).  Exploded (alias, n_docs, dim,
+    value) rows, mean rounded half-away to 4."""
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import group_mean_embedding
+
+    pairs = doc_mentions(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "alias"]),
+        batch_format="pyarrow")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return group_mean_embedding(pairs, emb)

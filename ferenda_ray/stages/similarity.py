@@ -1160,3 +1160,106 @@ def semdedup(embeddings, k: int = 4, iters: int = 2,
 
     return j.groupby("__shard").map_groups(prune,
                                            batch_format="pyarrow")
+
+
+def group_mean_embedding(pairs, embeddings, group_col: str = "alias",
+                         id_col: str = "doc_id",
+                         vec_id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         round_digits: int = 4):
+    """Per-group MEAN embedding — the "entity embedding from the
+    documents that mention it" aggregate (the KG × vector-table
+    composition behind entity retrieval / linking seeds).
+
+    Distributed shape: one hash join ``pairs.id → embeddings.vec_id``
+    (both sides corpus-row-sized, never the matrix broadcast), then a
+    per-batch partial vector sum (one ``np.add.at`` per batch) so the
+    groupby exchange moves ≤ groups × dims tiny rows per batch, never
+    raw vectors; final mean + round-half-away(``round_digits``).
+    Output is EXPLODED ``(group, n_docs, dim, value)`` rows so a SQL
+    oracle can compare exactly (list columns stringify differently
+    across engines; rows don't)."""
+    from ray.data.aggregate import Sum
+
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+
+    # Ray 2.49's hash join rejects list<float> payload columns
+    # ("not supported in join non-key field") — pack each vector to
+    # fixed-size binary for the exchange, unpack in the partial
+    def pack(b: pa.Table) -> pa.Table:
+        M = _col_matrix(b, vec_col)                # float64 upcast
+        d = M.shape[1]
+        typ = pa.binary(8 * d)
+        arr = pa.Array.from_buffers(
+            typ, M.shape[0],
+            [None, pa.py_buffer(np.ascontiguousarray(M, "<f8")
+                                .tobytes())])
+        return pa.table({vec_id_col: b.column(vec_id_col),
+                         "__vec": arr})
+
+    packed = embeddings.map_batches(pack, batch_format="pyarrow")
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        pairs = pairs.repartition(co)
+        packed = packed.repartition(co)
+        # an ALL-empty join side still trips Ray 2.49's key-field
+        # lookup even after the repartition workaround
+        if pairs.count() == 0:
+            import ray.data as rd
+            return rd.from_arrow(pa.table({
+                group_col: pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64())}))
+    j = pairs.join(packed, join_type="inner",
+                   num_partitions=np_,
+                   on=(id_col,), right_on=(vec_id_col,))
+
+    def partial(b: pa.Table) -> pa.Table:
+        groups = b.column(group_col).to_pylist()
+        col = b.column("__vec").combine_chunks()
+        width = col.type.byte_width
+        if not groups:
+            return pa.table({
+                group_col: pa.array([], pa.string()),
+                "dim": pa.array([], pa.int64()),
+                "__sum": pa.array([], pa.float64()),
+                "__cnt": pa.array([], pa.int64())})
+        M = np.frombuffer(b"".join(col.to_pylist()),
+                          "<f8").reshape(-1, width // 8)
+        uniq = sorted(set(groups))
+        idx = {g: i for i, g in enumerate(uniq)}
+        rows = np.fromiter((idx[g] for g in groups), np.int64,
+                           count=len(groups))
+        sums = np.zeros((len(uniq), M.shape[1]), np.float64)
+        np.add.at(sums, rows, M)
+        cnt = np.bincount(rows, minlength=len(uniq))
+        d = M.shape[1]
+        return pa.table({
+            group_col: pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), len(uniq)),
+                            pa.int64()),
+            "__sum": pa.array(sums.ravel(), pa.float64()),
+            "__cnt": pa.array(np.repeat(cnt, d), pa.int64())})
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby([group_col, "dim"])
+           .aggregate(Sum("__sum", alias_name="__s"),
+                      Sum("__cnt", alias_name="__n")))
+
+    def mean(b: pa.Table) -> pa.Table:
+        s = b.column("__s").to_numpy()
+        n = np.maximum(b.column("__n").to_numpy(), 1)
+        v = s / n
+        p = 10.0 ** round_digits
+        v = np.floor(np.abs(v) * p + 0.5) / p * np.sign(v)
+        return pa.table({
+            group_col: b.column(group_col),
+            "n_docs": pa.array(b.column("__n").to_numpy(), pa.int64()),
+            "dim": b.column("dim"),
+            "value": pa.array(v, pa.float64())})
+
+    return agg.map_batches(mean, batch_format="pyarrow")

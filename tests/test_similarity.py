@@ -341,3 +341,43 @@ def test_knn_graph_block_plan_handles_empty_blocks(ray_session):
     b = sorted((r["vec_id"], r["rank"], r["neighbor_id"])
                for r in knn_graph(ds, k=2).take_all())
     assert a == b and len(a) == 6
+
+
+def test_group_mean_embedding_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import group_mean_embedding
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(6, 4))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": list(range(6)),
+        "embedding": [list(map(float, v)) for v in V]}))
+    pairs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 0, 3, 9],       # 9 has no embedding row
+        "alias": ["a", "a", "a", "b", "b", "b"]}))
+    got = {(r["alias"], r["dim"]): (r["value"], r["n_docs"])
+           for r in group_mean_embedding(pairs, emb).take_all()}
+    assert len(got) == 8                     # 2 aliases x 4 dims
+    for alias, rows in [("a", [0, 1, 2]), ("b", [0, 3])]:
+        m = V[rows].mean(axis=0)
+        for d in range(4):
+            v, n = got[(alias, d + 1)]
+            assert n == len(rows)
+            assert abs(v - m[d]) < 1e-4
+
+
+def test_group_mean_embedding_empty_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import group_mean_embedding
+
+    emb = rd.from_arrow(pa.table({
+        "vec_id": [1], "embedding": [[1.0, 2.0]]}))
+    pairs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "alias": pa.array([], pa.string())}))
+    assert group_mean_embedding(pairs, emb).count() == 0
