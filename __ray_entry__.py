@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 137 queries, 131 with DuckDB oracles (counts asserted
+Round-5 surface: 138 queries, 132 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_repo_license": code.code_repo_license,
         "docs_c4_rules": docs.docs_c4_rules,
         "kg_entity_embeddings": docs.kg_entity_embeddings,
+        "kg_entity_cooccurrence": docs.entity_cooccurrence,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -365,6 +366,35 @@ def oracle_sql() -> dict[str, str]:
         f"FROM documents "
         f"WHERE len(regexp_extract_all(text, '\\b{a}\\b')) > 0"
         for a in ["batch", "shuffle", "spark", "stream", "vector", "window"])
+    # entity co-occurrence: 0/1 mention flags per alias, pair legs and
+    # per-side marginal CASE lookups generated over the SAME alias list
+    _aliases = ["batch", "shuffle", "spark", "stream", "vector",
+                "window"]
+    _flag_cols = ", ".join(
+        f"(CASE WHEN regexp_matches(text, '\\b{a}\\b') "
+        f"THEN 1 ELSE 0 END) AS f_{a}" for a in _aliases)
+    _marg_cols = ", ".join(f"CAST(SUM(f_{a}) AS BIGINT) AS n_{a}"
+                           for a in _aliases)
+    _pair_legs = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS alias_a, '{b}' AS alias_b, "
+        f"CAST(SUM(f_{a} * f_{b}) AS BIGINT) AS n_docs FROM fl"
+        for i, a in enumerate(_aliases) for b in _aliases[i + 1:])
+
+    def _marg_case(side: str) -> str:
+        whens = " ".join(f"WHEN '{a}' THEN tot.n_{a}"
+                         for a in _aliases)
+        return f"(CASE p.{side} {whens} END)"
+
+    cooccur_sql = f"""
+        WITH fl AS (SELECT {_flag_cols} FROM documents),
+        tot AS (SELECT count(*) AS N, {_marg_cols} FROM fl),
+        p AS ({_pair_legs})
+        SELECT p.alias_a, p.alias_b, p.n_docs,
+               round(ln(tot.N * p.n_docs * 1.0
+                        / ({_marg_case('alias_a')}
+                           * {_marg_case('alias_b')})), 6) AS pmi
+        FROM p, tot WHERE p.n_docs > 0"""
+
     stop_re = r"(?i)\b(?:a|and|for|in|is|it|of|that|the|to)\b"
     _GOPHER_STOP_SQL = " + ".join(
         f"(CASE WHEN regexp_matches(text, '(?i)\\b{w}\\b') "
@@ -2206,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
         # Gopher rule gate (Rae et al. 2021 A1.1): flags computed on
         # 6-digit half-away-rounded ratios on BOTH sides so no ulp can
         # flip a threshold; words = single-space split on both sides
+        "kg_entity_cooccurrence": cooccur_sql,
         "kg_entity_embeddings": f"""
             WITH m AS ({mention_union}),
             j AS (

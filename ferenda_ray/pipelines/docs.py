@@ -1636,3 +1636,84 @@ def kg_entity_embeddings(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return group_mean_embedding(pairs, emb)
+
+
+def entity_cooccurrence(sf_dir: str, aliases: list | None = None):
+    """Entity co-occurrence edges with PMI — the mention-graph
+    analytics step after linking (edge weights for the entity graph).
+    For every unordered alias pair: the number of docs mentioning
+    BOTH, and ``pmi = log(N * n_ab / (n_a * n_b))`` rounded 6.
+
+    Distributed shape: pairs emit INSIDE the per-batch scan (every
+    alias flag for a doc is computed from that doc's row, so no
+    shuffle precedes pair emission); one tiny ``(a, b)`` groupby;
+    marginals are an ≤|aliases|-row reduce broadcast into the final
+    map.  No joins, one exchange."""
+    import math
+
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from ferenda_ray.stages.broadcast import resolve, stateful_map
+
+    aliases = aliases or DOC_ALIASES
+
+    def flags(b: pa.Table):
+        df = pl.from_arrow(b.select(["doc_id", "text"]))
+        return df.select(
+            [pl.col("text").str.contains(rf"\b{a}\b").cast(pl.Int64)
+             .alias(a) for a in aliases])
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        F = flags(b).to_numpy()              # docs x aliases, 0/1
+        out_a, out_b, out_n = [], [], []
+        for i, a in enumerate(aliases):
+            for j in range(i + 1, len(aliases)):
+                out_a.append(a)
+                out_b.append(aliases[j])
+                out_n.append(int((F[:, i] & F[:, j]).sum()))
+        return pa.table({"alias_a": pa.array(out_a, pa.string()),
+                         "alias_b": pa.array(out_b, pa.string()),
+                         "__n": pa.array(out_n, pa.int64())})
+
+    def marginal_rows(b: pa.Table) -> pa.Table:
+        F = flags(b).to_numpy()
+        return pa.table({
+            "alias": pa.array(list(aliases) + ["__total__"],
+                              pa.string()),
+            "__n": pa.array(list(F.sum(axis=0)) + [len(F)],
+                            pa.int64())})
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    pair_counts = (docs.map_batches(pair_rows, batch_format="pyarrow")
+                   .groupby(["alias_a", "alias_b"])
+                   .aggregate(Sum("__n", alias_name="n_docs")))
+    marg = {r["alias"]: r["n"] for r in
+            (docs.map_batches(marginal_rows, batch_format="pyarrow")
+             .groupby("alias")
+             .aggregate(Sum("__n", alias_name="n"))
+             .take_all())}
+
+    class Pmi:
+        def __init__(self, ref):
+            self.marg = resolve(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            b = b.filter(pc.greater(b.column("n_docs"), 0))
+            N = self.marg["__total__"]
+            a = b.column("alias_a").to_pylist()
+            c = b.column("alias_b").to_pylist()
+            n = b.column("n_docs").to_pylist()
+            pmi = []
+            for x, y, k in zip(a, c, n):
+                v = math.log(N * k / (self.marg[x] * self.marg[y]))
+                pmi.append(math.floor(abs(v) * 1e6 + 0.5) / 1e6
+                           * (1 if v >= 0 else -1))
+            return pa.table({
+                "alias_a": b.column("alias_a"),
+                "alias_b": b.column("alias_b"),
+                "n_docs": b.column("n_docs"),
+                "pmi": pa.array(pmi, pa.float64())})
+
+    return stateful_map(pair_counts, Pmi, marg, batch_size=None)

@@ -381,3 +381,28 @@ def test_group_mean_embedding_empty_pairs(ray_session):
         "doc_id": pa.array([], pa.int64()),
         "alias": pa.array([], pa.string())}))
     assert group_mean_embedding(pairs, emb).count() == 0
+
+
+def test_entity_cooccurrence_pmi(ray_session, tmp_path):
+    """Hand-built corpus with known joint/marginal counts."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.docs import entity_cooccurrence
+
+    texts = ["batch spark", "batch spark", "batch", "spark",
+             "vector", "plain"]
+    pq.write_table(pa.table({
+        "doc_id": list(range(6)), "text": texts}),
+        str(tmp_path / "documents.parquet"))
+    rows = {(r["alias_a"], r["alias_b"]): r
+            for r in entity_cooccurrence(
+                str(tmp_path), aliases=["batch", "spark", "vector"])
+            .take_all()}
+    # batch: 3 docs, spark: 3, vector: 1, N=6; joint batch&spark = 2
+    assert set(rows) == {("batch", "spark")}   # other pairs n=0
+    r = rows[("batch", "spark")]
+    assert r["n_docs"] == 2
+    assert abs(r["pmi"] - round(math.log(6 * 2 / (3 * 3)), 6)) < 1e-9
