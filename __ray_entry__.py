@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 138 queries, 132 with DuckDB oracles (counts asserted
+Round-5 surface: 139 queries, 133 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_rules": docs.docs_c4_rules,
         "kg_entity_embeddings": docs.kg_entity_embeddings,
         "kg_entity_cooccurrence": docs.entity_cooccurrence,
+        "code_triangles": code.code_triangles,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -776,6 +777,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT node, min(label) AS component FROM reach
                   GROUP BY node) m
               ON m.node = f.repo || ':' || f.path""",
+        "code_triangles": f"""
+            WITH e0 AS (
+              SELECT repo || ':' || path AS src,
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       1)) || ':' ||
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       2)) AS dst
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            e AS (SELECT DISTINCT least(src, dst) AS a,
+                         greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            deg AS (SELECT node, count(*) AS d FROM (
+                      SELECT a AS node FROM e
+                      UNION ALL SELECT b FROM e) GROUP BY node),
+            tri AS (SELECT count(*) AS t
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   CAST((SELECT SUM(d * (d - 1) // 2) FROM deg)
+                        AS BIGINT) AS n_wedges,
+                   (SELECT t FROM tri) AS n_triangles,
+                   round(CASE WHEN (SELECT SUM(d * (d - 1) // 2)
+                                    FROM deg) = 0 THEN 0.0
+                         ELSE 3.0 * (SELECT t FROM tri)
+                              / (SELECT SUM(d * (d - 1) // 2)
+                                 FROM deg) END, 6)
+                     AS global_clustering""",
         "code_xref_pagerank": f"""
             WITH e0 AS (
               SELECT repo || ':' || path AS src,

@@ -529,3 +529,24 @@ def code_repo_license(sf_dir: str):
     (no copyleft file in the repo)."""
     from ferenda_ray.stages.code_quality import repo_license_rollup
     return repo_license_rollup(_sources_lic(sf_dir))
+
+
+def code_triangles(sf_dir: str):
+    """Triangle census + global clustering coefficient of the file
+    dependency graph (undirected)."""
+    import pyarrow as pa
+    import polars as pl
+
+    from ferenda_ray.stages.code_quality import xref_edges
+    from ferenda_ray.stages.graph import triangle_stats
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.select(
+            (pl.col("repo") + ":" + pl.col("path")).alias("src"),
+            (pl.col("dst_repo") + ":" + pl.col("dst_path"))
+            .alias("dst")).to_arrow()
+
+    e = xref_edges(_sources(sf_dir)).map_batches(
+        to_nodes, batch_format="pyarrow")
+    return triangle_stats(e)

@@ -156,3 +156,103 @@ def _pagerank_driver(edges, damping: float, iters: int):
     return rd.from_arrow(pa.table(
         {"node": pa.array(list(nodes), pa.string()),
          "rank": pa.array(ranks, pa.float64())}))
+
+
+def triangle_stats(edges, src_col: str = "src", dst_col: str = "dst",
+                   round_digits: int = 6):
+    """Corpus-level triangle census over an UNDIRECTED simple graph:
+    one row ``(n_nodes, n_edges, n_triangles, n_wedges,
+    global_clustering)`` with ``global_clustering = 3·triangles /
+    wedges`` (rounded half-away).
+
+    Shape: direction + self-loops are normalized away and edges
+    dedup'd to canonical ``a < b`` (string order — the same total
+    order a degree-ordered node-iterator uses); triangles close via
+    TWO hash joins (``(a,b) ⋈ (b,c)`` → wedge, wedge ⋈ ``(a,c)``),
+    so work ∝ wedge count.  On a hub-heavy graph the wedge join is
+    the known quadratic-in-degree hot spot — at 10^12-file scale
+    pre-splitting hub nodes (or degree-ordering by actual degree
+    instead of the string surrogate) bounds it; the synthetic xref
+    graph is near-regular, so the simple plan is the honest one.
+    Wedges count from per-node canonical degrees (one groupby)."""
+    import numpy as np
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+
+    def canon(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        a = pl.min_horizontal(pl.col(src_col).cast(pl.String),
+                              pl.col(dst_col).cast(pl.String))
+        c = pl.max_horizontal(pl.col(src_col).cast(pl.String),
+                              pl.col(dst_col).cast(pl.String))
+        return (df.select(a.alias("a"), c.alias("b"))
+                .filter(pl.col("a") != pl.col("b"))
+                .unique().to_arrow())
+
+    from ferenda_ray.stages.bgp import distinct
+    e = distinct(edges.map_batches(canon, batch_format="pyarrow"),
+                 ["a", "b"]).materialize()
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return pl.concat([df.select(pl.col("a").alias("node")),
+                          df.select(pl.col("b").alias("node"))]) \
+            .to_arrow()
+
+    n_edges = e.count()
+    deg = (e.map_batches(both_ends, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))
+           .materialize())
+    n_nodes = deg.count()
+    wedge_rows = deg.map_batches(
+        lambda b: pa.table({"__w": pa.array([int(
+            (lambda d: (d * (d - 1) // 2).sum())(
+                np.asarray(b.column("deg"))))], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    n_wedges = int(sum(r["__w"] for r in wedge_rows))
+
+    np_ = join_partitions()
+    co = coalesce_partitions()
+    left = e.map_batches(
+        lambda b: pa.table({"a": b.column("a"), "m": b.column("b")}),
+        batch_format="pyarrow")
+    right = e.map_batches(
+        lambda b: pa.table({"m": b.column("a"), "c": b.column("b")}),
+        batch_format="pyarrow")
+    if not ray_join_handles_empty_blocks():
+        left, right = left.repartition(co), right.repartition(co)
+    wedges = left.join(right, join_type="inner", on=("m",),
+                       num_partitions=np_)   # a<m<c by construction
+
+    # single string key for the closing join (composite keys hit
+    # Ray 2.49's multi-column join finalize — see xref_degrees)
+    def key_ac(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.select((pl.col("a") + "\x1f" + pl.col("c"))
+                         .alias("__ac")).to_arrow()
+
+    wk = wedges.map_batches(key_ac, batch_format="pyarrow")
+    ck = e.map_batches(
+        lambda b: pl.from_arrow(b).select(
+            (pl.col("a") + "\x1f" + pl.col("b")).alias("__ac"))
+        .to_arrow(), batch_format="pyarrow")
+    if not ray_join_handles_empty_blocks():
+        wk, ck = wk.repartition(co), ck.repartition(co)
+    tri = wk.join(ck, join_type="inner", on=("__ac",),
+                  num_partitions=np_)
+    n_tri = tri.count()
+
+    cc = (3.0 * n_tri / n_wedges) if n_wedges else 0.0
+    p = 10.0 ** round_digits
+    cc = float(np.floor(abs(cc) * p + 0.5) / p)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "global_clustering": pa.array([cc], pa.float64())}))
