@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 139 queries, 133 with DuckDB oracles (counts asserted
+Round-5 surface: 140 queries, 134 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_embeddings": docs.kg_entity_embeddings,
         "kg_entity_cooccurrence": docs.entity_cooccurrence,
         "code_triangles": code.code_triangles,
+        "docs_weighted_sample": docs.docs_weighted_sample,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -2269,6 +2270,17 @@ def oracle_sql() -> dict[str, str]:
         # 6-digit half-away-rounded ratios on BOTH sides so no ulp can
         # flip a threshold; words = single-space split on both sides
         "kg_entity_cooccurrence": cooccur_sql,
+        "docs_weighted_sample": """
+            WITH w AS (SELECT doc_id, len(text) AS n_chars
+                       FROM documents),
+            keyed AS (
+              SELECT doc_id, n_chars,
+                     pow(md5_number_lower(doc_id || ':ares')
+                         / 18446744073709551616.0,
+                         1.0 / n_chars) AS key
+              FROM w WHERE n_chars > 0)
+            SELECT doc_id, n_chars FROM keyed
+            ORDER BY key DESC, doc_id LIMIT 50""",
         "kg_entity_embeddings": f"""
             WITH m AS ({mention_union}),
             j AS (

@@ -1717,3 +1717,23 @@ def entity_cooccurrence(sf_dir: str, aliases: list | None = None):
                 "pmi": pa.array(pmi, pa.float64())})
 
     return stateful_map(pair_counts, Pmi, marg, batch_size=None)
+
+
+def docs_weighted_sample(sf_dir: str, k: int = 50):
+    """Exact-k length-weighted sample without replacement (A-Res on
+    the seedless md5 uniform, weight = n_chars) — longer docs win
+    proportionally more often, deterministically."""
+    import polars as pl
+
+    from ferenda_ray.stages.sample import weighted_reservoir_sample
+
+    def add_w(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.select(
+            "doc_id",
+            pl.col("text").str.len_chars().cast(pl.Int64)
+            .alias("n_chars")).to_arrow()
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_w, batch_format="pyarrow")
+    return weighted_reservoir_sample(ds, k=k, weight_col="n_chars")

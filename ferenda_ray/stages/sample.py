@@ -253,3 +253,42 @@ def train_val_test_split(docs, id_col: str = "doc_id",
                          "split": pa.array(lab, pa.string())})
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def weighted_reservoir_sample(docs, k: int, weight_col: str,
+                              id_col: str = "doc_id",
+                              salt: str = "ares"):
+    """Exact-k WEIGHTED sample without replacement — Efraimidis &
+    Spirakis A-Res with the engine's seedless uniform: each row's key
+    is ``u^(1/w)`` for ``u = md5(f"{id}:{salt}") / 2^64`` and weight
+    ``w = row[weight_col]``; the global top-k keys win.  Deterministic
+    across runs and cluster sizes, and exactly restatable in SQL
+    (``pow(md5_number_lower(...) / 2^64, 1.0 / w)``).
+
+    Distributed shape: a per-batch partial top-k bounds the exchange
+    to k rows per batch; the final exact top-k sorts only that
+    reduced set.  Ties (never in practice — u is id-unique) break on
+    the id so both engines agree.  Rows with weight ≤ 0 never win."""
+    import numpy as np
+    import polars as pl
+
+    def key_and_trim(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        u = np.array([md5_u64(f"{i}:{salt}") for i in ids],
+                     np.float64) / 2.0 ** 64
+        w = b.column(weight_col).to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)),
+                           -1.0)
+        t = b.append_column("__key", pa.array(key, pa.float64()))
+        df = (pl.from_arrow(t)
+              .filter(pl.col("__key") >= 0)       # weight ≤ 0 is out
+              .sort(["__key", id_col], descending=[True, False])
+              .head(k))
+        return df.to_arrow().cast(t.schema)
+
+    trimmed = docs.map_batches(key_and_trim, batch_format="pyarrow")
+    out = trimmed.sort(["__key", id_col],
+                       descending=[True, False]).limit(k)
+    return out.map_batches(lambda b: b.drop_columns(["__key"]),
+                           batch_format="pyarrow")
