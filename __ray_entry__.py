@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 140 queries, 134 with DuckDB oracles (counts asserted
+Round-5 surface: 141 queries, 135 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_cooccurrence": docs.entity_cooccurrence,
         "code_triangles": code.code_triangles,
         "docs_weighted_sample": docs.docs_weighted_sample,
+        "code_normalized_dups": code.code_normalized_dups,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -778,6 +779,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT node, min(label) AS component FROM reach
                   GROUP BY node) m
               ON m.node = f.repo || ':' || f.path""",
+        "code_normalized_dups": f"""
+            WITH src AS (
+              SELECT repo, path, lang, content
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            tw AS (
+              SELECT repo, path || '@mut' AS path, lang,
+                     (CASE WHEN lang = 'python' THEN '# mutated twin'
+                           ELSE '// mutated twin' END)
+                     || chr(10) || content AS content
+              FROM src
+              WHERE lang <> 'markdown'
+                AND CAST(regexp_extract(path, 'mod_(\\d+)', 1)
+                         AS INT) % 7 = 2),
+            allf AS (SELECT * FROM src UNION ALL SELECT * FROM tw),
+            norm AS (
+              SELECT repo, path, lang,
+                     md5(array_to_string(list_filter(
+                       list_transform(string_split(content, chr(10)),
+                                      x -> trim(x, ' ' || chr(9))),
+                       x -> x <> '' AND NOT (CASE
+                         WHEN lang = 'python'
+                           THEN starts_with(x, '#')
+                         WHEN lang IN ('go', 'java')
+                           THEN starts_with(x, '//')
+                         ELSE false END)), chr(10))) AS norm_md5
+              FROM allf),
+            g AS (SELECT norm_md5, count(*) AS group_size
+                  FROM norm GROUP BY norm_md5)
+            SELECT n.repo, n.path, n.lang, n.norm_md5, g.group_size
+            FROM norm n JOIN g USING (norm_md5)
+            WHERE g.group_size > 1""",
         "code_triangles": f"""
             WITH e0 AS (
               SELECT repo || ':' || path AS src,

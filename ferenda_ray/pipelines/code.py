@@ -550,3 +550,40 @@ def code_triangles(sf_dir: str):
     e = xref_edges(_sources(sf_dir)).map_batches(
         to_nodes, batch_format="pyarrow")
     return triangle_stats(e)
+
+
+def code_normalized_dups(sf_dir: str):
+    """Comment-insensitive duplicate file groups.  The synthetic
+    corpus has no comment-only forks, so files with ordinal %7==2
+    (non-markdown) gain a mutated twin — same code, one extra comment
+    line, path suffixed ``@mut`` — injected identically on BOTH
+    sides; the expected dup groups are exactly those twin pairs."""
+    import pyarrow as pa
+    import polars as pl
+
+    from ferenda_ray.stages.code_quality import normalized_dup_groups
+
+    def add_twins(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).select(["repo", "path", "lang",
+                                      "content"])
+        tw = (df.with_columns(
+                pl.col("path").str.extract(r"mod_(\d+)", 1)
+                .cast(pl.Int64).alias("__o"))
+              .filter((pl.col("__o") % 7 == 2)
+                      & (pl.col("lang") != "markdown"))
+              .with_columns(
+                  (pl.col("path") + "@mut").alias("path"),
+                  (pl.when(pl.col("lang") == "python")
+                   .then(pl.lit("# mutated twin"))
+                   .otherwise(pl.lit("// mutated twin"))
+                   + "\n" + pl.col("content")).alias("content"))
+              .drop(["__o"]))
+        return pl.concat([df, tw]).to_arrow()
+
+    src = _sources(sf_dir).map_batches(add_twins,
+                                       batch_format="pyarrow")
+    out = normalized_dup_groups(src)
+    return out.map_batches(
+        lambda b: b.select(["repo", "path", "lang", "norm_md5",
+                            "group_size"]),
+        batch_format="pyarrow")
