@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 141 queries, 135 with DuckDB oracles (counts asserted
+Round-5 surface: 142 queries, 136 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_triangles": code.code_triangles,
         "docs_weighted_sample": docs.docs_weighted_sample,
         "code_normalized_dups": code.code_normalized_dups,
+        "code_xref_ppr": code.code_xref_ppr,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -863,6 +864,41 @@ def oracle_sql() -> dict[str, str]:
             {"".join(
                 f", r{i} AS (SELECT nn.node, 0.15/(SELECT n FROM"
                 " params) + 0.85*COALESCE(m.mass, 0) AS rank FROM"
+                " nodes nn LEFT JOIN (SELECT e.dst AS node,"
+                " sum(r.rank/dg.outdeg) AS mass FROM edges e"
+                f" JOIN r{i-1} r ON r.node = e.src"
+                " JOIN deg dg ON dg.src = e.src GROUP BY e.dst) m"
+                " ON m.node = nn.node)"
+                for i in range(1, 11))}
+            SELECT node, round(rank, 6) AS rank FROM r10""",
+        "code_xref_ppr": f"""
+            WITH e0 AS (
+              SELECT repo || ':' || path AS src,
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       1)) || ':' ||
+                     unnest(regexp_extract_all(content,
+                       'see ([\\w/]+):([\\w/.]+\\.(?:py|go|java|md))',
+                       2)) AS dst
+              FROM read_parquet('{kg_cache}/sources.parquet')),
+            edges AS (SELECT src, dst FROM e0
+                      UNION ALL SELECT dst, src FROM e0),
+            deg AS (SELECT src, count(*) AS outdeg FROM edges
+                    GROUP BY src),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            params AS (SELECT CAST(count(*) AS DOUBLE) AS s
+                       FROM nodes
+                       WHERE node LIKE 'org0/repo0:%'),
+            r0 AS (SELECT node,
+                          CASE WHEN node LIKE 'org0/repo0:%'
+                               THEN 1.0/(SELECT s FROM params)
+                               ELSE 0.0 END AS rank
+                   FROM nodes)
+            {"".join(
+                f", r{i} AS (SELECT nn.node,"
+                " (CASE WHEN nn.node LIKE 'org0/repo0:%' THEN"
+                " 0.15/(SELECT s FROM params) ELSE 0.0 END)"
+                " + 0.85*COALESCE(m.mass, 0) AS rank FROM"
                 " nodes nn LEFT JOIN (SELECT e.dst AS node,"
                 " sum(r.rank/dg.outdeg) AS mass FROM edges e"
                 f" JOIN r{i-1} r ON r.node = e.src"

@@ -587,3 +587,41 @@ def code_normalized_dups(sf_dir: str):
         lambda b: b.select(["repo", "path", "lang", "norm_md5",
                             "group_size"]),
         batch_format="pyarrow")
+
+
+def code_xref_ppr(sf_dir: str, seed_repo: str = "org0/repo0"):
+    """Personalized PageRank over the symmetrized dependency graph,
+    restarting at one repo's files — "which files matter most FROM
+    this repo's vantage" (the seed-set regime: seeds ≪ graph, the
+    seed list ships in task closures)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import polars as pl
+
+    from ferenda_ray.stages.code_quality import xref_edges
+    from ferenda_ray.stages.graph import pagerank
+
+    src = _sources(sf_dir)
+    seeds = [f"{r['repo']}:{r['path']}" for r in
+             src.map_batches(
+                 lambda b: b.select(["repo", "path"]),
+                 batch_format="pyarrow")
+             .filter(expr=f"repo == '{seed_repo}'").take_all()]
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        fwd = df.select(
+            (pl.col("repo") + ":" + pl.col("path")).alias("src"),
+            (pl.col("dst_repo") + ":" + pl.col("dst_path"))
+            .alias("dst"))
+        rev = fwd.select(pl.col("dst").alias("src"),
+                         pl.col("src").alias("dst"))
+        return pl.concat([fwd, rev]).to_arrow()
+
+    e = xref_edges(src).map_batches(to_nodes, batch_format="pyarrow")
+    pr = pagerank(e, damping=0.85, iters=10, symmetric=True,
+                  personalize=seeds)
+    return pr.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "rank": pc.round(b.column("rank"), 6)}),
+        batch_format="pyarrow")

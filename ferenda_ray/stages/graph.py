@@ -29,13 +29,21 @@ DRIVER_PAGERANK_MAX_EDGES = 2_000_000
 
 def pagerank(edges, damping: float = 0.85, iters: int = 10,
              num_partitions: int | None = None, symmetric: bool = False,
-             driver_max_edges: int = DRIVER_PAGERANK_MAX_EDGES):
+             driver_max_edges: int = DRIVER_PAGERANK_MAX_EDGES,
+             personalize: list | None = None):
     """PageRank over a directed edge Dataset ``(src, dst)``.
 
     Returns a Dataset ``(node, rank)`` over all nodes appearing as a
     src or dst.  Nodes without outlinks contribute their damped mass
     nowhere (classic "dangling" simplification is NOT applied — feed a
     symmetrized edge set for random-walk semantics).
+
+    ``personalize``: optional seed-node list → PERSONALIZED PageRank:
+    init mass 1/|S∩nodes| on the seeds, teleport (1−d)/|S∩nodes| to
+    the seeds only (0 elsewhere).  The seed set ships in the task
+    closures — it is the "random walk with restart from a small seed
+    set" regime (seeds ≪ graph); for corpus-sized seed sets use plain
+    PageRank.
 
     PLAN PICK from the MEASURED edge count (the ``minhash_lsh_pairs``
     idiom): the distributed loop is ~4 exchanges × ``iters`` of fixed
@@ -53,7 +61,7 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
     num_partitions = num_partitions or coalesce_partitions()
     edges = edges.materialize()
     if edges.count() <= driver_max_edges:
-        return _pagerank_driver(edges, damping, iters)
+        return _pagerank_driver(edges, damping, iters, personalize)
     # node universe + out-degrees
     srcs = edges.map_batches(
         lambda b: pa.table({"node": b.column("src")}),
@@ -72,12 +80,30 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
         outdeg.repartition(num_partitions), join_type="inner",
         num_partitions=num_partitions, on=("src",)).materialize()
 
+    seed_set = (frozenset(str(x) for x in personalize)
+                if personalize is not None else None)
+    if seed_set is not None:
+        s = sum(r["c"] for r in nodes.map_batches(
+            lambda b: pa.table({"c": pa.array(
+                [sum(1 for v in b.column("node").to_pylist()
+                     if v in seed_set)], pa.int64())}),
+            batch_format="pyarrow").take_all())
+        if s == 0:
+            raise ValueError("personalize: no seed appears in the "
+                             "graph's node universe")
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        ns = b.column("node").to_pylist()
+        if seed_set is None:
+            vals = [1.0 / n] * len(ns)
+        else:
+            vals = [1.0 / s if v in seed_set else 0.0 for v in ns]
+        return pa.table({"node": b.column("node"),
+                         "rank": pa.array(vals, pa.float64())})
+
     base = (1.0 - damping) / n
-    ranks = nodes.map_batches(
-        lambda b, n=n: pa.table({"node": b.column("node"),
-                                 "rank": pa.array([1.0 / n] * b.num_rows,
-                                                  pa.float64())}),
-        batch_format="pyarrow").materialize()
+    ranks = nodes.map_batches(init_rank,
+                              batch_format="pyarrow").materialize()
 
     for _ in range(iters):
         contrib = edged.repartition(num_partitions).join(
@@ -110,18 +136,26 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
                 join_type="left_outer",
                 num_partitions=num_partitions, on=("node",),
                 right_on=("dst",))
+        def upd(b: pa.Table, base=base, d=damping) -> pa.Table:
+            ms = b.column("in_mass").to_pylist()
+            if seed_set is None:
+                vals = [base + d * (m if m is not None else 0.0)
+                        for m in ms]
+            else:
+                vals = [((1.0 - d) / s if v in seed_set else 0.0)
+                        + d * (m if m is not None else 0.0)
+                        for v, m in zip(b.column("node").to_pylist(),
+                                        ms)]
+            return pa.table({"node": b.column("node"),
+                             "rank": pa.array(vals, pa.float64())})
+
         ranks = joined.map_batches(
-            lambda b, base=base, d=damping: pa.table({
-                "node": b.column("node"),
-                "rank": pa.array(
-                    [base + d * (m if m is not None else 0.0)
-                     for m in b.column("in_mass").to_pylist()],
-                    pa.float64())}),
-            batch_format="pyarrow").materialize()
+            upd, batch_format="pyarrow").materialize()
     return ranks
 
 
-def _pagerank_driver(edges, damping: float, iters: int):
+def _pagerank_driver(edges, damping: float, iters: int,
+                     personalize: list | None = None):
     """Small-graph plan: the identical recurrence (uniform init, base
     = (1-d)/n, no dangling redistribution, fixed ``iters``) as numpy
     ``bincount`` passes over integer-factorized edges.  float64
@@ -147,12 +181,22 @@ def _pagerank_driver(edges, damping: float, iters: int):
     dst = codes[m:]
     n = len(nodes)
     outdeg = np.bincount(src, minlength=n).astype(np.float64)
-    base = (1.0 - damping) / n
-    ranks = np.full(n, 1.0 / n)
+    if personalize is not None:
+        seeds = np.isin(nodes, np.array(
+            sorted({str(x) for x in personalize}), dtype=object))
+        s = int(seeds.sum())
+        if s == 0:
+            raise ValueError("personalize: no seed appears in the "
+                             "graph's node universe")
+        restart = np.where(seeds, (1.0 - damping) / s, 0.0)
+        ranks = np.where(seeds, 1.0 / s, 0.0)
+    else:
+        restart = np.full(n, (1.0 - damping) / n)
+        ranks = np.full(n, 1.0 / n)
     for _ in range(iters):
         contrib = ranks[src] / outdeg[src]
-        ranks = base + damping * np.bincount(dst, weights=contrib,
-                                             minlength=n)
+        ranks = restart + damping * np.bincount(dst, weights=contrib,
+                                                minlength=n)
     return rd.from_arrow(pa.table(
         {"node": pa.array(list(nodes), pa.string()),
          "rank": pa.array(ranks, pa.float64())}))

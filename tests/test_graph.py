@@ -71,3 +71,35 @@ def test_pagerank_plans_identical(ray_session):
             for r in pagerank(ds, iters=8, num_partitions=2,
                               driver_max_edges=0).take_all()}
     assert fast == slow and len(fast) > 0
+
+
+def test_personalized_pagerank_plans_and_mass(ray_session):
+    """PPR: both plans identical; mass concentrates near the seed;
+    teleport goes to seeds only (non-seed sink keeps just walk mass);
+    unknown seeds raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ferenda_ray.stages.graph import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("c", "d"), ("d", "c")]
+    ds = rd.from_arrow(pa.table({
+        "src": [x for x, _ in edges], "dst": [y for _, y in edges]}))
+    drv = {r["node"]: r["rank"]
+           for r in pagerank(ds, personalize=["a"],
+                             symmetric=True).take_all()}
+    dist = {r["node"]: r["rank"]
+            for r in pagerank(ds, personalize=["a"], symmetric=True,
+                              driver_max_edges=0).take_all()}
+    assert set(drv) == set(dist) == {"a", "b", "c", "d"}
+    for k in drv:
+        assert abs(drv[k] - dist[k]) < 1e-9, k
+    # restart at 'a': the seed side of the chain holds the mass
+    # (b can outrank a — a sends ALL its mass to b, b splits)
+    assert drv["a"] + drv["b"] > drv["c"] + drv["d"]
+    assert drv["a"] > drv["c"] > drv["d"]
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(ds, personalize=["zzz"]).take_all()
