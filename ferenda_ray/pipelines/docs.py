@@ -1664,7 +1664,10 @@ def entity_cooccurrence(sf_dir: str, aliases: list | None = None):
             [pl.col("text").str.contains(rf"\b{a}\b").cast(pl.Int64)
              .alias(a) for a in aliases])
 
-    def pair_rows(b: pa.Table) -> pa.Table:
+    def count_rows(b: pa.Table) -> pa.Table:
+        # ONE corpus scan: the alias-flag matrix feeds both the pair
+        # counts and the marginals, tagged apart by alias_b ("" =
+        # marginal row) so a single groupby carries everything
         F = flags(b).to_numpy()              # docs x aliases, 0/1
         out_a, out_b, out_n = [], [], []
         for i, a in enumerate(aliases):
@@ -1672,27 +1675,21 @@ def entity_cooccurrence(sf_dir: str, aliases: list | None = None):
                 out_a.append(a)
                 out_b.append(aliases[j])
                 out_n.append(int((F[:, i] & F[:, j]).sum()))
+        out_a += list(aliases) + ["__total__"]
+        out_b += [""] * (len(aliases) + 1)
+        out_n += [int(x) for x in F.sum(axis=0)] + [len(F)]
         return pa.table({"alias_a": pa.array(out_a, pa.string()),
                          "alias_b": pa.array(out_b, pa.string()),
                          "__n": pa.array(out_n, pa.int64())})
 
-    def marginal_rows(b: pa.Table) -> pa.Table:
-        F = flags(b).to_numpy()
-        return pa.table({
-            "alias": pa.array(list(aliases) + ["__total__"],
-                              pa.string()),
-            "__n": pa.array(list(F.sum(axis=0)) + [len(F)],
-                            pa.int64())})
-
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    pair_counts = (docs.map_batches(pair_rows, batch_format="pyarrow")
-                   .groupby(["alias_a", "alias_b"])
-                   .aggregate(Sum("__n", alias_name="n_docs")))
-    marg = {r["alias"]: r["n"] for r in
-            (docs.map_batches(marginal_rows, batch_format="pyarrow")
-             .groupby("alias")
-             .aggregate(Sum("__n", alias_name="n"))
-             .take_all())}
+    counts = (docs.map_batches(count_rows, batch_format="pyarrow")
+              .groupby(["alias_a", "alias_b"])
+              .aggregate(Sum("__n", alias_name="n_docs"))
+              .materialize())
+    marg = {r["alias_a"]: r["n_docs"] for r in counts.take_all()
+            if r["alias_b"] == ""}
+    pair_counts = counts.filter(expr="alias_b != ''")
 
     class Pmi:
         def __init__(self, ref):
