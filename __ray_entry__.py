@@ -337,7 +337,7 @@ def oracle_sql() -> dict[str, str]:
     # the license-injected corpus copy DuckDB reads must exist even if
     # the oracle runs before the Ray query (pure pyarrow, no Ray)
     from ferenda_ray.pipelines.code import ensure_lic_cache
-    ensure_lic_cache("/root/testdata/sf0.01")
+    lic_parquet = ensure_lic_cache("/root/testdata/sf0.01")
 
     # first-match-wins license CASE over the header probe — the SAME
     # ordered literals as code_quality.LICENSE_PATTERNS
@@ -624,7 +624,7 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS (
               SELECT repo, path, lang,
                      substr(content, 1, 512) AS head
-              FROM read_parquet('{kg_cache}/sources_lic.parquet')),
+              FROM read_parquet('{lic_parquet}')),
             s AS (
               SELECT repo, path, lang, {lic_case} AS license
               FROM f)
@@ -641,7 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "code_repo_license": f"""
             WITH f AS (
               SELECT repo, substr(content, 1, 512) AS head
-              FROM read_parquet('{kg_cache}/sources_lic.parquet')),
+              FROM read_parquet('{lic_parquet}')),
             s AS (SELECT repo, {lic_case} AS license FROM f)
             SELECT repo, count(*) AS n_files,
                    CAST(SUM(CASE WHEN license IN ('MIT', 'Apache-2.0',

@@ -21,12 +21,18 @@ from __future__ import annotations
 import os
 
 
+def _tier_n(sf_dir: str) -> int:
+    """The ONE sf→corpus-size mapping (shared with the flagship)."""
+    return 200 if "0.001" in sf_dir else (400 if "0.01" in sf_dir
+                                          else 1200)
+
+
 def _sources(sf_dir: str):
     """Corpus Dataset for the sf tier, generating the cache on first
     use (same n↔sf mapping as the flagship so the cache is shared)."""
     import ray.data as rd
     from ferenda_ray.corpus import CorpusSpec, write_corpus
-    n = 200 if "0.001" in sf_dir else (400 if "0.01" in sf_dir else 1200)
+    n = _tier_n(sf_dir)
     cache = f"/tmp/ferenda_ray_corpus_{n}"
     if not os.path.exists(os.path.join(cache, "sources.parquet")):
         write_corpus(CorpusSpec(n_files=n), cache)
@@ -35,8 +41,7 @@ def _sources(sf_dir: str):
 
 def corpus_cache_path(sf_dir: str) -> str:
     """The sources.parquet path for the tier (oracle SQL reads it)."""
-    n = 200 if "0.001" in sf_dir else (400 if "0.01" in sf_dir else 1200)
-    return f"/tmp/ferenda_ray_corpus_{n}/sources.parquet"
+    return f"/tmp/ferenda_ray_corpus_{_tier_n(sf_dir)}/sources.parquet"
 
 
 def code_stack_filters(sf_dir: str):
@@ -474,13 +479,12 @@ def ensure_lic_cache(sf_dir: str) -> str:
     from ferenda_ray.stages.sample import md5_u64
 
     src = corpus_cache_path(sf_dir)
-    lic = src.replace("sources.parquet", "sources_lic.parquet")
+    lic = lic_cache_path(sf_dir)
     if not os.path.exists(lic):
         if not os.path.exists(src):            # ensure the base cache
             from ferenda_ray.corpus import CorpusSpec, write_corpus
-            n = int(os.path.basename(os.path.dirname(src))
-                    .rsplit("_", 1)[1])
-            write_corpus(CorpusSpec(n_files=n), os.path.dirname(src))
+            write_corpus(CorpusSpec(n_files=_tier_n(sf_dir)),
+                         os.path.dirname(src))
         t = pq.read_table(src)
         repos = t.column("repo").to_pylist()
         paths = t.column("path").to_pylist()
@@ -496,8 +500,11 @@ def ensure_lic_cache(sf_dir: str) -> str:
                 out.append(f"{pre}{h}{post}\n{c}")
         t = t.set_column(t.schema.get_field_index("content"),
                          "content", pa.array(out, t.column("content").type))
-        pq.write_table(t, lic + ".tmp")
-        os.replace(lic + ".tmp", lic)
+        # per-process tmp name: two concurrent builders (pytest
+        # worker + oracle driver) must not interleave into one file
+        tmp = f"{lic}.{os.getpid()}.tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, lic)
     return lic
 
 

@@ -43,12 +43,26 @@ def _normalize(ds, column_map: dict | None, required: tuple,
         raise ValueError(
             f"corpus missing required columns {missing}; present "
             f"after column_map: {sorted(have)}")
+    dupes = [c for c in required if have.count(c) > 1]
+    if dupes:
+        raise ValueError(
+            f"column_map maps onto canonical columns that already "
+            f"exist: {dupes} — rename or drop the source column")
     keep = [n for n in names if cmap.get(n, n) in required]
 
     def project(b: pa.Table) -> pa.Table:
         t = b.select(keep)
         t = t.rename_columns([cmap.get(n, n) for n in keep])
-        # canonical column order, canonical utf8 types
+        # canonical column order, canonical utf8 types; nulls fail
+        # HERE with a clear message, not as an AttributeError inside
+        # a later stage (JSONL/CSV readers null-fill absent fields)
+        import pyarrow.compute as pc
+        for c in required:
+            if pc.any(pc.is_null(t.column(c))).as_py():
+                raise ValueError(
+                    f"corpus column {c!r} contains null rows — "
+                    "every canonical column must be present in "
+                    "every record")
         return pa.table({c: t.column(c).cast(pa.string())
                          for c in required})
 

@@ -1185,13 +1185,28 @@ def group_mean_embedding(pairs, embeddings, group_col: str = "alias",
                                      join_partitions,
                                      ray_join_handles_empty_blocks)
 
+    def _empty_result():
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64())}))
+
+    first = embeddings.take(1)
+    if not first:                       # empty vector side: nothing
+        return _empty_result()          # can join (and pack() cannot
+    dim = len(first[0][vec_col])        # infer a width from 0 rows)
+    typ = pa.binary(8 * dim)
+
     # Ray 2.49's hash join rejects list<float> payload columns
     # ("not supported in join non-key field") — pack each vector to
     # fixed-size binary for the exchange, unpack in the partial
     def pack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:             # _col_matrix can't reshape 0
+            return pa.table({vec_id_col: b.column(vec_id_col),
+                             "__vec": pa.array([], typ)})
         M = _col_matrix(b, vec_col)                # float64 upcast
-        d = M.shape[1]
-        typ = pa.binary(8 * d)
         arr = pa.Array.from_buffers(
             typ, M.shape[0],
             [None, pa.py_buffer(np.ascontiguousarray(M, "<f8")
@@ -1208,12 +1223,7 @@ def group_mean_embedding(pairs, embeddings, group_col: str = "alias",
         # an ALL-empty join side still trips Ray 2.49's key-field
         # lookup even after the repartition workaround
         if pairs.count() == 0:
-            import ray.data as rd
-            return rd.from_arrow(pa.table({
-                group_col: pa.array([], pa.string()),
-                "n_docs": pa.array([], pa.int64()),
-                "dim": pa.array([], pa.int64()),
-                "value": pa.array([], pa.float64())}))
+            return _empty_result()
     j = pairs.join(packed, join_type="inner",
                    num_partitions=np_,
                    on=(id_col,), right_on=(vec_id_col,))

@@ -105,3 +105,31 @@ def test_jsonl_corpus_drives_flagship_to_golden(ray_session,
     gk = set(map(tuple, got.fillna("").values.tolist()))
     ek = set(map(tuple, exp.fillna("").values.tolist()))
     assert gk == ek
+
+
+def test_read_code_corpus_null_and_collision_errors(ray_session,
+                                                    tmp_path):
+    """Null canonical fields fail with a clear message; a column_map
+    collision with an existing canonical column raises up front."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.sources.ingest import read_code_corpus
+
+    pq.write_table(pa.Table.from_pylist([
+        {"repo": "r", "path": "p", "commit": "c", "lang": "python",
+         "content": None}]), str(tmp_path / "nulls.parquet"))
+    ds = read_code_corpus(str(tmp_path / "nulls.parquet"),
+                          fmt="parquet")
+    with pytest.raises(Exception, match="contains null rows"):
+        ds.take_all()
+
+    # parquet prunes at the read (the mapped source column wins), so
+    # the collision can only reach _normalize via jsonl/csv
+    with open(tmp_path / "dup.jsonl", "w") as f:
+        f.write(json.dumps(
+            {"repository": "r1", "repo": "r2", "path": "p",
+             "commit": "c", "lang": "go", "content": "x"}) + "\n")
+    with pytest.raises(ValueError, match="already"):
+        read_code_corpus(str(tmp_path / "dup.jsonl"), fmt="jsonl",
+                         column_map={"repository": "repo"})

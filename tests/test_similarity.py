@@ -406,3 +406,19 @@ def test_entity_cooccurrence_pmi(ray_session, tmp_path):
     r = rows[("batch", "spark")]
     assert r["n_docs"] == 2
     assert abs(r["pmi"] - round(math.log(6 * 2 / (3 * 3)), 6)) < 1e-9
+
+
+def test_group_mean_embedding_empty_embeddings(ray_session):
+    """An empty VECTOR side returns empty instead of crashing the
+    join (review regression)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.stages.similarity import group_mean_embedding
+
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    pairs = rd.from_arrow(pa.table({
+        "doc_id": [1], "alias": ["a"]}))
+    assert group_mean_embedding(pairs, emb).count() == 0
