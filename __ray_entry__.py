@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 142 queries, 136 with DuckDB oracles (counts asserted
+Round-5 surface: 143 queries, 137 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": docs.docs_weighted_sample,
         "code_normalized_dups": code.code_normalized_dups,
         "code_xref_ppr": code.code_xref_ppr,
+        "events_funnel": events.funnel_steps,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -2249,6 +2250,22 @@ def oracle_sql() -> dict[str, str]:
         # per-user EWMA final state (adjust=False recursion) as its
         # closed form: weight a(1-a)^(k-1) for the k-th-latest event,
         # (1-a)^(n-1) for the first
+        "events_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                  JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                  JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id)
+            SELECT 1 AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM v) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+            UNION ALL SELECT 3, 'purchase',
+                      (SELECT count(*) FROM p)""",
         "events_user_ewma": """
             WITH r AS (
               SELECT user_id, value,

@@ -726,3 +726,56 @@ def cumulative_users(sf_dir: str):
         out_h.append(r["hr"])
         out_c.append(acc)
     return pd.DataFrame({"hr": out_h, "cum_users": out_c})
+
+
+def funnel_steps(sf_dir: str,
+                 steps: tuple = ("view", "click", "purchase")):
+    """Ordered event funnel: per user, step k counts iff a step-k
+    event happens STRICTLY AFTER the user's earliest completion of
+    step k-1 (the classic product-analytics funnel).  Output: one row
+    per step — ``(step, event_type, n_users)``.
+
+    Reduce side is SHARDED (user % P, the ``sessionize`` idiom): each
+    shard resolves its users' sequential min-times in ONE vectorized
+    polars pass (per-step filter → min-over-user → join), emits a
+    per-shard count row per step, and a final ≤P×steps-row reduce
+    sums them — no per-user Python, no global shuffle of raw
+    events beyond the one shard exchange."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from ferenda_ray.cluster import default_num_partitions
+    nshards = default_num_partitions(2.0)
+
+    def shard(b: pa.Table) -> pa.Table:
+        sh = (pl.from_arrow(b.select(["user_id"]))
+              .select(pl.col("user_id").hash(seed=13) % nshards)
+              .to_series().to_numpy().astype("int64"))
+        return b.append_column("__shard", pa.array(sh, pa.int64()))
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.select(["user_id", "ts", "event_type"]))
+              .with_columns(pl.col("ts").cast(pl.Int64).alias("__us")))
+        reached = None       # frame (user_id, __t) of completed users
+        counts = []
+        for k, et in enumerate(steps):
+            ev = df.filter(pl.col("event_type") == et)
+            if k > 0:
+                ev = (ev.join(reached, on="user_id")
+                      .filter(pl.col("__us") > pl.col("__t"))
+                      .drop("__t"))
+            reached = (ev.group_by("user_id")
+                       .agg(pl.col("__us").min().alias("__t")))
+            counts.append(reached.height)
+        return pa.table({
+            "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+            "event_type": pa.array(list(steps), pa.string()),
+            "__n": pa.array(counts, pa.int64())})
+
+    return (_read_events(sf_dir, ["ts", "user_id", "event_type"])
+            .map_batches(shard, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("__shard")
+            .map_groups(per_shard, batch_format="pyarrow")
+            .groupby(["step", "event_type"])
+            .aggregate(Sum("__n", alias_name="n_users")))

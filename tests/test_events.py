@@ -1,0 +1,38 @@
+
+
+def test_funnel_steps_strict_ordering(ray_session, tmp_path):
+    """Funnel counts honor STRICT event ordering per user: a click
+    before the first view does not count, and step sets shrink."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.events import funnel_steps
+
+    t = dt.datetime(2024, 1, 1)
+
+    def row(i, u, et, mins):
+        return {"event_id": i, "ts": t + dt.timedelta(minutes=mins),
+                "user_id": u, "event_type": et, "value": 1.0,
+                "props": ""}
+
+    rows = [
+        # u1 completes the funnel in order
+        row(1, 1, "view", 0), row(2, 1, "click", 5),
+        row(3, 1, "purchase", 9),
+        # u2 clicks BEFORE viewing: never reaches step 2
+        row(4, 2, "click", 0), row(5, 2, "view", 5),
+        row(6, 2, "purchase", 9),
+        # u3 views then clicks, never purchases
+        row(7, 3, "view", 0), row(8, 3, "click", 1),
+        # u4 only purchases
+        row(9, 4, "purchase", 0),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    got = {r["step"]: (r["event_type"], r["n_users"])
+           for r in funnel_steps(str(tmp_path)).take_all()}
+    assert got[1] == ("view", 3)
+    assert got[2] == ("click", 2)      # u1, u3 — u2's click was early
+    assert got[3] == ("purchase", 1)   # only u1
