@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 143 queries, 137 with DuckDB oracles (counts asserted
+Round-5 surface: 144 queries, 138 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_normalized_dups": code.code_normalized_dups,
         "code_xref_ppr": code.code_xref_ppr,
         "events_funnel": events.funnel_steps,
+        "events_cohort_retention": events.cohort_retention,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -2266,6 +2267,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
             UNION ALL SELECT 3, 'purchase',
                       (SELECT count(*) FROM p)""",
+        "events_cohort_retention": """
+            WITH s AS (
+              SELECT user_id,
+                     CAST(floor(epoch(min(ts)) / 604800) AS BIGINT)
+                       AS cw
+              FROM events WHERE event_type = 'signup'
+              GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT e.user_id, s.cw,
+                     CAST(floor(epoch(e.ts) / 604800) AS BIGINT)
+                       - s.cw AS wk
+              FROM events e JOIN s ON s.user_id = e.user_id),
+            c AS (SELECT cw, wk, count(*) AS n_active FROM a
+                  WHERE wk >= 0 AND wk <= 8 GROUP BY cw, wk),
+            z AS (SELECT cw, count(*) AS n_cohort FROM s GROUP BY cw)
+            SELECT c.cw AS cohort_week, c.wk AS week_offset,
+                   c.n_active,
+                   round(c.n_active * 1.0 / z.n_cohort, 6)
+                     AS retention
+            FROM c JOIN z ON z.cw = c.cw""",
         "events_user_ewma": """
             WITH r AS (
               SELECT user_id, value,

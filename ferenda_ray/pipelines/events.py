@@ -779,3 +779,86 @@ def funnel_steps(sf_dir: str,
             .map_groups(per_shard, batch_format="pyarrow")
             .groupby(["step", "event_type"])
             .aggregate(Sum("__n", alias_name="n_users")))
+
+
+def cohort_retention(sf_dir: str, max_weeks: int = 8):
+    """Signup-cohort retention: users cohort by the EPOCH-based week
+    (floor(epoch/604800) — identical arithmetic in polars and SQL;
+    calendar date_trunc('week') anchors differ across engines) of
+    their first ``signup`` event; retention at offset w = distinct
+    cohort users with ANY event in cohort_week + w, as a fraction of
+    the cohort.  Output ``(cohort_week, week_offset, n_active,
+    retention)`` for 0 ≤ w ≤ ``max_weeks``.
+
+    Sharded per-user resolution (the ``sessionize`` idiom): each
+    shard emits per-(cohort, offset) distinct-user counts AND cohort
+    sizes (kind-tagged offset −1) from one vectorized polars pass;
+    one tiny groupby sums the partials and a final map divides."""
+    import math
+
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from ferenda_ray.cluster import default_num_partitions
+
+    nshards = default_num_partitions(2.0)
+    WK_US = 604_800 * 1_000_000
+
+    def _rha_f(v: float, p: float = 1e6) -> float:
+        return math.floor(abs(v) * p + 0.5) / p * (1 if v >= 0 else -1)
+
+    def shard(b: pa.Table) -> pa.Table:
+        sh = (pl.from_arrow(b.select(["user_id"]))
+              .select(pl.col("user_id").hash(seed=29) % nshards)
+              .to_series().to_numpy().astype("int64"))
+        return b.append_column("__shard", pa.array(sh, pa.int64()))
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.select(["user_id", "ts", "event_type"]))
+              .with_columns((pl.col("ts").cast(pl.Int64) // WK_US)
+                            .alias("__wk")))
+        s = (df.filter(pl.col("event_type") == "signup")
+             .group_by("user_id")
+             .agg(pl.col("__wk").min().alias("__cw")))
+        a = (df.join(s, on="user_id")
+             .with_columns((pl.col("__wk") - pl.col("__cw"))
+                           .alias("__off"))
+             .filter((pl.col("__off") >= 0)
+                     & (pl.col("__off") <= max_weeks))
+             .select(["__cw", "__off", "user_id"]).unique())
+        counts = (a.group_by(["__cw", "__off"])
+                  .agg(pl.len().cast(pl.Int64).alias("__n")))
+        sizes = (s.group_by("__cw")
+                 .agg(pl.len().cast(pl.Int64).alias("__n"))
+                 .with_columns(pl.lit(-1, pl.Int64).alias("__off"))
+                 .select(["__cw", "__off", "__n"]))
+        t = pl.concat([counts.select(["__cw", "__off", "__n"]),
+                       sizes]).to_arrow()
+        return t.cast(pa.schema([("__cw", pa.int64()),
+                                 ("__off", pa.int64()),
+                                 ("__n", pa.int64())]))
+
+    agg = (_read_events(sf_dir, ["ts", "user_id", "event_type"])
+           .map_batches(shard, batch_format="pyarrow",
+                        batch_size=65536)
+           .groupby("__shard")
+           .map_groups(per_shard, batch_format="pyarrow")
+           .groupby(["__cw", "__off"])
+           .aggregate(Sum("__n", alias_name="n"))
+           .materialize())
+    sizes = {r["__cw"]: r["n"] for r in agg.take_all()
+             if r["__off"] == -1}
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(pl.col("__off") >= 0)
+        cws = df.get_column("__cw").to_list()
+        ns = df.get_column("n").to_list()
+        ret = [_rha_f(n / sizes[c]) for n, c in zip(ns, cws)]
+        return pa.table({
+            "cohort_week": pa.array(cws, pa.int64()),
+            "week_offset": pa.array(df.get_column("__off").to_list(),
+                                    pa.int64()),
+            "n_active": pa.array(ns, pa.int64()),
+            "retention": pa.array(ret, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

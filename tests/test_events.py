@@ -36,3 +36,40 @@ def test_funnel_steps_strict_ordering(ray_session, tmp_path):
     assert got[1] == ("view", 3)
     assert got[2] == ("click", 2)      # u1, u3 — u2's click was early
     assert got[3] == ("purchase", 1)   # only u1
+
+
+def test_cohort_retention_fixture(ray_session, tmp_path):
+    """Known cohorts: retention fractions and the epoch-week cohort
+    key; non-signup users never appear."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.events import cohort_retention
+
+    wk0 = dt.datetime(2024, 1, 4)            # some week W
+    wk = dt.timedelta(weeks=1)
+
+    def row(i, u, et, t):
+        return {"event_id": i, "ts": t, "user_id": u,
+                "event_type": et, "value": 1.0, "props": ""}
+
+    rows = [
+        # cohort W: u1 + u2 sign up; u1 active weeks 0,1; u2 week 0
+        row(1, 1, "signup", wk0), row(2, 1, "click", wk0 + wk),
+        row(3, 2, "signup", wk0 + dt.timedelta(days=1)),
+        # u3: never signs up — excluded entirely
+        row(4, 3, "view", wk0), row(5, 3, "click", wk0 + wk),
+        # u1 event BEFORE signup week (negative offset) is dropped
+        row(6, 1, "view", wk0 - wk),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    got = {(r["cohort_week"], r["week_offset"]):
+           (r["n_active"], r["retention"])
+           for r in cohort_retention(str(tmp_path)).take_all()}
+    cw = int(wk0.timestamp() // 604800)
+    assert got[(cw, 0)] == (2, 1.0)
+    assert got[(cw, 1)] == (1, 0.5)
+    assert set(got) == {(cw, 0), (cw, 1)}
