@@ -128,3 +128,49 @@ def run_kg(sources_path, out_dir: str, aliases=None, sameas=None,
     return materialize(canon, out_dir, num_buckets=num_buckets,
                        resume=resume, fmt=fmt, dedup=True,
                        pred_vocab=pred_vocab, graph_const=graph)
+
+
+def predicate_profile(triples):
+    """Per-predicate KG quality profile (property profiling): triple
+    count, distinct subjects, distinct object values, and the
+    ``functional`` flag (every subject has exactly one value ⇔
+    n_triples == n_subjects) — the schema-stats pass a KG pipeline
+    runs after construction to catch extraction drift.
+
+    Exact distincts via in-batch pre-distinct + one count groupby per
+    leg (``bgp.distinct``); predicates are few, so the three tiny
+    per-pred tables compose on the driver.  Returns a pyarrow Table
+    ``(pred, n_triples, n_subjects, n_objects, functional)``."""
+    import polars as pl
+    import ray
+    from ray.data.aggregate import Count
+
+    from ferenda_ray.stages.bgp import distinct
+
+    def _counts(ds, cols, alias):
+        proj = ds.map_batches(lambda b, c=cols: b.select(c),
+                              batch_format="pyarrow")
+        if len(cols) > 1:
+            proj = distinct(proj, cols)
+        agg = proj.groupby("pred").aggregate(Count(alias_name=alias))
+        tbls = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return pl.DataFrame({"pred": pl.Series([], dtype=pl.String),
+                                 alias: pl.Series([], dtype=pl.Int64)})
+        return (pl.from_arrow(pa.concat_tables(tbls))
+                .with_columns(pl.col("pred").cast(pl.String),
+                              pl.col(alias).cast(pl.Int64)))
+
+    triples = triples.materialize()
+    nt = _counts(triples, ["pred"], "n_triples")
+    nsub = _counts(triples, ["pred", "subj"], "n_subjects")
+    nobj = _counts(triples, ["pred", "obj_value"], "n_objects")
+    out = (nt.join(nsub, on="pred").join(nobj, on="pred")
+           .with_columns((pl.col("n_triples") == pl.col("n_subjects"))
+                         .alias("functional"))
+           .sort("pred"))
+    t = out.to_arrow()
+    return t.cast(pa.schema([
+        ("pred", pa.string()), ("n_triples", pa.int64()),
+        ("n_subjects", pa.int64()), ("n_objects", pa.int64()),
+        ("functional", pa.bool_())]))

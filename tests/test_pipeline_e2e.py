@@ -118,3 +118,28 @@ def test_ntriples_encoding():
     assert lines[1] == '<s2> <p> "say \\"hi\\"\\nline2\\\\end"@en .'
     assert lines[2] == \
         '<s3> <p> "date"^^<http://www.w3.org/2001/XMLSchema#date> .'
+
+
+def test_predicate_profile_known_triples(ray_session):
+    """Hand-built triples: counts, distincts, functional flag."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.pipelines.kg import predicate_profile
+
+    rows = [
+        ("s1", "p:one", "a"), ("s2", "p:one", "a"),   # functional
+        ("s1", "p:multi", "x"), ("s1", "p:multi", "y"),  # not
+    ]
+    ds = rd.from_arrow(pa.table({
+        "subj": [r[0] for r in rows],
+        "pred": [r[1] for r in rows],
+        "obj_value": [r[2] for r in rows]}))
+    t = predicate_profile(ds)
+    got = {r["pred"]: r for r in t.to_pylist()}
+    assert got["p:one"]["n_triples"] == 2
+    assert got["p:one"]["n_subjects"] == 2
+    assert got["p:one"]["n_objects"] == 1
+    assert got["p:one"]["functional"]
+    assert got["p:multi"]["n_subjects"] == 1
+    assert not got["p:multi"]["functional"]
