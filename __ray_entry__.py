@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 145 queries, 139 with DuckDB oracles (counts asserted
+Round-5 surface: 146 queries, 140 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -144,6 +144,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             vocab=pq.read_table(os.path.join(cache,
                                              "vocab_triples.parquet")))
         return predicate_profile(canon)
+
+    def kg_required_predicates(sf_dir: str):
+        """Soft-validation parity with the reference's
+        required_predicates warning (documentrepository.py:745):
+        (subj, missing_pred) rows over the pipeline-built KG —
+        dcterms:title is universal (0 rows), dcterms:subject is
+        sparse (most docs flagged), so both branches carry weight."""
+        import os
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ferenda_ray.corpus import CorpusSpec, write_corpus
+        from ferenda_ray.pipelines.kg import (
+            build_kg, required_predicate_violations)
+        n = 200 if "0.001" in sf_dir else (400 if "0.01" in sf_dir
+                                           else 1200)
+        cache = f"/tmp/ferenda_ray_corpus_{n}"
+        if not os.path.exists(os.path.join(cache, "sources.parquet")):
+            write_corpus(CorpusSpec(n_files=n), cache)
+        canon = build_kg(
+            rd.read_parquet(os.path.join(cache, "sources.parquet")),
+            aliases=pq.read_table(os.path.join(cache, "aliases.parquet")),
+            sameas=pq.read_table(os.path.join(cache, "sameas.parquet")),
+            vocab=pq.read_table(os.path.join(cache,
+                                             "vocab_triples.parquet")))
+        return required_predicate_violations(
+            canon, required=("http://purl.org/dc/terms/title",
+                             "http://purl.org/dc/terms/subject"))
 
     # ORDER MATTERS: the driver's correctness harness verifies only the
     # FIRST 50 entries (dict order).  Round-5 rotation (round-4 verdict
@@ -336,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_xref_ppr": code.code_xref_ppr,
         "events_funnel": events.funnel_steps,
         "kg_predicate_profile": kg_predicate_profile,
+        "kg_required_predicates": kg_required_predicates,
         "events_cohort_retention": events.cohort_retention,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
@@ -2285,6 +2313,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT obj_value) AS n_objects,
                    count(*) = count(DISTINCT subj) AS functional
             FROM t GROUP BY pred ORDER BY pred""",
+        "kg_required_predicates": f"""
+            WITH t AS (
+              SELECT subj, pred
+              FROM read_parquet('{kg_cache}/expected_triples.parquet')),
+            docs AS (SELECT DISTINCT subj FROM t WHERE pred =
+              'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+            req(p) AS (VALUES
+              ('http://purl.org/dc/terms/title'),
+              ('http://purl.org/dc/terms/subject')),
+            have AS (SELECT DISTINCT subj, pred FROM t
+                     WHERE pred IN (
+                       'http://purl.org/dc/terms/title',
+                       'http://purl.org/dc/terms/subject'))
+            SELECT d.subj, r.p AS missing_pred
+            FROM docs d CROSS JOIN req r
+            LEFT JOIN have h ON h.subj = d.subj AND h.pred = r.p
+            WHERE h.subj IS NULL""",
         "events_funnel": """
             WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
                        WHERE event_type = 'view' GROUP BY user_id),

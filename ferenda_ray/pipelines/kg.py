@@ -174,3 +174,65 @@ def predicate_profile(triples):
         ("pred", pa.string()), ("n_triples", pa.int64()),
         ("n_subjects", pa.int64()), ("n_objects", pa.int64()),
         ("functional", pa.bool_())]))
+
+
+def required_predicate_violations(
+        triples,
+        required: tuple = ("http://purl.org/dc/terms/title",),
+        type_pred: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"):
+    """Soft-validation of required predicates per document (the
+    reference warns when a parsed doc's meta lacks them —
+    ``ferenda/documentrepository.py:745-746``,
+    ``decorators.py:229-236``): for every subject that has an
+    ``rdf:type`` triple, emit one ``(subj, missing_pred)`` row per
+    required predicate it lacks.
+
+    One pass + ONE groupby: per batch, (subj, pred∈required∪type)
+    pairs reduce to per-subject boolean flags; a Max-groupby merges
+    them; the final map explodes the missing set.  No joins, no
+    per-subject tasks."""
+    from ray.data.aggregate import Max
+
+    preds = list(required)
+    flags = [f"__has_{i}" for i in range(len(preds))]
+
+    def to_flags(b: pa.Table) -> pa.Table:
+        import polars as pl
+        df = (pl.from_arrow(b.select(["subj", "pred"]))
+              .filter(pl.col("pred").is_in(list(preds) + [type_pred]))
+              .unique())
+        if df.height == 0:
+            return pa.table(
+                {"subj": pa.array([], pa.string()),
+                 "__is_doc": pa.array([], pa.int64()),
+                 **{f: pa.array([], pa.int64()) for f in flags}})
+        out = df.group_by("subj").agg(
+            (pl.col("pred") == type_pred).any().cast(pl.Int64)
+            .alias("__is_doc"),
+            *[(pl.col("pred") == p).any().cast(pl.Int64).alias(f)
+              for p, f in zip(preds, flags)])
+        t = out.to_arrow()
+        return t.cast(pa.schema(
+            [("subj", pa.string()), ("__is_doc", pa.int64())]
+            + [(f, pa.int64()) for f in flags]))
+
+    agg = (triples.map_batches(to_flags, batch_format="pyarrow")
+           .groupby("subj")
+           .aggregate(Max("__is_doc", alias_name="__doc"),
+                      *[Max(f, alias_name=f) for f in flags]))
+
+    def explode_missing(b: pa.Table) -> pa.Table:
+        import numpy as np
+        doc = b.column("__doc").to_numpy().astype(bool)
+        subs = b.column("subj").to_pylist()
+        out_s, out_p = [], []
+        for p, f in zip(preds, flags):
+            has = b.column(f).to_numpy().astype(bool)
+            for i in np.flatnonzero(doc & ~has):
+                out_s.append(subs[i])
+                out_p.append(p)
+        return pa.table({
+            "subj": pa.array(out_s, pa.string()),
+            "missing_pred": pa.array(out_p, pa.string())})
+
+    return agg.map_batches(explode_missing, batch_format="pyarrow")

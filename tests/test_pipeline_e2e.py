@@ -143,3 +143,29 @@ def test_predicate_profile_known_triples(ray_session):
     assert got["p:one"]["functional"]
     assert got["p:multi"]["n_subjects"] == 1
     assert not got["p:multi"]["functional"]
+
+
+def test_required_predicate_violations(ray_session):
+    """Only typed subjects are validated; missing required preds
+    explode one row each; complete docs emit nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.pipelines.kg import required_predicate_violations
+
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    TI = "http://purl.org/dc/terms/title"
+    SU = "http://purl.org/dc/terms/subject"
+    rows = [
+        ("d1", T), ("d1", TI), ("d1", SU),       # complete
+        ("d2", T), ("d2", TI),                   # missing subject
+        ("d3", T),                               # missing both
+        ("x1", TI),                              # untyped: ignored
+    ]
+    ds = rd.from_arrow(pa.table({
+        "subj": [r[0] for r in rows],
+        "pred": [r[1] for r in rows]}))
+    got = sorted((r["subj"], r["missing_pred"]) for r in
+                 required_predicate_violations(
+                     ds, required=(TI, SU)).take_all())
+    assert got == [("d2", SU), ("d3", SU), ("d3", TI)]
