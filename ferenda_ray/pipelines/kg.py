@@ -236,3 +236,51 @@ def required_predicate_violations(
             "missing_pred": pa.array(out_p, pa.string())})
 
     return agg.map_batches(explode_missing, batch_format="pyarrow")
+
+
+def type_predicate_matrix(
+        triples,
+        type_pred: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"):
+    """Schema discovery: which predicates appear on which rdf:types —
+    ``(type, pred, n_subjects)`` with n_subjects = distinct subjects
+    of that type carrying that predicate (the class/property usage
+    matrix KG pipelines derive to detect modelling drift).
+
+    Distributed shape: the (subj → type) leg is corpus-row-sized, so
+    it HASH JOINS (never broadcasts) the distinct (subj, pred) pairs
+    on the single subj key; one (type, pred) count groupby follows.
+    Both sides pre-distinct in-batch before the exchange."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ferenda_ray.cluster import (coalesce_partitions,
+                                     join_partitions,
+                                     ray_join_handles_empty_blocks)
+    from ferenda_ray.stages.bgp import distinct
+
+    def types_leg(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("pred"), type_pred)
+        t = b.filter(m)
+        return pa.table({
+            "subj": t.column("subj").cast(pa.string()),
+            "type": t.column("obj_value").cast(pa.string())})
+
+    def pairs_leg(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": b.column("subj").cast(pa.string()),
+            "pred": b.column("pred").cast(pa.string())})
+
+    types = distinct(triples.map_batches(types_leg,
+                                         batch_format="pyarrow"),
+                     ["subj", "type"])
+    pairs = distinct(triples.map_batches(pairs_leg,
+                                         batch_format="pyarrow"),
+                     ["subj", "pred"])
+    np_ = join_partitions()
+    if not ray_join_handles_empty_blocks():
+        co = coalesce_partitions()
+        types, pairs = types.repartition(co), pairs.repartition(co)
+    j = pairs.join(types, join_type="inner", on=("subj",),
+                   num_partitions=np_)
+    return (j.groupby(["type", "pred"])
+            .aggregate(Count(alias_name="n_subjects")))

@@ -169,3 +169,29 @@ def test_required_predicate_violations(ray_session):
                  required_predicate_violations(
                      ds, required=(TI, SU)).take_all())
     assert got == [("d2", SU), ("d3", SU), ("d3", TI)]
+
+
+def test_type_predicate_matrix(ray_session):
+    """Multi-typed subjects count under every type; untyped subjects
+    are excluded; distinct semantics per (subj, pred)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.pipelines.kg import type_predicate_matrix
+
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("d1", T, "Doc"), ("d1", "p:a", "x"), ("d1", "p:a", "y"),
+        ("d2", T, "Doc"), ("d2", T, "Memo"), ("d2", "p:a", "z"),
+        ("x1", "p:a", "w"),                       # untyped
+    ]
+    ds = rd.from_arrow(pa.table({
+        "subj": [r[0] for r in rows],
+        "pred": [r[1] for r in rows],
+        "obj_value": [r[2] for r in rows]}))
+    got = {(r["type"], r["pred"]): r["n_subjects"]
+           for r in type_predicate_matrix(ds).take_all()}
+    assert got[("Doc", "p:a")] == 2        # d1 once despite 2 values
+    assert got[("Memo", "p:a")] == 1
+    assert got[("Doc", T)] == 2 and got[("Memo", T)] == 1
+    assert not any(ty == "w" for ty, _ in got)
