@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 147 queries, 141 with DuckDB oracles (counts asserted
+Round-5 surface: 148 queries, 142 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_required_predicates": kg_required_predicates,
         "kg_type_predicate_matrix": kg_type_predicate_matrix,
         "events_cohort_retention": events.cohort_retention,
+        "events_conversion_lag": events.conversion_lag,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -2380,6 +2381,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
             UNION ALL SELECT 3, 'purchase',
                       (SELECT count(*) FROM p)""",
+        "events_conversion_lag": """
+            WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t1, min(v.t0) AS t0
+                  FROM events e JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > v.t0
+                  GROUP BY e.user_id)
+            SELECT user_id,
+                   CAST(floor(epoch(t1 - t0) / 60) AS BIGINT)
+                     AS lag_minutes
+            FROM p""",
         "events_cohort_retention": """
             WITH s AS (
               SELECT user_id,

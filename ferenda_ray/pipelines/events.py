@@ -862,3 +862,49 @@ def cohort_retention(sf_dir: str, max_weeks: int = 8):
             "retention": pa.array(ret, pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def conversion_lag(sf_dir: str, frm: str = "view",
+                   to: str = "purchase"):
+    """Per-user conversion latency: whole minutes (floor) from the
+    user's FIRST ``frm`` event to the first ``to`` event STRICTLY
+    after it — the funnel's time dimension.  Users that never convert
+    are absent.  Sharded per-user resolution (one vectorized polars
+    pass per shard, the ``sessionize`` idiom)."""
+    import polars as pl
+
+    from ferenda_ray.cluster import default_num_partitions
+    nshards = default_num_partitions(2.0)
+
+    def shard(b: pa.Table) -> pa.Table:
+        sh = (pl.from_arrow(b.select(["user_id"]))
+              .select(pl.col("user_id").hash(seed=31) % nshards)
+              .to_series().to_numpy().astype("int64"))
+        return b.append_column("__shard", pa.array(sh, pa.int64()))
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.select(["user_id", "ts", "event_type"]))
+              .with_columns(pl.col("ts").cast(pl.Int64).alias("__us")))
+        v = (df.filter(pl.col("event_type") == frm)
+             .group_by("user_id")
+             .agg(pl.col("__us").min().alias("__t0")))
+        p = (df.filter(pl.col("event_type") == to)
+             .join(v, on="user_id")
+             .filter(pl.col("__us") > pl.col("__t0"))
+             .group_by("user_id")
+             .agg(pl.col("__us").min().alias("__t1"),
+                  pl.col("__t0").first().alias("__t0")))
+        out = p.select(
+            "user_id",
+            ((pl.col("__t1") - pl.col("__t0"))
+             // 60_000_000).alias("lag_minutes"))
+        t = out.to_arrow()
+        return t.cast(pa.schema([
+            ("user_id", t.schema.field("user_id").type),
+            ("lag_minutes", pa.int64())]))
+
+    return (_read_events(sf_dir, ["ts", "user_id", "event_type"])
+            .map_batches(shard, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("__shard")
+            .map_groups(per_shard, batch_format="pyarrow"))

@@ -73,3 +73,32 @@ def test_cohort_retention_fixture(ray_session, tmp_path):
     assert got[(cw, 0)] == (2, 1.0)
     assert got[(cw, 1)] == (1, 0.5)
     assert set(got) == {(cw, 0), (cw, 1)}
+
+
+def test_conversion_lag_fixture(ray_session, tmp_path):
+    """Lag floors to whole minutes; pre-view purchases don't count;
+    non-converting users are absent."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.events import conversion_lag
+
+    t = dt.datetime(2024, 1, 1)
+
+    def row(i, u, et, secs):
+        return {"event_id": i, "ts": t + dt.timedelta(seconds=secs),
+                "user_id": u, "event_type": et, "value": 1.0,
+                "props": ""}
+
+    rows = [
+        row(1, 1, "view", 0), row(2, 1, "purchase", 150),   # 2.5 min
+        row(3, 2, "purchase", 0), row(4, 2, "view", 60),    # early buy
+        row(5, 3, "view", 0),                               # no buy
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r["lag_minutes"]
+           for r in conversion_lag(str(tmp_path)).take_all()}
+    assert got == {1: 2}
