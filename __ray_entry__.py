@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 148 queries, 142 with DuckDB oracles (counts asserted
+Round-5 surface: 149 queries, 143 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_predicate_matrix": kg_type_predicate_matrix,
         "events_cohort_retention": events.cohort_retention,
         "events_conversion_lag": events.conversion_lag,
+        "docs_dedup_report": docs.docs_dedup_report,
         "docs_language_id": docs.docs_language_id,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
@@ -2381,6 +2382,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
             UNION ALL SELECT 3, 'purchase',
                       (SELECT count(*) FROM p)""",
+        "docs_dedup_report": """
+            WITH sizes AS (
+              SELECT text, count(*) AS n FROM documents
+              GROUP BY text),
+            pairs AS (
+              SELECT 1 FROM (
+                SELECT md5(array_to_string(list_sort(list_distinct(
+                         string_split(text, ' '))), chr(10))) AS ws,
+                       doc_id
+                FROM documents) a
+              JOIN (
+                SELECT md5(array_to_string(list_sort(list_distinct(
+                         string_split(text, ' '))), chr(10))) AS ws,
+                       doc_id
+                FROM documents) b
+                ON a.ws = b.ws AND a.doc_id < b.doc_id)
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   CAST(COALESCE((SELECT SUM(n) FROM sizes
+                                  WHERE n > 1), 0) AS BIGINT)
+                     AS n_exact_dup_docs,
+                   (SELECT count(*) FROM pairs) AS n_neardup_pairs""",
         "events_conversion_lag": """
             WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
                        WHERE event_type = 'view' GROUP BY user_id),

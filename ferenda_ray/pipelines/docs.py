@@ -1734,3 +1734,32 @@ def docs_weighted_sample(sf_dir: str, k: int = 50):
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         add_w, batch_format="pyarrow")
     return weighted_reservoir_sample(ds, k=k, weight_col="n_chars")
+
+
+def docs_dedup_report(sf_dir: str):
+    """One-row corpus DEDUP-HEALTH report composing three
+    oracle-checked legs: document count, docs sharing a byte-exact
+    text (exact-dup group members), and VERIFIED near-dup pair count
+    (the word-set-equality pairs ``docs_minhash_verified_dups``
+    emits — exact, unlike the estimate-only candidate count) — the
+    dataset-card duplication summary.  Each leg reduces to a scalar
+    distributed (the dup-member total via a filtered ``sum``, never a
+    per-text collect); only three numbers reach the driver."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    # docs whose text occurs >1 times (group members, not survivors)
+    sizes = (docs.map_batches(
+        lambda b: pa.table({"text": b.column("text")}),
+        batch_format="pyarrow")
+        .groupby("text").aggregate(Count(alias_name="n")))
+    n_exact_dup_docs = int(sizes.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"), 1)),
+        batch_format="pyarrow").sum("n") or 0)
+    n_near_pairs = docs_minhash_verified_dups(sf_dir).count()
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_exact_dup_docs": pa.array([n_exact_dup_docs], pa.int64()),
+        "n_neardup_pairs": pa.array([n_near_pairs], pa.int64())})
