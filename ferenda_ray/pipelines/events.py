@@ -772,13 +772,24 @@ def funnel_steps(sf_dir: str,
             "event_type": pa.array(list(steps), pa.string()),
             "__n": pa.array(counts, pa.int64())})
 
-    return (_read_events(sf_dir, ["ts", "user_id", "event_type"])
-            .map_batches(shard, batch_format="pyarrow",
-                         batch_size=65536)
-            .groupby("__shard")
-            .map_groups(per_shard, batch_format="pyarrow")
-            .groupby(["step", "event_type"])
-            .aggregate(Sum("__n", alias_name="n_users")))
+    agg = (_read_events(sf_dir, ["ts", "user_id", "event_type"])
+           .map_batches(shard, batch_format="pyarrow",
+                        batch_size=65536)
+           .groupby("__shard")
+           .map_groups(per_shard, batch_format="pyarrow")
+           .groupby(["step", "event_type"])
+           .aggregate(Sum("__n", alias_name="n_users")))
+    # an EMPTY event log yields no shard groups at all — the funnel
+    # contract (like its SQL restatement) is one row per step, so
+    # fill missing steps with 0 (≤len(steps) rows on the driver)
+    rows = {r["step"]: r for r in agg.take_all()}
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+        "event_type": pa.array(list(steps), pa.string()),
+        "n_users": pa.array(
+            [rows.get(k, {}).get("n_users", 0)
+             for k in range(1, len(steps) + 1)], pa.int64())}))
 
 
 def cohort_retention(sf_dir: str, max_weeks: int = 8):

@@ -280,6 +280,15 @@ def type_predicate_matrix(
     if not ray_join_handles_empty_blocks():
         co = coalesce_partitions()
         types, pairs = types.repartition(co), pairs.repartition(co)
+        # an ALL-empty join side trips Ray 2.49's key-field lookup
+        # even after the repartition workaround (a typeless KG must
+        # return an empty matrix, not crash)
+        if types.count() == 0:
+            import ray.data as rd
+            return rd.from_arrow(pa.table({
+                "type": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "n_subjects": pa.array([], pa.int64())}))
     j = pairs.join(types, join_type="inner", on=("subj",),
                    num_partitions=np_)
     return (j.groupby(["type", "pred"])

@@ -154,8 +154,11 @@ def distinct(ds, cols: list[str] | None = None):
         return pl.from_arrow(b).unique().to_arrow().cast(b.schema)
 
     pre = ds.map_batches(local, batch_format="pyarrow")
-    key = cols or list(pre.schema().names)
-    if set(key) == set(pre.schema().names):
+    schema = pre.schema()
+    if schema is None:        # row-less dataset: schema unknowable —
+        return pre            # DISTINCT of nothing is nothing
+    key = cols or list(schema.names)
+    if set(key) == set(schema.names):
         return (pre.groupby(key).aggregate(Count(alias_name="__nb"))
                 .drop_columns(["__nb"]))
 

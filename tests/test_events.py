@@ -69,7 +69,11 @@ def test_cohort_retention_fixture(ray_session, tmp_path):
     got = {(r["cohort_week"], r["week_offset"]):
            (r["n_active"], r["retention"])
            for r in cohort_retention(str(tmp_path)).take_all()}
-    cw = int(wk0.timestamp() // 604800)
+    # naive parquet timestamps are read verbatim (UTC wall time) —
+    # wk0.timestamp() would shift by the local offset and, exactly on
+    # a week boundary, flip the cohort key on east-of-UTC machines
+    import calendar
+    cw = calendar.timegm(wk0.timetuple()) // 604800
     assert got[(cw, 0)] == (2, 1.0)
     assert got[(cw, 1)] == (1, 0.5)
     assert set(got) == {(cw, 0), (cw, 1)}
@@ -102,3 +106,20 @@ def test_conversion_lag_fixture(ray_session, tmp_path):
     got = {r["user_id"]: r["lag_minutes"]
            for r in conversion_lag(str(tmp_path)).take_all()}
     assert got == {1: 2}
+
+
+def test_funnel_empty_log_emits_zero_rows_per_step(ray_session,
+                                                   tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.events import funnel_steps
+
+    pq.write_table(pa.Table.from_pylist([], schema=pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())])),
+        str(tmp_path / "events.parquet"))
+    got = sorted((r["step"], r["n_users"])
+                 for r in funnel_steps(str(tmp_path)).take_all())
+    assert got == [(1, 0), (2, 0), (3, 0)]
