@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 149 queries, 143 with DuckDB oracles (counts asserted
+Round-5 surface: 150 queries, 144 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -155,6 +155,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (schema discovery): (type, pred, n_subjects)."""
         from ferenda_ray.pipelines.kg import type_predicate_matrix
         return type_predicate_matrix(_synth_canon(sf_dir))
+
+    def kg_entity_mention_stats(sf_dir: str):
+        """Entity popularity after linking + canonicalization
+        (mention triples, distinct docs, label per entity)."""
+        from ferenda_ray.pipelines.kg import entity_mention_stats
+        return entity_mention_stats(_synth_canon(sf_dir))
 
     # ORDER MATTERS: the driver's correctness harness verifies only the
     # FIRST 50 entries (dict order).  Round-5 rotation (round-4 verdict
@@ -349,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_profile": kg_predicate_profile,
         "kg_required_predicates": kg_required_predicates,
         "kg_type_predicate_matrix": kg_type_predicate_matrix,
+        "kg_entity_mention_stats": kg_entity_mention_stats,
         "events_cohort_retention": events.cohort_retention,
         "events_conversion_lag": events.conversion_lag,
         "docs_dedup_report": docs.docs_dedup_report,
@@ -2317,6 +2324,19 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d CROSS JOIN req r
             LEFT JOIN have h ON h.subj = d.subj AND h.pred = r.p
             WHERE h.subj IS NULL""",
+        "kg_entity_mention_stats": f"""
+            WITH t AS (
+              SELECT subj, pred, obj_value
+              FROM read_parquet('{kg_cache}/expected_triples.parquet')),
+            m AS (SELECT subj, obj_value AS entity FROM t
+                  WHERE pred = 'http://purl.org/dc/terms/subject'),
+            l AS (SELECT subj AS entity, obj_value AS label FROM t
+                  WHERE pred =
+                    'http://www.w3.org/2000/01/rdf-schema#label')
+            SELECT m.entity, l.label, count(*) AS n_mentions,
+                   count(DISTINCT m.subj) AS n_docs
+            FROM m LEFT JOIN l ON l.entity = m.entity
+            GROUP BY m.entity, l.label""",
         "kg_type_predicate_matrix": f"""
             WITH t AS (
               SELECT subj, pred, obj_value

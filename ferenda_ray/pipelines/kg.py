@@ -293,3 +293,49 @@ def type_predicate_matrix(
                    num_partitions=np_)
     return (j.groupby(["type", "pred"])
             .aggregate(Count(alias_name="n_subjects")))
+
+
+def entity_mention_stats(
+        triples,
+        mention_pred: str = "http://purl.org/dc/terms/subject",
+        label_pred: str = "http://www.w3.org/2000/01/rdf-schema#label"):
+    """Entity popularity after linking + canonicalization: per
+    canonical entity — total mention triples, distinct mentioning
+    docs, and the entity's rdfs:label.  The linking-quality report a
+    KG pipeline reads to spot over/under-linked entities.
+
+    Two grouped aggregates over the mention slice (count + distinct
+    subj count via in-batch pre-distinct) and a tiny label-slice
+    collect; entities ≪ corpus, so the compose is driver-side."""
+    import polars as pl
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    from ferenda_ray.stages.bgp import distinct
+
+    ment = triples.map_batches(
+        lambda b: b.filter(pc.equal(b.column("pred"), mention_pred))
+        .select(["subj", "obj_value"]),
+        batch_format="pyarrow")
+
+    def _collect(ds) -> list:
+        return [r for t in ray.get(ds.to_arrow_refs())
+                for r in t.to_pylist()]
+
+    n_ment = {r["obj_value"]: r["n"] for r in _collect(
+        ment.groupby("obj_value").aggregate(Count(alias_name="n")))}
+    n_docs = {r["obj_value"]: r["n"] for r in _collect(
+        distinct(ment, ["subj", "obj_value"])
+        .groupby("obj_value").aggregate(Count(alias_name="n")))}
+    labels = {r["subj"]: r["obj_value"] for r in _collect(
+        triples.map_batches(
+            lambda b: b.filter(pc.equal(b.column("pred"), label_pred))
+            .select(["subj", "obj_value"]),
+            batch_format="pyarrow"))}
+    ents = sorted(n_ment)
+    return pa.table({
+        "entity": pa.array(ents, pa.string()),
+        "label": pa.array([labels.get(e) for e in ents], pa.string()),
+        "n_mentions": pa.array([n_ment[e] for e in ents], pa.int64()),
+        "n_docs": pa.array([n_docs[e] for e in ents], pa.int64())})

@@ -195,3 +195,30 @@ def test_type_predicate_matrix(ray_session):
     assert got[("Memo", "p:a")] == 1
     assert got[("Doc", T)] == 2 and got[("Memo", T)] == 1
     assert not any(ty == "w" for ty, _ in got)
+
+
+def test_entity_mention_stats(ray_session):
+    """Counts, distinct docs, label attach; unlabeled entities keep
+    a null label."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.pipelines.kg import entity_mention_stats
+
+    S = "http://purl.org/dc/terms/subject"
+    L = "http://www.w3.org/2000/01/rdf-schema#label"
+    rows = [
+        ("d1", S, "e1"), ("d1", S, "e1"),      # 2 mentions, 1 doc
+        ("d2", S, "e1"),
+        ("d2", S, "e2"),
+        ("e1", L, "Entity One"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "subj": [r[0] for r in rows],
+        "pred": [r[1] for r in rows],
+        "obj_value": [r[2] for r in rows]}))
+    got = {r["entity"]: r for r in
+           entity_mention_stats(ds).to_pylist()}
+    assert got["e1"]["n_mentions"] == 3 and got["e1"]["n_docs"] == 2
+    assert got["e1"]["label"] == "Entity One"
+    assert got["e2"]["n_mentions"] == 1 and got["e2"]["label"] is None
