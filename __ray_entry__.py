@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 150 queries, 144 with DuckDB oracles (counts asserted
+Round-5 surface: 151 queries, 145 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_lag": events.conversion_lag,
         "docs_dedup_report": docs.docs_dedup_report,
         "docs_language_id": docs.docs_language_id,
+        "docs_lang_confusion": docs.docs_lang_confusion,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
         "doc_toc_pages": docs.doc_toc_pages,
@@ -1999,6 +2000,7 @@ def oracle_sql() -> dict[str, str]:
         # token membership over whitespace-split lower() tokens,
         # first-profile-wins tie-break (en > de > fr > sv), 'und' at 0
         "docs_language_id": _LANG_ID_SQL,
+        "docs_lang_confusion": _LANG_CONF_SQL,
         # winnowing (k=5 grams, window=4) with the md5 k-gram hash:
         # DuckDB's md5_number_lower == little-endian bytes 8:16 of the
         # digest, masked to int63 — validated bit-identical to the
@@ -2884,6 +2886,14 @@ def _build_lang_id_sql() -> str:
 
 
 _LANG_ID_SQL = _build_lang_id_sql()
+
+#: the same per-doc prediction joined back to the true label (the
+#: classifier confusion matrix)
+_LANG_CONF_SQL = f"""
+    WITH pred AS ({_LANG_ID_SQL})
+    SELECT d.lang AS lang_true, pred.lang_pred, count(*) AS n
+    FROM pred JOIN documents d ON d.doc_id = pred.doc_id
+    GROUP BY d.lang, pred.lang_pred"""
 
 #: SimHash pair graph (identical to the docs_simhash_pairs oracle) →
 #: undirected edges → recursive reachability → min-reachable-id

@@ -1763,3 +1763,36 @@ def docs_dedup_report(sf_dir: str):
         "n_docs": pa.array([n_docs], pa.int64()),
         "n_exact_dup_docs": pa.array([n_exact_dup_docs], pa.int64()),
         "n_neardup_pairs": pa.array([n_near_pairs], pa.int64())})
+
+
+def docs_lang_confusion(sf_dir: str):
+    """Language-ID confusion counts: (lang_true, lang_pred, n) —
+    the classifier-quality matrix over the labeled corpus.  One
+    scoring pass (the oracled ``language_id`` heuristic) joined to
+    the label column in the SAME batch scan (labels ride along, no
+    join), then one tiny groupby."""
+    from ray.data.aggregate import Count
+
+    from ferenda_ray.stages.text_analysis import _LANG_PROFILES
+
+    def pair(b: pa.Table) -> pa.Table:
+        # the language_id scoring kernel inline, with the true label
+        # riding along (language_id's output drops non-key columns)
+        preds = []
+        for t in b.column("text").to_pylist():
+            toks = t.lower().split()
+            n = max(1, len(toks))
+            best_lang, best = "und", 0.0
+            for lang, prof in _LANG_PROFILES.items():
+                s = sum(1 for w in toks if w in prof) / n
+                if s > best:
+                    best_lang, best = lang, s
+            preds.append(best_lang)
+        return pa.table({"lang_true": b.column("lang"),
+                         "lang_pred": pa.array(preds, pa.string())})
+
+    return (_read_docs(sf_dir, ["lang", "text"])
+            .map_batches(pair, batch_format="pyarrow",
+                         batch_size=8192)
+            .groupby(["lang_true", "lang_pred"])
+            .aggregate(Count(alias_name="n")))

@@ -893,3 +893,25 @@ def test_c4_corpus_covers_every_branch(ray_session):
     for c in ["has_lorem", "has_brace", "has_javascript",
               "has_policy", "passes_c4"]:
         assert df[c].nunique() == 2, c
+
+
+def test_lang_confusion_counts(ray_session, tmp_path):
+    """Pred × true counts over a mixed fixture (en hit, de hit,
+    stopword-free text lands in 'und')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.docs import docs_lang_confusion
+
+    rows = [
+        {"doc_id": 1, "lang": "en", "text": "the cat and the hat"},
+        {"doc_id": 2, "lang": "en", "text": "der hund und die katze"},
+        {"doc_id": 3, "lang": "de", "text": "der hund ist nicht da"},
+        {"doc_id": 4, "lang": "xx", "text": "zzz qqq www"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    got = {(r["lang_true"], r["lang_pred"]): r["n"] for r in
+           docs_lang_confusion(str(tmp_path)).take_all()}
+    assert got == {("en", "en"): 1, ("en", "de"): 1,
+                   ("de", "de"): 1, ("xx", "und"): 1}
