@@ -5,7 +5,7 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash).  Nothing here calls ``ray.init``/``shutdown``.
 
-Round-5 surface: 151 queries, 145 with DuckDB oracles (counts asserted
+Round-5 surface: 152 queries, 146 with DuckDB oracles (counts asserted
 in sync by ``tests/test_query_oracles.py::test_surface_counts``).  The
 6 rows-only entries are approximate/iterative BY DESIGN (MinHash
 estimate, probe-limited LSH ANN, int8-quantized ANN, iterative BPE
@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_report": docs.docs_dedup_report,
         "docs_language_id": docs.docs_language_id,
         "docs_lang_confusion": docs.docs_lang_confusion,
+        "docs_ngram_diversity": docs.docs_ngram_diversity,
         "doc_entity_pagerank": docs.doc_entity_pagerank,
         "docs_distinct": docs.docs_distinct,
         "doc_toc_pages": docs.doc_toc_pages,
@@ -2001,6 +2002,19 @@ def oracle_sql() -> dict[str, str]:
         # first-profile-wins tie-break (en > de > fr > sv), 'und' at 0
         "docs_language_id": _LANG_ID_SQL,
         "docs_lang_confusion": _LANG_CONF_SQL,
+        "docs_ngram_diversity": """
+            WITH g AS (
+              SELECT n, unnest(list_transform(
+                       range(len(string_split(text, ' ')) - n + 1),
+                       i -> array_to_string(list_slice(
+                              string_split(text, ' '),
+                              i + 1, i + n), ' '))) AS gram
+              FROM documents, (SELECT unnest([1, 2, 3]) AS n))
+            SELECT n, count(*) AS total_ngrams,
+                   count(DISTINCT gram) AS distinct_ngrams,
+                   round(count(DISTINCT gram) * 1.0 / count(*), 6)
+                     AS diversity
+            FROM g GROUP BY n""",
         # winnowing (k=5 grams, window=4) with the md5 k-gram hash:
         # DuckDB's md5_number_lower == little-endian bytes 8:16 of the
         # digest, masked to int63 — validated bit-identical to the

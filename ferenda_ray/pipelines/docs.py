@@ -1796,3 +1796,9 @@ def docs_lang_confusion(sf_dir: str):
                          batch_size=8192)
             .groupby(["lang_true", "lang_pred"])
             .aggregate(Count(alias_name="n")))
+
+
+def docs_ngram_diversity(sf_dir: str):
+    """Corpus n-gram diversity report (n = 1, 2, 3)."""
+    from ferenda_ray.stages.text_analysis import ngram_diversity
+    return ngram_diversity(_read_docs(sf_dir, ["text"]))

@@ -1701,3 +1701,43 @@ def c4_rules(docs, text_col: str = "text", id_col: str = "doc_id",
 
     return docs.map_batches(score, batch_format="pyarrow",
                             batch_size=16384)
+
+
+def ngram_diversity(docs, ns: tuple = (1, 2, 3),
+                    text_col: str = "text"):
+    """Corpus n-gram diversity — per n: total n-grams, distinct
+    n-grams, and the distinct/total ratio (rounded 6) — the
+    repetitiveness health metric a dataset card reports (low ratios
+    flag boilerplate-heavy or templated corpora).
+
+    One explode pass per n (gram strings, pre-distinct'd in-batch by
+    ``bgp.distinct`` before the count exchange); totals are a
+    row-count, distincts one groupby-count.  At the 100-TB tier the
+    hashed-gram kernel (``dedup.ngram_dup_stats``: 16 B lane-hashes
+    in flight, never gram text) is the drop-in shape; the string form
+    here stays bit-comparable to the SQL restatement."""
+    import math
+
+    from ferenda_ray.stages.bgp import distinct
+
+    rows = []
+    for n in ns:
+        def explode(b: pa.Table, n=n) -> pa.Table:
+            out = []
+            for t in b.column(text_col).to_pylist():
+                ws = t.split(" ")
+                out.extend(" ".join(ws[i:i + n])
+                           for i in range(len(ws) - n + 1))
+            return pa.table({"g": pa.array(out, pa.string())})
+
+        ex = docs.map_batches(explode, batch_format="pyarrow")
+        total = ex.count()
+        dist = distinct(ex, ["g"]).count()
+        ratio = (math.floor(dist / total * 1e6 + 0.5) / 1e6
+                 if total else 0.0)
+        rows.append((n, total, dist, ratio))
+    return pa.table({
+        "n": pa.array([r[0] for r in rows], pa.int64()),
+        "total_ngrams": pa.array([r[1] for r in rows], pa.int64()),
+        "distinct_ngrams": pa.array([r[2] for r in rows], pa.int64()),
+        "diversity": pa.array([r[3] for r in rows], pa.float64())})

@@ -915,3 +915,19 @@ def test_lang_confusion_counts(ray_session, tmp_path):
            docs_lang_confusion(str(tmp_path)).take_all()}
     assert got == {("en", "en"): 1, ("en", "de"): 1,
                    ("de", "de"): 1, ("xx", "und"): 1}
+
+
+def test_ngram_diversity_known_counts(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_arrow(pa.table({
+        "text": ["a b a b", "a b c"]}))
+    t = ta.ngram_diversity(docs)
+    got = {r["n"]: r for r in t.to_pylist()}
+    # unigrams: 7 total, 3 distinct
+    assert (got[1]["total_ngrams"], got[1]["distinct_ngrams"]) == (7, 3)
+    # bigrams: 'a b','b a','a b' + 'a b','b c' = 5 total, 3 distinct
+    assert (got[2]["total_ngrams"], got[2]["distinct_ngrams"]) == (5, 3)
+    assert got[2]["diversity"] == 0.6
+    # trigrams: 2 + 1 = 3 total, 3 distinct
+    assert (got[3]["total_ngrams"], got[3]["distinct_ngrams"]) == (3, 3)
